@@ -1,0 +1,35 @@
+"""Test configuration: force a virtual 8-device CPU mesh and 64-bit mode.
+
+The session environment pins ``JAX_PLATFORMS=axon`` (a remote TPU reached
+through a relay) and a sitecustomize module imports jax and initializes that
+backend before any test code runs.  Running thousands of tiny test ops over
+that relay takes minutes per compile, so tests re-point jax at the local CPU
+backend with 8 virtual devices (the sharding tests need a mesh) and clear the
+already-initialized backends.  The benchmark (bench.py) is what runs on the
+real chip.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+try:  # drop any backend sitecustomize already initialized (e.g. remote TPU)
+    import jax.extend.backend as _jeb
+
+    _jeb.clear_backends()
+except Exception:  # pragma: no cover - best effort
+    pass
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))

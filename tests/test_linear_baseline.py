@@ -1,0 +1,50 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyitd_tpu.ops.linear_baseline import linear_baseline_extract
+from reference.itd_ref import baseline_extract
+
+
+def _signals():
+    rng = np.random.default_rng(7)
+    T = np.linspace(0, 2 * np.pi, 400)
+    yield np.sin(20 * T * (1 + 0.2 * T)) + T**2 + np.sin(13 * T)
+    yield rng.normal(size=513)
+    yield np.sin(np.linspace(0, 50, 1000)) * np.linspace(1, 3, 1000)
+
+
+def test_parity_with_numpy_oracle():
+    for s in _signals():
+        rot, base, nex = linear_baseline_extract(jnp.asarray(s))
+        r_rot, r_base, r_nex = baseline_extract(s)
+        np.testing.assert_allclose(np.asarray(base), r_base, atol=1e-12, rtol=0)
+        np.testing.assert_allclose(np.asarray(rot), r_rot, atol=1e-12, rtol=0)
+        assert int(nex) == r_nex
+
+
+def test_exact_reconstruction():
+    # rotation := x - baseline, so rot + base == x to f64 roundoff
+    for s in _signals():
+        rot, base, _ = linear_baseline_extract(jnp.asarray(s))
+        np.testing.assert_allclose(
+            np.asarray(rot) + np.asarray(base), np.asarray(s), atol=1e-12, rtol=0
+        )
+
+
+def test_reference_endpoint_quirk():
+    s = np.sin(np.linspace(0, 30, 256))
+    _, base, _ = linear_baseline_extract(jnp.asarray(s))
+    assert float(base[-1]) == 0.0
+    _, base_nat, _ = linear_baseline_extract(jnp.asarray(s), endpoint_mode="natural")
+    assert float(base_nat[-1]) != 0.0
+
+
+def test_vmap_and_jit():
+    sigs = np.stack([np.sin(np.linspace(0, k, 256)) for k in (11, 23, 37, 53)])
+    fn = jax.jit(lambda a: linear_baseline_extract(a))
+    rot, base, nex = fn(jnp.asarray(sigs))
+    for i, s in enumerate(sigs):
+        r_rot, r_base, r_nex = baseline_extract(s)
+        np.testing.assert_allclose(np.asarray(base[i]), r_base, atol=1e-12, rtol=0)
+        assert int(nex[i]) == r_nex
