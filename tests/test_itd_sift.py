@@ -1,0 +1,78 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyitd_tpu import ITD, itd_sift, neumaier_sum, STOP_FLAT, STOP_BUDGET
+from reference.itd_ref import itd_sift as ref_sift
+
+
+def demo_chirp(n=400):
+    T = np.linspace(0, 2 * np.pi, n)
+    return np.sin(20 * T * (1 + 0.2 * T)) + T**2 + np.sin(13 * T)
+
+
+def test_parity_with_numpy_oracle():
+    for s, max_it in [(demo_chirp(), 11), (demo_chirp(257), 3)]:
+        want, reason = ref_sift(s, max_iteration=max_it)
+        res = itd_sift(jnp.asarray(s), max_it)
+        n = int(res.num_components)
+        assert n == want.shape[0]
+        got = np.asarray(res.rotations[:n])
+        np.testing.assert_allclose(got, want, atol=1e-11, rtol=0)
+        assert int(res.stop_reason) == (STOP_FLAT if reason == "A" else STOP_BUDGET)
+
+
+def test_exact_reconstruction_invariant():
+    # SURVEY.md §4.1: sum(rotations) + trend == input to ~1e-10
+    s = demo_chirp()
+    res = itd_sift(jnp.asarray(s))
+    n = int(res.num_components)
+    total = neumaier_sum(res.rotations[:n], axis=0)
+    err = float(jnp.max(jnp.abs(total - jnp.asarray(s))))
+    assert err < 1e-10, err
+
+
+def test_class_api():
+    s = demo_chirp()
+    itd = ITD()
+    rot = itd.itd(s)
+    assert rot.ndim == 2 and rot.shape[1] == s.size
+    assert np.allclose(np.asarray(rot), ref_sift(s)[0], atol=1e-11)
+    got_b = itd.get_baselines()
+    # rotations include residual; baselines one fewer (stop A) or equal (stop B)
+    assert got_b.shape[0] in (rot.shape[0] - 1, rot.shape[0])
+    # __call__ works (deviation from reference's broken kwarg forward)
+    assert ITD()(s).shape == rot.shape
+
+
+def test_flat_signal_single_zero_row():
+    # first baseline already flat -> reference returns one zero row
+    s = np.linspace(0.0, 1.0, 64)
+    res = itd_sift(jnp.asarray(s))
+    assert int(res.num_components) == 1
+    assert int(res.stop_reason) == STOP_FLAT
+    np.testing.assert_array_equal(np.asarray(res.rotations[0]), np.zeros(64))
+
+
+def test_batched_sift():
+    sigs = np.stack([demo_chirp(), demo_chirp() * 2 + 1, np.sin(np.linspace(0, 40, 400))])
+    res = itd_sift(jnp.asarray(sigs), 5)
+    for b, s in enumerate(sigs):
+        want, _ = ref_sift(s, max_iteration=5)
+        n = int(res.num_components[b])
+        assert n == want.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(res.rotations[:n, b]), want, atol=1e-11, rtol=0
+        )
+
+
+def test_grad_does_not_crash():
+    # functional bonus over the reference: the sift is differentiable
+    s = jnp.asarray(demo_chirp(128))
+
+    def loss(x):
+        r = itd_sift(x, 3, store_baselines=False)
+        return jnp.sum(r.rotations[0] ** 2)
+
+    g = jax.grad(loss)(s)
+    assert np.all(np.isfinite(np.asarray(g)))
