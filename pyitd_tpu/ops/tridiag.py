@@ -1,0 +1,248 @@
+"""Tridiagonal solvers and cubic-spline moment systems on padded knot buffers.
+
+Three solvers, all expressed as masked ``lax.scan`` over the (small) knot
+axis and vectorized over arbitrary batch axes — knot counts are orders of
+magnitude smaller than signal length, so a sequential scan over knots with
+full vector width over the batch is the right TPU shape:
+
+* :func:`reference_spline_moments` — bit-for-bit the recurrence the
+  reference's native tier runs (``/root/reference/itd.cpp:117-137`` and its
+  numba port ``itd_fourier_decomposition.py:86-107``).  Note this recurrence
+  is *not* a mathematically exact Thomas elimination (the superdiagonal is
+  never normalized by the pivot); it is reproduced deliberately because the
+  reference's outputs depend on it.
+* :func:`thomas_solve` — the exact Thomas algorithm, for the quality path.
+* :func:`spline_moments` — second-derivative (moment) system of an
+  interpolating cubic spline with ``natural`` or ``not-a-knot`` boundary
+  conditions; ``not-a-knot`` matches scipy's ``splrep(k=3, s=0)`` behavior
+  that the reference's MEITD/2-D tiers rely on
+  (``/root/reference/MEITD.py:131-146``).
+
+Buffers are fixed-capacity with a per-batch-element ``count``; lanes at or
+beyond ``count`` are inert (identity scan steps, guarded denominators).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["reference_spline_moments", "thomas_solve", "spline_moments"]
+
+
+def _arange_like(x: jax.Array) -> jax.Array:
+    return lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+
+
+def _safe_div(a, b):
+    return a / jnp.where(b == 0, jnp.ones_like(b), b)
+
+
+def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array) -> jax.Array:
+    """Moment vector ``b`` exactly as the reference native tier computes it.
+
+    ``knots[..., c]``: knot values (slot ``count`` participates — the
+    reference reads one slot past the valid range, which in its zero-padded
+    buffers resolves to ``x[0]``; callers prepare that slot accordingly).
+    ``h[..., c]``: knot spacings ``pos[k+1] - pos[k]``.
+    ``count``: number of valid knots (the reference's ``idx``).
+
+    Active index range is ``1 <= i <= count-1`` for the forward pass and
+    ``count-2 >= i >= 0`` for the backward pass; afterwards ``b[0]`` and
+    ``b[count-1]`` are forced to zero (the numba port's natural-end fix,
+    ``itd_fourier_decomposition.py:104-107``).
+    """
+    cap = knots.shape[-1]
+    idx = _arange_like(knots)
+    cnt = count[..., None] if count.ndim == knots.ndim - 1 else count
+
+    h_im1 = jnp.concatenate([jnp.zeros_like(h[..., :1]), h[..., :-1]], axis=-1)
+    k_ip1 = jnp.concatenate([knots[..., 1:], jnp.zeros_like(knots[..., :1])], axis=-1)
+    k_im1 = jnp.concatenate([jnp.zeros_like(knots[..., :1]), knots[..., :-1]], axis=-1)
+
+    u = _safe_div(h_im1, h_im1 + h)
+    v = 1.0 - u
+    rhs = 6.0 * _safe_div(
+        _safe_div(k_ip1 - knots, h) - _safe_div(knots - k_im1, h_im1), h_im1 + h
+    )
+    active = (idx >= 1) & (idx < cnt)
+    u = jnp.where(active, u, jnp.zeros_like(u))
+    v = jnp.where(active, v, jnp.zeros_like(v))
+    b0 = jnp.where(active, rhs, jnp.zeros_like(rhs))
+
+    # Forward pass: b[i] = (b[i] - u[i]*b[i-1]) / (2 - u[i]*v[i-1]).
+    # v enters UN-normalized — that is the reference's recurrence.
+    v_im1 = jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+
+    def fwd(carry, xs):
+        b_i, u_i, v_prev, act = xs
+        d = 2.0 - u_i * v_prev
+        new = _safe_div(b_i - u_i * carry, d)
+        b_out = jnp.where(act, new, b_i)
+        return jnp.where(act, b_out, carry), b_out
+
+    mv = lambda a: jnp.moveaxis(a, -1, 0)
+    _, b_f = lax.scan(
+        fwd,
+        jnp.zeros_like(knots[..., 0]),
+        (mv(b0), mv(u), mv(v_im1), mv(active)),
+    )
+    b_f = jnp.moveaxis(b_f, 0, -1)
+
+    # Backward pass: b[i] -= v[i] * b[i+1], active for i <= count-2.
+    act_bwd = idx <= (cnt - 2)
+
+    def rev(a):
+        return jnp.flip(a, axis=-1)
+
+    init = jnp.zeros_like(knots[..., 0])
+    # walk from the top; inactive steps pass b[i] through as the carry so
+    # the first active step (i = count-2) sees b[count-1] from the forward
+    # pass, exactly like the reference's back-substitution seed.
+    def bwd_seed(carry, xs):
+        b_i, v_i, act = xs
+        new = b_i - v_i * carry
+        b_out = jnp.where(act, new, b_i)
+        return b_out, b_out
+
+    _, b_b = lax.scan(
+        bwd_seed,
+        init,
+        (mv(rev(b_f)), mv(rev(v)), mv(rev(act_bwd))),
+    )
+    b = rev(jnp.moveaxis(b_b, 0, -1))
+
+    # force natural ends (b[0] = b[count-1] = 0)
+    b = jnp.where((idx == 0) | (idx == cnt - 1), jnp.zeros_like(b), b)
+    del cap
+    return b
+
+
+def thomas_solve(lower: jax.Array, diag: jax.Array, upper: jax.Array, rhs: jax.Array,
+                 count: jax.Array | None = None) -> jax.Array:
+    """Exact Thomas elimination for batched tridiagonal systems.
+
+    Solves ``lower[i]*x[i-1] + diag[i]*x[i] + upper[i]*x[i+1] = rhs[i]`` for
+    ``i < count`` (full capacity if ``count`` is None).  Lanes >= count are
+    inert and return 0.
+    """
+    cap = diag.shape[-1]
+    idx = _arange_like(diag)
+    if count is None:
+        cnt = jnp.full(diag.shape[:-1] + (1,), cap, jnp.int32)
+    else:
+        cnt = count[..., None] if count.ndim == diag.ndim - 1 else count
+    active = idx < cnt
+
+    mv = lambda a: jnp.moveaxis(a, -1, 0)
+
+    def fwd(carry, xs):
+        cp, dp = carry  # c'[i-1], d'[i-1]
+        a, b, c, d, act = xs
+        denom = b - a * cp
+        denom = jnp.where(denom == 0, jnp.ones_like(denom), denom)
+        cp_new = c / denom
+        dp_new = (d - a * dp) / denom
+        cp_new = jnp.where(act, cp_new, jnp.zeros_like(cp_new))
+        dp_new = jnp.where(act, dp_new, jnp.zeros_like(dp_new))
+        return (cp_new, dp_new), (cp_new, dp_new)
+
+    zero = jnp.zeros_like(diag[..., 0])
+    _, (cps, dps) = lax.scan(
+        fwd, (zero, zero), (mv(lower), mv(diag), mv(upper), mv(rhs), mv(active))
+    )
+    cps = jnp.moveaxis(cps, 0, -1)
+    dps = jnp.moveaxis(dps, 0, -1)
+
+    last = idx == (cnt - 1)
+
+    def bwd(carry, xs):
+        cp, dp, is_last, act = xs
+        x_i = dp - cp * carry
+        x_i = jnp.where(is_last, dp, x_i)
+        x_i = jnp.where(act, x_i, jnp.zeros_like(x_i))
+        return jnp.where(act, x_i, carry), x_i
+
+    def rev(a):
+        return jnp.flip(a, axis=-1)
+
+    _, xs = lax.scan(bwd, zero, (mv(rev(cps)), mv(rev(dps)), mv(rev(last)), mv(rev(active))))
+    return rev(jnp.moveaxis(xs, 0, -1))
+
+
+def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
+                   bc: str = "natural") -> jax.Array:
+    """Second derivatives M of the cubic interpolant through
+    ``(pos[k], val[k])`` for ``k < count``, with the requested boundary
+    condition.  ``pos`` is float (or int; cast internally).
+
+    not-a-knot folds the third-derivative-continuity end rows into the
+    interior tridiagonal system by eliminating M[0] and M[count-1]:
+        M0 = M1 + (h0/h1)(M1 - M2),   M_last analogously.
+    """
+    if bc not in ("natural", "not-a-knot"):
+        raise ValueError(bc)
+    pos = pos.astype(val.dtype)
+    idx = _arange_like(val)
+    cnt = count[..., None] if count.ndim == val.ndim - 1 else count
+
+    h = jnp.concatenate([pos[..., 1:] - pos[..., :-1], jnp.ones_like(pos[..., :1])], axis=-1)
+    h = jnp.where(idx < cnt - 1, h, jnp.ones_like(h))  # guard padded spacings
+    h_im1 = jnp.concatenate([jnp.ones_like(h[..., :1]), h[..., :-1]], axis=-1)
+
+    v_ip1 = jnp.concatenate([val[..., 1:], jnp.zeros_like(val[..., :1])], axis=-1)
+    v_im1 = jnp.concatenate([jnp.zeros_like(val[..., :1]), val[..., :-1]], axis=-1)
+    rhs = 6.0 * (_safe_div(v_ip1 - val, h) - _safe_div(val - v_im1, h_im1))
+
+    lower = h_im1
+    diag = 2.0 * (h_im1 + h)
+    upper = h
+
+    interior = (idx >= 1) & (idx < cnt - 1)
+
+    if bc == "natural":
+        # M[0] = M[count-1] = 0: plain interior system.
+        lower_s = jnp.where(interior, lower, jnp.zeros_like(lower))
+        diag_s = jnp.where(interior, diag, jnp.ones_like(diag))
+        upper_s = jnp.where(interior, upper, jnp.zeros_like(upper))
+        rhs_s = jnp.where(interior, rhs, jnp.zeros_like(rhs))
+        # kill the couplings that reach M[0]/M[count-1]
+        lower_s = jnp.where(idx == 1, jnp.zeros_like(lower_s), lower_s)
+        upper_s = jnp.where(idx == cnt - 2, jnp.zeros_like(upper_s), upper_s)
+        m = thomas_solve(lower_s, diag_s, upper_s, rhs_s)
+        return jnp.where(interior, m, jnp.zeros_like(m))
+
+    # not-a-knot: eliminate M0 = ((h0+h1) M1 - h0 M2) / h1 into row i=1 and
+    # the mirrored relation into row i = count-2.
+    h0 = jnp.take_along_axis(h, jnp.zeros_like(cnt), axis=-1)
+    h1 = jnp.take_along_axis(h, jnp.ones_like(cnt), axis=-1)
+    hl = jnp.take_along_axis(h, jnp.maximum(cnt - 2, 0), axis=-1)   # last interval
+    hl2 = jnp.take_along_axis(h, jnp.maximum(cnt - 3, 0), axis=-1)  # second-to-last
+
+    # (accurate for count >= 5; MEITD's drivers guarantee > 5 extrema)
+    # row 1: lower*M0 -> substitute
+    diag_s = jnp.where(idx == 1, diag + lower * _safe_div(h0 + h1, h1), diag)
+    upper_s = jnp.where(idx == 1, upper - lower * _safe_div(h0, h1), upper)
+    lower_s = jnp.where(idx == 1, jnp.zeros_like(lower), lower)
+    # row count-2: upper*M_{cnt-1} -> substitute
+    # M_{cnt-1} = M_{cnt-2} + (hl/hl2)(M_{cnt-2} - M_{cnt-3})
+    diag_s = jnp.where(idx == cnt - 2, diag_s + upper_s * _safe_div(hl + hl2, hl2), diag_s)
+    lower_s = jnp.where(idx == cnt - 2, lower_s - upper_s * _safe_div(hl, hl2), lower_s)
+    upper_s = jnp.where(idx == cnt - 2, jnp.zeros_like(upper_s), upper_s)
+
+    lower_s = jnp.where(interior, lower_s, jnp.zeros_like(lower_s))
+    diag_s = jnp.where(interior, diag_s, jnp.ones_like(diag_s))
+    upper_s = jnp.where(interior, upper_s, jnp.zeros_like(upper_s))
+    rhs_s = jnp.where(interior, rhs, jnp.zeros_like(rhs))
+    m = thomas_solve(lower_s, diag_s, upper_s, rhs_s)
+    m = jnp.where(interior, m, jnp.zeros_like(m))
+
+    m1 = jnp.take_along_axis(m, jnp.ones_like(cnt), axis=-1)
+    m2 = jnp.take_along_axis(m, 2 * jnp.ones_like(cnt), axis=-1)
+    m0 = m1 + _safe_div(h0, h1) * (m1 - m2)
+    ml1 = jnp.take_along_axis(m, jnp.maximum(cnt - 2, 0), axis=-1)
+    ml2 = jnp.take_along_axis(m, jnp.maximum(cnt - 3, 0), axis=-1)
+    ml = ml1 + _safe_div(hl, hl2) * (ml1 - ml2)
+    m = jnp.where(idx == 0, m0, m)
+    m = jnp.where(idx == cnt - 1, ml, m)
+    return m

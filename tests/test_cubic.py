@@ -1,0 +1,119 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.interpolate import splrep, splev
+
+from pyitd_tpu.ops.tridiag import thomas_solve, spline_moments
+from pyitd_tpu.ops.cubic_baseline import (
+    template_fast_baseline,
+    cubic_baseline_extract,
+)
+from reference.cubic_ref import fast_baseline, sine_template_knots
+from reference.itd_ref import find_extrema
+
+
+def test_thomas_exact():
+    rng = np.random.default_rng(1)
+    m = 12
+    lower = rng.normal(size=m)
+    diag = rng.normal(size=m) + 6.0
+    upper = rng.normal(size=m)
+    rhs = rng.normal(size=m)
+    A = np.diag(diag) + np.diag(lower[1:], -1) + np.diag(upper[:-1], 1)
+    want = np.linalg.solve(A, rhs)
+    got = thomas_solve(
+        jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(rhs)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+def test_thomas_masked_count():
+    rng = np.random.default_rng(2)
+    cap, m = 16, 9
+    lower = rng.normal(size=cap)
+    diag = rng.normal(size=cap) + 6.0
+    upper = rng.normal(size=cap)
+    rhs = rng.normal(size=cap)
+    A = np.diag(diag[:m]) + np.diag(lower[1:m], -1) + np.diag(upper[: m - 1], 1)
+    want = np.linalg.solve(A, rhs[:m])
+    got = thomas_solve(
+        jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(rhs),
+        count=jnp.asarray(m),
+    )
+    np.testing.assert_allclose(np.asarray(got)[:m], want, atol=1e-10)
+    assert np.all(np.asarray(got)[m:] == 0)
+
+
+def test_notaknot_matches_scipy_splrep():
+    # the reference's MEITD cubic tier is scipy splrep(k=3, s=0) == not-a-knot
+    rng = np.random.default_rng(3)
+    pos = np.sort(rng.choice(np.arange(1, 199), size=12, replace=False))
+    pos = np.concatenate([[0], pos, [199]]).astype(np.float64)
+    val = rng.normal(size=pos.size)
+    t, c, k = splrep(pos, val, k=3)
+    z = np.arange(200, dtype=np.float64)
+    want = splev(z, (t, c, k))
+
+    cap = 20
+    p = np.zeros(cap); p[: pos.size] = pos
+    v = np.zeros(cap); v[: val.size] = val
+    m = spline_moments(jnp.asarray(p), jnp.asarray(v), jnp.asarray(pos.size), bc="not-a-knot")
+
+    # evaluate via the moment form on the dense grid
+    from pyitd_tpu.ops.cubic_baseline import segment_index, eval_moment_spline
+
+    x_like = jnp.zeros(200)
+    pi = jnp.asarray(p, jnp.int32)
+    seg = segment_index(x_like, pi, jnp.asarray(pos.size), cap_to_last_interval=True)
+    h = jnp.asarray(np.concatenate([np.diff(p), [1.0]]))
+    lin, cub = eval_moment_spline(x_like, pi, jnp.asarray(v), m, h, seg)
+    got = np.asarray(lin + cub)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_template_fast_baseline_parity():
+    rng = np.random.default_rng(4)
+    sr, dur = 1000, 1.0
+    n = 1000
+    x = np.sin(2 * np.pi * 7 * np.linspace(0, dur, n)) + 0.2 * rng.normal(size=n)
+    for freq in (11.0, 53.0, 201.0):
+        pos, count = sine_template_knots(freq, sr, dur)
+        want = fast_baseline(x, pos, count)
+        cap = count + 4
+        p = np.zeros(cap, dtype=np.int64)
+        p[:count] = pos[:count]
+        got = template_fast_baseline(
+            jnp.asarray(x), jnp.asarray(p, jnp.int32), jnp.asarray(count)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-9, err_msg=f"freq={freq}")
+
+
+def test_cubic_extract_matches_scipy_pipeline():
+    # oracle: extrema -> knot formula -> splrep through (tau, knots) -> splev
+    rng = np.random.default_rng(5)
+    x = np.sin(np.linspace(0, 31, 400)) + 0.3 * np.cos(np.linspace(0, 117, 400))
+    ext = find_extrema(x)
+    tau = np.concatenate([[0], ext, [x.size - 1]]).astype(np.float64)
+    knots = np.zeros(tau.size)
+    knots[0] = 0.5 * (3 * x[0] - x[1])
+    knots[-1] = 0.5 * (3 * x[-1] - x[-2])
+    for j in range(1, tau.size - 1):
+        w = (tau[j] - tau[j - 1]) / (tau[j + 1] - tau[j - 1])
+        knots[j] = 0.5 * (
+            x[int(tau[j - 1])] + w * (x[int(tau[j + 1])] - x[int(tau[j - 1])])
+        ) + 0.5 * x[int(tau[j])]
+    tck = splrep(tau, knots, k=3)
+    want = splev(np.arange(400, dtype=np.float64), tck)
+
+    res = cubic_baseline_extract(jnp.asarray(x), capacity=tau.size + 8)
+    np.testing.assert_allclose(np.asarray(res.baseline), want, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(res.rotation) + np.asarray(res.baseline), x, atol=1e-12
+    )
+
+
+def test_cubic_extract_passthrough_guard():
+    x = np.sin(np.linspace(0, 6, 200))  # few extrema
+    res = cubic_baseline_extract(jnp.asarray(x), capacity=16, min_extrema=10)
+    assert int(res.num_extrema) < 10
+    np.testing.assert_array_equal(np.asarray(res.baseline), x)
+    np.testing.assert_array_equal(np.asarray(res.rotation), np.zeros_like(x))
