@@ -1,0 +1,227 @@
+"""Sine-template ITD and the ITD-Fourier cascade.
+
+Behavioral contract (``/root/reference/itd_fourier_decomposition.py``):
+
+* C12 ``itd_sine_wrapper``: a descending frequency comb
+  ``arange(2, sr/2 - 1, 96)[::-1]`` (first comb entry skipped — the
+  reference loop starts at 1); for each frequency the knot *positions* are
+  the zero crossings of a synthetic sine template (forced index 0, interior
+  sign flips, one extrapolated tail knot) and the baseline is the native
+  fast cubic tier; ``rotation = problem - baseline`` and the next problem is
+  the baseline.
+* C13 ``fourier_mode_decomposition_any``: isolate the FFT band between the
+  argmins flanking the global spectrum peak (excluding DC / the halfway
+  point), symmetric bins mirrored; returns zeros when the peaks degenerate.
+  ``..._valid`` is the stricter 3-local-peak variant.
+* C14 ``itd_fourier_decomposition``: alternate sift -> per-rotation mode
+  extraction -> subtract -> re-sum until no rotation yields a mode; output
+  interleaves accumulated modes and residual rotations.
+
+TPU design: the template knot positions depend only on (sr, n) — they are
+**static data**, precomputed host-side and stacked into a padded
+``(freqs, capacity)`` buffer; the per-frequency extraction chain is a
+``lax.scan`` carrying the problem signal.  Mode extraction is fixed-shape
+FFT + masked argmax/argmin, vmapped across rotations.  The reference's
+float32 spectrum buffer (``np.complex64`` at
+``itd_fourier_decomposition.py:180``) is widened to the input dtype —
+documented delta (the narrow buffer only loses precision).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.cubic_baseline import template_fast_baseline
+
+__all__ = [
+    "sine_template_positions",
+    "itd_sine_sift",
+    "fourier_mode_any",
+    "fourier_mode_valid",
+    "itd_fourier_decomposition",
+]
+
+
+def sine_template_positions(sample_rate: int, n: int):
+    """Static knot-position buffers for the reference's frequency comb.
+
+    Returns ``(positions[F, cap] int32, counts[F] int32, freqs[F])`` —
+    zero-padded, computed with numpy at trace time (the templates depend
+    only on the config, not the data)."""
+    duration = n / sample_rate
+    freqs = np.arange(2, sample_rate // 2 - 1, 96)[::-1]
+    freqs = freqs[1:]  # the reference's loop starts at index 1
+    t = np.arange(0, duration, 1 / sample_rate)
+    pos_list, counts = [], []
+    for f in freqs:
+        s = np.sin(2 * np.pi * f * t)
+        p = [0]
+        for i in range(1, s.size - 1):
+            if (s[i] > 0 > s[i + 1]) or (s[i] < 0 < s[i + 1]):
+                p.append(i)
+        p.append(2 * p[-1] - p[-2])
+        pos_list.append(np.asarray(p, np.int64))
+        counts.append(len(p))
+    cap = max(counts) + 2
+    buf = np.zeros((len(freqs), cap), np.int32)
+    for i, p in enumerate(pos_list):
+        buf[i, : p.size] = p
+    return jnp.asarray(buf), jnp.asarray(np.asarray(counts, np.int32)), freqs
+
+
+@partial(jax.jit, static_argnames=())
+def _sine_sift_scan(x, positions, counts):
+    def step(problem, pc):
+        pos, cnt = pc
+        baseline = template_fast_baseline(problem, pos, cnt)
+        rotation = problem - baseline
+        return baseline, rotation  # next problem = problem - rotation = baseline
+
+    residual, rotations = lax.scan(step, x, (positions, counts))
+    return rotations, residual
+
+
+def itd_sine_sift(x: jax.Array, sample_rate: int):
+    """C12: returns ``(rotations[F, ..., n], residual)`` — the reference's
+    ``products`` list is rotations + final problem."""
+    positions, counts, _ = sine_template_positions(sample_rate, x.shape[-1])
+    if x.ndim > 1:
+        # broadcast the static template buffers over batch via vmap
+        fn = jax.vmap(lambda s: _sine_sift_scan(s, positions, counts))
+        return fn(x)
+    return _sine_sift_scan(x, positions, counts)
+
+
+def _band_isolate(x_fft: jax.Array, mina: jax.Array, minb: jax.Array, ok: jax.Array) -> jax.Array:
+    """xn[mina:minb] = x[mina:minb]; xn[-minb:-mina] = x[-minb:-mina]; ifft."""
+    n = x_fft.shape[-1]
+    bins = lax.broadcasted_iota(jnp.int32, x_fft.shape, x_fft.ndim - 1)
+    a = mina[..., None]
+    b = minb[..., None]
+    main = (bins >= a) & (bins < b)
+    # numpy's xn[-minb:-mina] is empty when mina == 0, hence the a > 0 guard
+    mirror = (bins >= n - b) & (bins < n - a) & (a > 0)
+    mask = (main | mirror) & ok[..., None]
+    xn = jnp.where(mask, x_fft, jnp.zeros_like(x_fft))
+    return jnp.fft.ifft(xn).real
+
+
+@jax.jit
+def fourier_mode_any(rotation: jax.Array) -> jax.Array:
+    """C13 ``fourier_mode_decomposition_any``
+    (itd_fourier_decomposition.py:171-209)."""
+    x = jnp.fft.fft(rotation)
+    a = jnp.abs(x)
+    n = a.shape[-1]
+    half = n // 2
+    bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+
+    in_half = (bins >= 1) & (bins < half)
+    peak_max = jnp.argmax(jnp.where(in_half, a, -jnp.inf), axis=-1).astype(jnp.int32)
+    ok = (peak_max != 1) & (peak_max != half - 1)
+
+    first_peak = jnp.argmax(
+        jnp.where(bins < peak_max[..., None], a, -jnp.inf), axis=-1
+    ).astype(jnp.int32)
+    after = (bins > peak_max[..., None]) & (bins < half)
+    last_peak = jnp.argmax(jnp.where(after, a, -jnp.inf), axis=-1).astype(jnp.int32)
+
+    ok &= (first_peak != peak_max - 1) & (last_peak != peak_max + 1)
+
+    # mina = argmin over [first_peak, peak_max]; minb over [peak_max, last_peak]
+    sel_a = (bins >= first_peak[..., None]) & (bins <= peak_max[..., None])
+    mina = jnp.argmin(jnp.where(sel_a, a, jnp.inf), axis=-1).astype(jnp.int32)
+    sel_b = (bins >= peak_max[..., None]) & (bins <= last_peak[..., None])
+    minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
+
+    return _band_isolate(x, mina, minb, ok)
+
+
+@jax.jit
+def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
+    """C13 strict variant (itd_fourier_decomposition.py:131-168): needs >= 3
+    strict local spectrum peaks; uses the closest valid peaks around the
+    maximum."""
+    x = jnp.fft.fft(rotation)
+    a = jnp.abs(x)
+    n = a.shape[-1]
+    half = n // 2
+    bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+
+    a_m1 = jnp.concatenate([jnp.full_like(a[..., :1], jnp.inf), a[..., :-1]], axis=-1)
+    a_p1 = jnp.concatenate([a[..., 1:], jnp.full_like(a[..., :1], jnp.inf)], axis=-1)
+    is_peak = (a > a_m1) & (a > a_p1) & (bins >= 1) & (bins < half - 1)
+    npeaks = jnp.sum(is_peak, axis=-1)
+
+    peak_val = jnp.where(is_peak, a, -jnp.inf)
+    peak_max = jnp.argmax(peak_val, axis=-1).astype(jnp.int32)
+
+    before = is_peak & (bins < peak_max[..., None] - 1)
+    after = is_peak & (bins > peak_max[..., None] + 1)
+    first_peak = jnp.max(jnp.where(before, bins, -1), axis=-1).astype(jnp.int32)
+    last_peak = jnp.min(jnp.where(after, bins, n), axis=-1).astype(jnp.int32)
+    ok = (npeaks >= 3) & (first_peak >= 0) & (last_peak < n)
+
+    fp = jnp.maximum(first_peak, 0)
+    lp = jnp.minimum(last_peak, n - 1)
+    sel_a = (bins >= fp[..., None]) & (bins <= peak_max[..., None])
+    mina = jnp.argmin(jnp.where(sel_a, a, jnp.inf), axis=-1).astype(jnp.int32)
+    sel_b = (bins >= peak_max[..., None]) & (bins <= lp[..., None])
+    minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
+
+    return _band_isolate(x, mina, minb, ok)
+
+
+class CascadeResult(NamedTuple):
+    components: jax.Array  # (n_out, n): interleaved [modes_i..., rotation_i]... residual
+    n_iterations: int
+    n_modes: int
+
+
+def itd_fourier_decomposition(signal, sample_rate: int, *, max_outer: int = 50,
+                              mode="any") -> list:
+    """C14 cascade (itd_fourier_decomposition.py:212-255): returns the list
+    [modes for rot 0, rotation 0, modes for rot 1, rotation 1, ..., residual].
+
+    The outer loop is host-driven (its trip count is data-dependent and
+    small); the per-iteration work — a full sine-template sift plus a
+    vmapped mode extraction across all rotations — is two jitted kernels.
+    ``max_outer`` bounds runaway cascades (the reference loops unboundedly).
+    """
+    x = jnp.asarray(signal)
+    mode_fn = jax.vmap(fourier_mode_any if mode == "any" else fourier_mode_valid)
+
+    fourier_modes: list = []
+    source_indices: list = []
+    current = x
+    it = 0
+    while it < max_outer:
+        it += 1
+        rotations, residual = itd_sine_sift(current, sample_rate)
+        modes = mode_fn(rotations)
+        is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
+        any_modes = bool(jnp.any(is_mode))
+        if not any_modes:
+            out = []
+            rot_np = np.asarray(rotations)
+            for i in range(rot_np.shape[0]):
+                for m_idx, s_idx in enumerate(source_indices):
+                    if s_idx == i:
+                        out.append(fourier_modes[m_idx])
+                out.append(rot_np[i])
+            out.append(np.asarray(residual))
+            return out
+        keep = np.asarray(is_mode)
+        modes_np = np.asarray(modes)
+        for i in range(modes_np.shape[0]):
+            if keep[i]:
+                fourier_modes.append(modes_np[i])
+                source_indices.append(i)
+        rotations = jnp.where(is_mode[..., None], rotations - modes, rotations)
+        current = jnp.sum(rotations, axis=0) + residual
+    raise RuntimeError(f"cascade did not converge in {max_outer} iterations")

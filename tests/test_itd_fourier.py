@@ -1,0 +1,80 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pyitd_tpu.decomp.itd_fourier import (
+    sine_template_positions,
+    itd_sine_sift,
+    fourier_mode_any,
+    itd_fourier_decomposition,
+)
+from reference.cubic_ref import fast_baseline, sine_template_knots
+
+
+def test_template_positions_match_oracle():
+    sr, n = 1000, 1000
+    pos, counts, freqs = sine_template_positions(sr, n)
+    # oracle: comb arange(2, sr/2-1, 96)[::-1], loop from index 1
+    comb = np.arange(2, sr // 2 - 1, 96)[::-1]
+    assert list(freqs) == list(comb[1:])
+    for i, f in enumerate(freqs):
+        want_pos, want_cnt = sine_template_knots(float(f), sr, n / sr)
+        assert int(counts[i]) == want_cnt
+        np.testing.assert_array_equal(np.asarray(pos[i])[:want_cnt], want_pos)
+
+
+def test_sine_sift_matches_oracle():
+    rng = np.random.default_rng(0)
+    sr, n = 1000, 1000
+    x = np.sin(2 * np.pi * 12 * np.arange(n) / sr) + 0.3 * rng.normal(size=n)
+    rotations, residual = itd_sine_sift(jnp.asarray(x), sr)
+
+    problem = x.copy()
+    _, counts, freqs = sine_template_positions(sr, n)
+    for i, f in enumerate(freqs):
+        p, c = sine_template_knots(float(f), sr, n / sr)
+        baseline = fast_baseline(problem, p, c)
+        rot = problem - baseline
+        np.testing.assert_allclose(np.asarray(rotations[i]), rot, atol=1e-9)
+        problem = baseline
+    np.testing.assert_allclose(np.asarray(residual), problem, atol=1e-9)
+
+
+def test_sine_sift_reconstructs():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=800)
+    rotations, residual = itd_sine_sift(jnp.asarray(x), 800)
+    total = np.asarray(rotations).sum(0) + np.asarray(residual)
+    np.testing.assert_allclose(total, x, atol=1e-9)
+
+
+def test_fourier_mode_any_isolates_band():
+    # a clean 3-tone signal: the extracted mode must contain the dominant tone
+    n = 512
+    t = np.arange(n) / n
+    x = (
+        np.sin(2 * np.pi * 20 * t)
+        + 0.5 * np.sin(2 * np.pi * 60 * t)
+        + 0.3 * np.sin(2 * np.pi * 120 * t)
+    )
+    mode = np.asarray(fourier_mode_any(jnp.asarray(x)))
+    assert not np.allclose(mode, 0)
+    spec = np.abs(np.fft.fft(mode))
+    assert np.argmax(spec[: n // 2]) == 20
+
+
+def test_fourier_mode_degenerate_returns_zeros():
+    # spectrum peak at bin 1 -> conditions fail -> zeros
+    n = 256
+    x = np.sin(2 * np.pi * 1 * np.arange(n) / n)
+    mode = np.asarray(fourier_mode_any(jnp.asarray(x)))
+    np.testing.assert_allclose(mode, 0.0)
+
+
+def test_cascade_reconstructs():
+    rng = np.random.default_rng(2)
+    n, sr = 600, 600
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 25 * t) + 0.4 * np.sin(2 * np.pi * 80 * t) + 0.05 * rng.normal(size=n)
+    comps = itd_fourier_decomposition(x, sr, max_outer=30)
+    total = np.sum(np.stack(comps), axis=0)
+    np.testing.assert_allclose(total, x, atol=1e-8)
