@@ -56,7 +56,7 @@ def _count(x):
 
 
 def _cap(n: int) -> int:
-    return n // 2 + 4
+    return n + 2  # worst case: an extremum at nearly every sample
 
 
 def retrieve_proper_rotation(x, wpemax: float):
