@@ -1,0 +1,101 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyitd_tpu.decomp.streaming import streaming_itd, streaming_init, streaming_step
+from pyitd_tpu import runtime
+
+
+def chirpy(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n)
+    return np.sin(2 * np.pi * 40 * t * (1 + t)) + 0.1 * rng.normal(size=n)
+
+
+def test_streaming_reconstructs_inner_hops():
+    x = chirpy(1024)
+    hop = 128
+    rots, bases, readys = streaming_itd(jnp.asarray(x), hop)
+    r = np.asarray(rots)
+    b = np.asarray(bases)
+    rd = np.asarray(readys)
+    assert rd[:2].sum() == 0 and rd[2:].all()
+    # each emitted hop decomposes x[(k-1)*hop : k*hop] exactly
+    for k in range(2, r.shape[0]):
+        want = x[(k - 1) * hop : k * hop]
+        np.testing.assert_allclose(r[k] + b[k], want, atol=1e-10)
+    # baselines are smoother than the signal
+    assert np.var(np.diff(b[3])) < np.var(np.diff(x[2 * hop : 3 * hop]))
+
+
+def test_streaming_step_matches_offline():
+    x = chirpy(640, seed=1)
+    hop = 64
+    state = streaming_init(hop)
+    outs = []
+    for k in range(10):
+        state, rot, base, ready = streaming_step(state, jnp.asarray(x[k * hop : (k + 1) * hop]), hop)
+        outs.append((np.asarray(rot), np.asarray(base), bool(ready)))
+    rots, bases, readys = streaming_itd(jnp.asarray(x), hop)
+    for k in range(10):
+        np.testing.assert_allclose(outs[k][0], np.asarray(rots[k]), atol=1e-12)
+        np.testing.assert_allclose(outs[k][1], np.asarray(bases[k]), atol=1e-12)
+
+
+needs_native = pytest.mark.skipif(
+    not runtime.native_available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+def test_native_baseline_extract_and_reuse():
+    x = chirpy(2048, seed=2)
+    rot, base, state = runtime.baseline_extract(x)
+    np.testing.assert_allclose(rot + base, x, atol=1e-12)
+    assert int(state[1][0]) > 10
+    # reuse extrema on a second channel
+    y = chirpy(2048, seed=3)
+    rot2, base2, _ = runtime.baseline_extract(y, extrema_state=state)
+    np.testing.assert_allclose(rot2 + base2, y, atol=1e-12)
+
+
+@needs_native
+def test_native_iq():
+    # the joint detector needs *simultaneous* extrema in both channels
+    # (quadrature pairs never coincide — reference semantics, itd.cpp:74-78)
+    n = 1024
+    t = np.linspace(0, 1, n)
+    re = np.cos(2 * np.pi * 30 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    im = 0.8 * re + 0.1
+    base, state = runtime.baseline_extract_iq(re, im)
+    assert np.all(np.isfinite(base))
+    assert int(state[1][0]) > 5
+
+
+@needs_native
+def test_native_streaming_matches_jax_protocol():
+    x = chirpy(1024, seed=4)
+    hop = 128
+    s = runtime.StreamingITD(hop)
+    emitted = []
+    for k in range(8):
+        out = s.push(x[k * hop : (k + 1) * hop])
+        if out is not None:
+            emitted.append(out)
+    s.close()
+    assert len(emitted) == 6
+    for k, (rot, base) in enumerate(emitted, start=2):
+        want = x[(k - 1) * hop : k * hop]
+        np.testing.assert_allclose(rot + base, want, atol=1e-10)
+
+
+@needs_native
+def test_native_pool_batch_and_bench():
+    rng = np.random.default_rng(5)
+    sigs = rng.normal(size=(16, 512))
+    pool = runtime.NativePool(2)
+    rot, base = pool.extract_batch(sigs)
+    np.testing.assert_allclose(rot + base, sigs, atol=1e-12)
+    rate = pool.bench(ntasks=200, task_us=50)
+    assert rate > 1000  # 200 x 50us on >=1 thread
+    pool.close()
