@@ -1,0 +1,236 @@
+"""Sequence-parallel ITD — time-axis sharding over a device mesh.
+
+For million-point-plus signals the time axis is sharded across chips
+(SURVEY.md §2.5 / §5): extrema detection needs a 1-sample halo exchange
+(`ppermute`), and the knot-propagation fills need one small `all_gather`
+of per-shard boundary summaries — everything else is shard-local.  The
+collectives ride ICI; batch members stay independent (data parallelism on
+the other mesh axis).
+
+Layout contract: ``x`` is (batch, n) sharded P('data', 'seq'); outputs
+keep the same sharding with the level axis replicated.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.fill import prev_index, next_index, take_last_axis
+
+__all__ = ["make_mesh", "sharded_itd_sift"]
+
+
+def make_mesh(n_devices: int | None = None, seq: int | None = None) -> Mesh:
+    """A (data, seq) mesh over the first ``n_devices`` devices."""
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    n = len(devs)
+    if seq is None:
+        seq = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(np.asarray(devs).reshape(n // seq, seq), ("data", "seq"))
+
+
+# ---------------------------------------------------------------------------
+# shard-local helpers (run inside shard_map; `seq` is the time-shard axis)
+# ---------------------------------------------------------------------------
+
+
+def _shift_right(a, axis_name, fill):
+    """a[i-1] with the left neighbor's last element crossing the boundary."""
+    edge = lax.ppermute(a[..., -1], axis_name,
+                        [(i, i + 1) for i in range(lax.axis_size(axis_name) - 1)])
+    first = jnp.where(lax.axis_index(axis_name) == 0, fill, edge)
+    return jnp.concatenate([first[..., None], a[..., :-1]], axis=-1)
+
+
+def _shift_left(a, axis_name, fill):
+    size = lax.axis_size(axis_name)
+    edge = lax.ppermute(a[..., 0], axis_name,
+                        [(i + 1, i) for i in range(size - 1)])
+    last = jnp.where(lax.axis_index(axis_name) == size - 1, fill, edge)
+    return jnp.concatenate([a[..., 1:], last[..., None]], axis=-1)
+
+
+def _ffill(values: tuple, mask, axis_name, defaults: tuple):
+    """Cross-shard forward fill of several channels under one mask.
+
+    Each channel gets the value at the most recent masked sample; samples
+    before the first masked sample anywhere get the channel default."""
+    idx = prev_index(mask)
+    has_local = idx >= 0
+    rank = lax.axis_index(axis_name)
+    size = lax.axis_size(axis_name)
+    sel = jnp.arange(size) < rank
+
+    out = []
+    for v, d in zip(values, defaults):
+        loc = take_last_axis(v, idx)
+        summary = loc[..., -1]          # last filled value of this shard
+        has = has_local[..., -1]
+        all_sum = lax.all_gather(summary, axis_name)      # (S, ...)
+        all_has = lax.all_gather(has, axis_name)
+        shape = [size] + [1] * (all_has.ndim - 1)
+        pick = jnp.max(
+            jnp.where(all_has & sel.reshape(shape), jnp.arange(size).reshape(shape), -1),
+            axis=0,
+        )
+        prefix = jnp.take_along_axis(
+            all_sum, jnp.maximum(pick, 0)[None], axis=0
+        )[0]
+        prefix = jnp.where(pick >= 0, prefix, d)
+        out.append(jnp.where(has_local, loc, prefix[..., None]))
+    return tuple(out)
+
+
+def _bfill(values: tuple, mask, axis_name, defaults: tuple):
+    idx = next_index(mask)
+    n_loc = mask.shape[-1]
+    has_local = idx < n_loc
+    rank = lax.axis_index(axis_name)
+    size = lax.axis_size(axis_name)
+    sel = jnp.arange(size) > rank
+
+    out = []
+    for v, d in zip(values, defaults):
+        loc = take_last_axis(v, idx)
+        summary = loc[..., 0]
+        has = has_local[..., 0]
+        all_sum = lax.all_gather(summary, axis_name)
+        all_has = lax.all_gather(has, axis_name)
+        shape = [size] + [1] * (all_has.ndim - 1)
+        pick = jnp.min(
+            jnp.where(all_has & sel.reshape(shape), jnp.arange(size).reshape(shape), size),
+            axis=0,
+        )
+        suffix = jnp.take_along_axis(
+            all_sum, jnp.minimum(pick, size - 1)[None], axis=0
+        )[0]
+        suffix = jnp.where(pick < size, suffix, d)
+        out.append(jnp.where(has_local, loc, suffix[..., None]))
+    return tuple(out)
+
+
+def _level(x, axis_name, n_global, endpoint_mode):
+    """One sharded linear-baseline level; returns (rotation, baseline, nex)."""
+    dtype = x.dtype
+    n_loc = x.shape[-1]
+    rank = lax.axis_index(axis_name)
+    gpos = (rank * n_loc + lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1))
+
+    big = jnp.asarray(jnp.inf, dtype)
+    x_m1 = _shift_right(x, axis_name, big)   # x[i-1]; +inf kills i=0
+    x_p1 = _shift_left(x, axis_name, big)    # x[i+1]
+    dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
+    dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
+    interior = (gpos > 0) & (gpos < n_global - 1)
+    is_min = (dxb <= 0) & (dxf > 0) & interior
+    is_max = (dxb >= 0) & (dxf < 0) & interior
+    mask = is_min | is_max
+    nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
+
+    knots = mask | (gpos == 0) | (gpos == n_global - 1)
+    gposf = gpos.astype(dtype)
+
+    # exclusive neighbors of each knot: fills over shifted (pos, x)
+    km1 = _shift_right(knots, axis_name, jnp.asarray(False))
+    pos_m1 = _shift_right(gposf, axis_name, jnp.zeros((), dtype))
+    xv_m1 = _shift_right(x, axis_name, jnp.zeros((), dtype))
+    prev_pos, prev_x = _ffill((pos_m1, xv_m1), km1, axis_name,
+                              (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    kp1 = _shift_left(knots, axis_name, jnp.asarray(False))
+    pos_p1 = _shift_left(gposf, axis_name, jnp.zeros((), dtype))
+    xv_p1 = _shift_left(x, axis_name, jnp.zeros((), dtype))
+    next_pos, next_x = _bfill((pos_p1, xv_p1), kp1, axis_name,
+                              (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+
+    span = next_pos - prev_pos
+    w = (gposf - prev_pos) / jnp.where(span == 0, jnp.ones_like(span), span)
+    knot_val = 0.5 * (prev_x + w * (next_x - prev_x)) + 0.5 * x
+
+    # end-knot values need x[0], x[1], x[-2], x[-1] (global)
+    first2 = lax.all_gather(x[..., :2], axis_name)[0]
+    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    b_first = 0.5 * (first2[..., 0] + first2[..., 1])
+    b_last = 0.5 * (last2[..., 0] + last2[..., 1])
+    knot_val = jnp.where(gpos == 0, b_first[..., None], knot_val)
+    knot_val = jnp.where(gpos == n_global - 1, b_last[..., None], knot_val)
+
+    b_l, x_l = _ffill((knot_val, x), knots, axis_name,
+                      (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    b_r, x_r = _bfill((knot_val, x), knots, axis_name,
+                      (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    # right knot must be *strictly* after: shift the backward fill left by one
+    b_r = _shift_left(b_r, axis_name, jnp.zeros((), dtype))
+    x_r = _shift_left(x_r, axis_name, jnp.zeros((), dtype))
+
+    den = x_r - x_l
+    slope = jnp.where(den == 0, 0.0, (b_r - b_l) / jnp.where(den == 0, 1.0, den))
+    baseline = b_l + slope * (x - x_l)
+    if endpoint_mode == "reference":
+        baseline = jnp.where(gpos == n_global - 1, 0.0, baseline)
+    return x - baseline, baseline, nex
+
+
+def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
+    levels = max_iteration + 2
+    rotation, baseline, _ = _level(x, axis_name, n_global, endpoint_mode)
+    out = jnp.zeros((levels,) + x.shape, x.dtype)
+    batch = x.shape[:-1]
+    done = jnp.zeros(batch, bool)
+    reason = jnp.zeros(batch, jnp.int32)
+    ncomp = jnp.zeros(batch, jnp.int32)
+    prev_base = jnp.zeros_like(x)
+
+    def body(i, carry):
+        rotation, baseline, prev_base, out, done, reason, ncomp = carry
+        new_rot, new_base, nex = _level(baseline, axis_name, n_global, endpoint_mode)
+        stop_a = (~done) & (nex < 2)
+        stop_b = (~done) & (~stop_a) & (i > max_iteration)
+        cont = (~done) & (~stop_a) & (~stop_b)
+        stopping = stop_a | stop_b
+        residual = jnp.where(stop_a[..., None], prev_base, rotation + baseline)
+        row = jnp.where(stopping[..., None], residual,
+                        jnp.where(cont[..., None], rotation, 0.0))
+        out = out.at[i].set(row)
+        keep = cont[..., None]
+        rotation = jnp.where(keep, new_rot, rotation)
+        prev_base = jnp.where(keep, baseline, prev_base)
+        baseline = jnp.where(keep, new_base, baseline)
+        ncomp = jnp.where(stopping, i + 1, ncomp)
+        reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))
+        done = done | stopping
+        return rotation, baseline, prev_base, out, done, reason, ncomp
+
+    carry = (rotation, baseline, prev_base, out, done, reason, ncomp)
+    carry = lax.fori_loop(0, levels, body, carry)
+    _, _, _, out, done, reason, ncomp = carry
+    return out, ncomp, reason
+
+
+def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
+                     endpoint_mode: str = "reference"):
+    """Batched canonical sift with (data, seq) sharding.
+
+    ``x``: (batch, n); batch must divide the 'data' axis, n the 'seq' axis.
+    Returns (rotations[levels, batch, n], num_components, stop_reason) with
+    the same input sharding on the trailing axes.
+    """
+    n_global = x.shape[-1]
+    fn = shard_map(
+        partial(_sift_local, axis_name="seq", n_global=n_global,
+                max_iteration=max_iteration, endpoint_mode=endpoint_mode),
+        mesh=mesh,
+        in_specs=P("data", "seq"),
+        out_specs=(P(None, "data", "seq"), P("data"), P("data")),
+        check_rep=False,
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    return jax.jit(fn)(xs)
