@@ -182,12 +182,17 @@ def _level(x, axis_name, n_global, endpoint_mode):
 def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
     levels = max_iteration + 2
     rotation, baseline, _ = _level(x, axis_name, n_global, endpoint_mode)
-    out = jnp.zeros((levels,) + x.shape, x.dtype)
+    # initial carries must already be device-varying for the loop (VMA rules)
+    def vary(a):
+        have = jax.typeof(a).vma
+        need = tuple(ax for ax in ("data", axis_name) if ax not in have)
+        return lax.pvary(a, need) if need else a
+    out = vary(jnp.zeros((levels,) + x.shape, x.dtype))
     batch = x.shape[:-1]
-    done = jnp.zeros(batch, bool)
-    reason = jnp.zeros(batch, jnp.int32)
-    ncomp = jnp.zeros(batch, jnp.int32)
-    prev_base = jnp.zeros_like(x)
+    done = vary(jnp.zeros(batch, bool))
+    reason = vary(jnp.zeros(batch, jnp.int32))
+    ncomp = vary(jnp.zeros(batch, jnp.int32))
+    prev_base = vary(jnp.zeros_like(x))
 
     def body(i, carry):
         rotation, baseline, prev_base, out, done, reason, ncomp = carry
@@ -230,7 +235,7 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
         mesh=mesh,
         in_specs=P("data", "seq"),
         out_specs=(P(None, "data", "seq"), P("data"), P("data")),
-        check_rep=False,
+        check_vma=False,  # ncomp/reason are seq-replicated by construction
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     return jax.jit(fn)(xs)
