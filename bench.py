@@ -1,12 +1,13 @@
 """Headline benchmark: full 10-level ITD sift of batched 1M-point signals.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-metric is sift throughput in Msamples/sec/chip (samples = batch * N, the
-BASELINE.md convention) and vs_baseline is value / 100 (the >=100 Msamp/s
-v5e target).  Runs on whatever jax.devices()[0] is — the real TPU chip under
-the driver, CPU locally with JAX_PLATFORMS=cpu.
+metric is sift throughput in Msamples/sec/chip (samples = batch * N) and
+vs_baseline is value / 100 (the >=100 Msamp/s v5e target from BASELINE.md).
 
-Extra context (reconstruction error, config) goes to stderr only.
+Design notes for remote/relay TPU attachments: everything (sift + checksum
++ compensated-sum reconstruction error) is ONE jitted function returning
+scalars, and timing fetches a scalar each iteration — a host round trip is
+the only reliable completion barrier on async backends.
 """
 import json
 import sys
@@ -19,13 +20,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pyitd_tpu import itd_sift, neumaier_sum
+    from pyitd_tpu import itd_sift
+    from pyitd_tpu.utils.summation import neumaier_sum
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
     batch, n, max_iteration = 8, 1_000_000, 8  # 10 sift levels incl. residual
-    dtype = jnp.float32
     rng = np.random.default_rng(0)
     t = np.linspace(0, 2 * np.pi, n, dtype=np.float64)
     sigs = (
@@ -34,30 +35,36 @@ def main():
         + 0.3 * rng.normal(size=(batch, n))
         + t[None, :] ** 2 * 0.1
     )
-    x = jnp.asarray(sigs, dtype=dtype)
+    x = jnp.asarray(sigs, dtype=jnp.float32)
 
-    fn = jax.jit(
-        lambda a: itd_sift(a, max_iteration, store_baselines=False),
-        static_argnums=(),
-    )
+    @jax.jit
+    def run(a, salt):
+        res = itd_sift(a + salt, max_iteration, store_baselines=False)
+        recon = neumaier_sum(res.rotations, axis=0)
+        err = jnp.max(jnp.abs(recon - (a + salt)))
+        checksum = jnp.sum(res.rotations[0]) + jnp.sum(res.num_components)
+        return checksum, err, jnp.max(res.num_components)
+
     t0 = time.time()
-    res = fn(x)
-    jax.block_until_ready(res.rotations)
+    cs, err, ncomp = run(x, 0.0)
+    cs.block_until_ready()
+    float(cs)  # host fetch = completion barrier
     print(f"compile+first run: {time.time()-t0:.2f}s", file=sys.stderr)
 
-    iters = 3
+    iters = 5
     t0 = time.time()
-    for _ in range(iters):
-        res = fn(x)
-    jax.block_until_ready(res.rotations)
+    acc = 0.0
+    for i in range(iters):
+        # vary the input (salt) so cached results can't short-circuit
+        cs, err, ncomp = run(x, float(i) * 1e-6)
+        acc += float(cs)
     dt = (time.time() - t0) / iters
     msamp = batch * n / dt / 1e6
 
-    ncomp = int(np.max(np.asarray(res.num_components)))
-    recon = neumaier_sum(res.rotations[:ncomp], axis=0)
-    err = float(jnp.max(jnp.abs(recon - x)))
-    print(f"levels used: {ncomp}, recon max-abs err (f32 path): {err:.3e}", file=sys.stderr)
-    print(f"time/sift: {dt*1e3:.1f} ms for {batch}x{n}", file=sys.stderr)
+    print(f"levels used: {int(ncomp)}, recon max-abs err (f32 path): {float(err):.3e}",
+          file=sys.stderr)
+    print(f"time/sift: {dt*1e3:.1f} ms for {batch}x{n} (checksum {acc:.3e})",
+          file=sys.stderr)
 
     print(
         json.dumps(
