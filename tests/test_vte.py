@@ -1,0 +1,109 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyitd_tpu.ml.vte import (
+    pairwise_rot_spiral,
+    spiral_mix,
+    phase_tap,
+    phase_transport,
+    orthonorm_columns,
+    subspace_iteration,
+    sign_align,
+    energy_normalize,
+    soft_shrink,
+    LowRankShift,
+    frft_time,
+)
+
+
+def test_spiral_pulls_to_shell():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 6)) * 0.1)
+    y = x
+    for _ in range(200):
+        y = pairwise_rot_spiral(y, radius=2.0, step=0.1)
+    r = np.linalg.norm(np.asarray(y), axis=-1)
+    assert np.all(np.abs(r - 2.0) < 0.2), r
+
+
+def test_spiral_mix_shapes():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 10, 4)))
+    y = spiral_mix(x, loop_iters=2)
+    assert y.shape == x.shape
+
+
+def test_phase_tap_norm_preserving():
+    # Householder reflections preserve the norm of the difference vector
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 8)))
+    d = 3
+    y = np.asarray(phase_tap(x, d))
+    w = np.asarray(x)[:, d:] - np.asarray(x)[:, :-d]
+    np.testing.assert_allclose(
+        np.linalg.norm(y[:, d:], axis=-1), np.linalg.norm(w, axis=-1), atol=1e-8
+    )
+    # early rows: a / (d - t)
+    np.testing.assert_allclose(y[:, 0, 0], 1.0 / d, atol=1e-12)
+    assert np.allclose(y[:, 0, 1:], 0.0)
+
+
+def test_phase_transport_norm_preserving():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 40, 8)))
+    d = 2
+    y = np.asarray(phase_transport(x, d))
+    w = np.asarray(x)[:, d:] - np.asarray(x)[:, :-d]
+    np.testing.assert_allclose(
+        np.linalg.norm(y[:, d:], axis=-1), np.linalg.norm(w, axis=-1), atol=1e-6
+    )
+
+
+def test_subspace_iteration_recovers_top_eigvecs():
+    rng = np.random.default_rng(4)
+    d, r = 16, 3
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    evals = np.sort(rng.uniform(0.1, 1.0, d))
+    evals[-r:] = [5.0, 7.0, 10.0]
+    cmat = (q * evals) @ q.T
+    v = np.asarray(subspace_iteration(jnp.asarray(cmat[None]), r, k=6))[0]
+    # span(v) should match span of top-r eigvecs
+    top = q[:, np.argsort(evals)[-r:]]
+    proj = top @ top.T
+    err = np.linalg.norm(proj @ v - v)
+    assert err < 1e-3, err
+    # orthonormal columns
+    np.testing.assert_allclose(v.T @ v, np.eye(r), atol=1e-8)
+
+
+def test_sign_align_energy_softshrink():
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=(2, 8, 3)))
+    a = jnp.asarray(rng.normal(size=(2, 8)))
+    va = sign_align(v, a)
+    dots = np.sum(np.asarray(va) * np.asarray(a)[..., None], axis=1)
+    assert np.all(dots >= -1e-9)
+
+    tr = jnp.asarray(rng.normal(size=(2, 30, 3)))
+    tn, sc = energy_normalize(tr)
+    np.testing.assert_allclose(
+        np.sum(np.asarray(tn) ** 2, axis=1), 1.0, atol=1e-6
+    )
+    assert np.all(np.asarray(soft_shrink(jnp.asarray([0.0, 0.01]), 0.5)) <= 0.011)
+
+
+def test_lowrank_shift():
+    x = jnp.zeros((2, 5, 12))
+    m = LowRankShift(shift_rank=3)
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == x.shape
+
+
+def test_frft_identity_and_reversal():
+    rng = np.random.default_rng(6)
+    z = jnp.asarray(rng.normal(size=(1, 64, 2)))
+    ident = np.asarray(frft_time(z, 0.0))
+    np.testing.assert_allclose(ident.real, np.asarray(z), atol=1e-9)
+    rev = np.asarray(frft_time(z, np.pi))
+    np.testing.assert_allclose(np.abs(rev), np.abs(np.asarray(z)[:, ::-1]), atol=1e-6)
+    mid = np.asarray(frft_time(z, np.pi / 2))
+    assert np.all(np.isfinite(mid.real)) and np.all(np.isfinite(mid.imag))
