@@ -1,0 +1,84 @@
+"""Training observability dashboard (``/root/reference/visualizer.py``).
+
+The reference renders a char-grid of per-token predictions (green =
+correct, orange = wrong, brightness decaying with staleness) plus an EWMA
+loss bar into a PIL image for notebook display.  This version renders the
+same dashboard into a plain RGB numpy array — headless-safe, testable, and
+displayable with PIL/matplotlib when available.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["MatrixDashboard"]
+
+_GREEN = np.array([60, 220, 100], np.float32)
+_ORANGE = np.array([240, 150, 40], np.float32)
+_BAR = np.array([90, 160, 255], np.float32)
+
+
+class MatrixDashboard:
+    """Rolling per-token correctness grid + EWMA loss bar.
+
+    ``update(pred, target, loss)`` ingests one step's token predictions
+    (1-D int arrays) and returns the rendered RGB image (H, W, 3) uint8.
+    """
+
+    def __init__(self, n_cols: int = 64, n_rows: int = 24, cell: int = 6,
+                 ewma: float = 0.98, decay: float = 0.9):
+        self.n_cols = n_cols
+        self.n_rows = n_rows
+        self.cell = cell
+        self.ewma = ewma
+        self.decay = decay
+        self.loss_avg: float | None = None
+        self.loss_hist: list[float] = []
+        self._correct = np.zeros((n_rows, n_cols), np.float32)
+        self._fresh = np.zeros((n_rows, n_cols), np.float32)
+        self._row = 0
+
+    def update(self, pred, target, loss: float) -> np.ndarray:
+        pred = np.asarray(pred).reshape(-1)[: self.n_cols]
+        target = np.asarray(target).reshape(-1)[: self.n_cols]
+        correct = (pred == target).astype(np.float32)
+
+        self._fresh *= self.decay
+        row = self._row % self.n_rows
+        self._correct[row, : correct.size] = correct
+        self._fresh[row, : correct.size] = 1.0
+        self._row += 1
+
+        loss = float(loss)
+        self.loss_avg = loss if self.loss_avg is None else (
+            self.ewma * self.loss_avg + (1 - self.ewma) * loss
+        )
+        self.loss_hist.append(self.loss_avg)
+        return self.render()
+
+    def render(self) -> np.ndarray:
+        c = self.cell
+        grid = np.zeros((self.n_rows, self.n_cols, 3), np.float32)
+        bright = 0.25 + 0.75 * self._fresh[..., None]
+        grid += np.where(
+            self._correct[..., None] > 0, _GREEN[None, None], _ORANGE[None, None]
+        ) * bright
+        img = np.kron(grid, np.ones((c, c, 1), np.float32))
+
+        # loss bar footer: EWMA history rendered as a sparkline strip
+        bar_h = 2 * c
+        strip = np.zeros((bar_h, img.shape[1], 3), np.float32)
+        if self.loss_hist:
+            hist = np.asarray(self.loss_hist[-self.n_cols * c :], np.float32)
+            hist = hist[-img.shape[1]:]
+            lo, hi = float(hist.min()), float(hist.max())
+            span = (hi - lo) or 1.0
+            ys = ((1.0 - (hist - lo) / span) * (bar_h - 1)).astype(int)
+            xs = np.arange(img.shape[1] - hist.size, img.shape[1])
+            strip[ys, xs] = _BAR
+        out = np.concatenate([img, strip], axis=0)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def to_pil(self):  # pragma: no cover - optional dependency path
+        from PIL import Image
+
+        return Image.fromarray(self.render())
