@@ -265,3 +265,167 @@ def frft_time(z, alpha: float, *, t_min: float = -1.0, t_max: float = 1.0, eps: 
 
     pref = np.sqrt(1.0 - 1j * c)
     return (pref * dt) * pre_post * conv
+
+
+# ---------------------------------------------------------------------------
+# ManifoldAttentionNoAttn stages + the BlockFast autoencoder GPT
+# (VTE.py:477-581, 674-910)
+# ---------------------------------------------------------------------------
+
+
+def subspace_iteration_linop(matvec, v0, k: int, eps: float = 1e-6):
+    """Power iteration over a linear operator with QR orthonormalization
+    (VTE.py:461-476)."""
+    v = orthonorm_columns(v0, eps)
+    for _ in range(max(1, k)):
+        v = orthonorm_columns(matvec(v), eps)
+    return v
+
+
+def ar1_filter(traces, rho: float):
+    """Causal AR(1) smoothing along time via associative scan."""
+    b, t, r = traces.shape
+    a = jnp.full((b, t, r), rho, traces.dtype).at[:, 0, :].set(0.0)
+    c = traces
+
+    def combine(l, rr):
+        al, cl = l
+        ar_, cr = rr
+        return al * ar_, ar_ * cl + cr
+
+    _, y = jax.lax.associative_scan(combine, (a, c), axis=1)
+    return y
+
+
+class ManifoldStage(nn.Module):
+    """Stages 1/2 of the no-attention manifold mixer.
+
+    ``use_frft=True`` gives Stage1 (FrFT-energy-weighted Omega covariance,
+    VTE.py:674-797); False gives Stage2 (plain covariance, VTE.py:477-581).
+    """
+
+    rank: int = 16
+    k_iters: int = 2
+    shift_rank: int = 0
+    shrink_lambda: float = 0.0
+    causal: bool = False
+    ar_rho: float = 0.0
+    eps: float = 1e-5
+    use_layernorm: bool = True
+    use_frft: bool = False
+    n_alphas: int | None = None  # defaults to rank (the reference grid)
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        anchor = jnp.zeros((b, d), x.dtype).at[:, 0].set(1.0)
+        xc = x - anchor[:, None, :]
+        s = LowRankShift(self.shift_rank)(x) if self.shift_rank > 0 else None
+        xprime = xc + s if s is not None else xc
+
+        v0 = jnp.broadcast_to(jnp.eye(d, self.rank, dtype=x.dtype)[None], (b, d, self.rank))
+
+        if self.use_frft:
+            n_alpha = self.n_alphas or self.rank
+            alphas = np.linspace(0.15, 2.99, n_alpha)
+            weights = []
+            for alpha in alphas:
+                x_a = frft_time(xprime, float(alpha))
+                e_a = jnp.mean(jnp.abs(x_a) ** 2, axis=2)
+                w_a = jnp.power(e_a + 1e-6, 0.5)
+                w_a = w_a / (jnp.mean(w_a, axis=1, keepdims=True) + 1e-6)
+                weights.append((float(alpha), w_a))
+
+            def komega(y):
+                out = 0
+                for alpha, w in weights:
+                    y_a = frft_time(y, alpha)
+                    out = out + frft_time(w[..., None] * y_a, -alpha)
+                return (out / len(weights)).real.astype(x.dtype)
+
+            def matvec(v):
+                y = komega(xprime @ v)
+                return jnp.swapaxes(xprime, 1, 2) @ y / t + self.eps * v
+        else:
+            def matvec(v):
+                y = xprime @ v
+                return jnp.swapaxes(xprime, 1, 2) @ y / t + self.eps * v
+
+        v = subspace_iteration_linop(matvec, v0, self.k_iters, self.eps)
+        v = sign_align(v, anchor)
+
+        traces = xprime @ v
+        traces_n, scales = energy_normalize(traces, self.eps)
+        traces_n = soft_shrink(traces_n, self.shrink_lambda)
+        traces_n = spiral_mix(traces_n, loop_iters=2)
+        if self.causal and self.ar_rho > 0.0:
+            traces_n = ar1_filter(traces_n, self.ar_rho)
+        x_tilde = (traces_n * scales) @ jnp.swapaxes(v, 1, 2)
+
+        x_hat = x_tilde + anchor[:, None, :]
+        if s is not None:
+            x_hat = x_hat - s
+        y = x + nn.Dense(d, use_bias=False, name="out")(x_hat)
+        if self.use_layernorm:
+            y = nn.LayerNorm()(y)
+        return y
+
+
+class _Cell(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        h = nn.gelu(nn.Dense(2 * d, use_bias=False, kernel_init=nn.initializers.he_uniform())(x))
+        return nn.Dense(d, use_bias=True, kernel_init=nn.initializers.he_uniform())(h)
+
+
+class AutoencoderBlock(nn.Module):
+    """PhaseTransport front-end + encode -> stage1 -> stage2 -> decode
+    (VTE.py:811-840)."""
+
+    rank: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        z = nn.LayerNorm()(x)
+        z = z + phase_transport(z, 1)
+        z1 = _Cell(name="enc1")(z)
+        z1 = ManifoldStage(rank=self.rank, k_iters=3, shift_rank=8,
+                           shrink_lambda=0.01, use_frft=True, n_alphas=4,
+                           name="convolve1")(z1)
+        z1 = ManifoldStage(rank=self.rank, k_iters=2, shift_rank=8,
+                           shrink_lambda=0.01, use_frft=False,
+                           name="convolve2")(z1)
+        z1 = _Cell(name="dec1")(z1)
+        return x + z1
+
+
+class BlockFastGPT(nn.Module):
+    """The attention-free GPT wrapper (VTE.py:856-910): fixed zero-mean
+    unit-norm embeddings, AutoencoderBlock stack, linear head."""
+
+    vocab_size: int = 66
+    n_embd: int = 128
+    n_layer: int = 2
+    rank: int = 16
+    seed: int = 123
+
+    @nn.compact
+    def __call__(self, idx, targets=None):
+        rng = np.random.default_rng(self.seed)
+        w = rng.normal(size=(self.vocab_size, self.n_embd))
+        w = w - w.mean(axis=1, keepdims=True)
+        w = w / (np.linalg.norm(w, axis=1, keepdims=True) + 1e-8)
+        wte = jnp.asarray(w, jnp.float32)
+
+        x = wte[idx]
+        for i in range(self.n_layer):
+            x = AutoencoderBlock(rank=self.rank, name=f"block_{i}")(x)
+        logits = nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
+        if targets is None:
+            return logits[:, -1:], None
+        valid = targets != -1
+        onehot = jax.nn.one_hot(jnp.maximum(targets, 0), self.vocab_size)
+        nll = -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1)
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+        return logits, loss

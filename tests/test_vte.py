@@ -107,3 +107,53 @@ def test_frft_identity_and_reversal():
     np.testing.assert_allclose(np.abs(rev), np.abs(np.asarray(z)[:, ::-1]), atol=1e-6)
     mid = np.asarray(frft_time(z, np.pi / 2))
     assert np.all(np.isfinite(mid.real)) and np.all(np.isfinite(mid.imag))
+
+
+def test_manifold_stage_and_blockfast_gpt():
+    import optax
+    from pyitd_tpu.ml.vte import ManifoldStage, AutoencoderBlock, BlockFastGPT
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)), jnp.float32)
+    stage = ManifoldStage(rank=4, k_iters=2, shift_rank=4, shrink_lambda=0.01)
+    params = stage.init(jax.random.PRNGKey(0), x)
+    y = stage.apply(params, x)
+    assert y.shape == x.shape and np.all(np.isfinite(np.asarray(y)))
+
+    blk = AutoencoderBlock(rank=4)
+    bp = blk.init(jax.random.PRNGKey(1), x)
+    yb = blk.apply(bp, x)
+    assert yb.shape == x.shape and np.all(np.isfinite(np.asarray(yb)))
+
+    model = BlockFastGPT(vocab_size=16, n_embd=16, n_layer=1, rank=4)
+    idx = jnp.asarray(rng.integers(0, 16, size=(2, 12)))
+    mp = model.init(jax.random.PRNGKey(2), idx, idx)
+    logits, loss = model.apply(mp, idx, idx)
+    assert logits.shape == (2, 12, 16)
+    assert np.isfinite(float(loss))
+
+    # a couple of training steps reduce the loss
+    opt = optax.adam(3e-3)
+    st = opt.init(mp)
+    lf = lambda p: model.apply(p, idx, idx)[1]
+    l0 = float(lf(mp))
+    vg = jax.jit(jax.value_and_grad(lf))
+    for _ in range(25):
+        _, g = vg(mp)
+        up, st = opt.update(g, st, mp)
+        mp = optax.apply_updates(mp, up)
+    assert float(lf(mp)) < l0, (l0, float(lf(mp)))
+
+
+def test_ar1_filter_matches_sequential():
+    from pyitd_tpu.ml.vte import ar1_filter
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 20, 2))
+    rho = 0.7
+    want = np.zeros_like(x)
+    want[:, 0] = x[:, 0]
+    for t in range(1, 20):
+        want[:, t] = rho * want[:, t - 1] + x[:, t]
+    got = np.asarray(ar1_filter(jnp.asarray(x), rho))
+    np.testing.assert_allclose(got, want, atol=1e-10)
