@@ -25,6 +25,8 @@ __all__ = [
     "forward_fill",
     "backward_fill",
     "take_last_axis",
+    "forward_fill_scan",
+    "backward_fill_scan",
 ]
 
 
@@ -93,3 +95,44 @@ def forward_fill(values: jax.Array, mask: jax.Array, *, inclusive: bool = True) 
 def backward_fill(values: jax.Array, mask: jax.Array, *, inclusive: bool = True) -> jax.Array:
     """Propagate the value at the next marked sample backward over unmarked ones."""
     return take_last_axis(values, next_index(mask, inclusive=inclusive))
+
+
+def _fill_combine(a, b):
+    """Associative last-marked-wins combine over (values..., seen) tuples."""
+    seen_b = b[-1]
+    out = tuple(jnp.where(seen_b, bv, av) for av, bv in zip(a[:-1], b[:-1]))
+    return out + (a[-1] | seen_b,)
+
+
+def forward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
+    """Gather-free multi-channel forward fill via ``lax.associative_scan``.
+
+    Semantically equals ``forward_fill`` per channel (positions before the
+    first marked sample get the channel default), but lowers to purely
+    elementwise log-passes — on TPU this avoids the pathologically slow
+    per-element gather along the (long) lane axis.
+    """
+    elems = tuple(
+        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
+    ) + (mask,)
+    out = lax.associative_scan(_fill_combine, elems, axis=mask.ndim - 1)
+    filled = tuple(
+        jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
+        for o, d in zip(out[:-1], defaults)
+    )
+    return filled
+
+
+def backward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
+    """Reverse-direction counterpart of :func:`forward_fill_scan`."""
+    elems = tuple(
+        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
+    ) + (mask,)
+    out = lax.associative_scan(
+        _fill_combine, elems, axis=mask.ndim - 1, reverse=True
+    )
+    filled = tuple(
+        jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
+        for o, d in zip(out[:-1], defaults)
+    )
+    return filled

@@ -48,3 +48,15 @@ def test_vmap_and_jit():
         r_rot, r_base, r_nex = baseline_extract(s)
         np.testing.assert_allclose(np.asarray(base[i]), r_base, atol=1e-12, rtol=0)
         assert int(nex[i]) == r_nex
+
+
+def test_scan_backend_matches_gather_backend():
+    rng = np.random.default_rng(11)
+    for s in [
+        np.sin(np.linspace(0, 40, 777)) + 0.2 * rng.normal(size=777),
+        rng.normal(size=(3, 256)),
+    ]:
+        g = linear_baseline_extract(jnp.asarray(s), backend="gather")
+        c = linear_baseline_extract(jnp.asarray(s), backend="scan")
+        np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(c.baseline))
+        np.testing.assert_array_equal(np.asarray(g.rotation), np.asarray(c.rotation))
