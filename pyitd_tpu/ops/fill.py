@@ -104,35 +104,98 @@ def _fill_combine(a, b):
     return out + (a[-1] | seen_b,)
 
 
+_BLOCK = 1024
+
+
+def _fill_scan_flat(values, mask, defaults, reverse):
+    elems = tuple(
+        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
+    ) + (mask,)
+    out = lax.associative_scan(_fill_combine, elems, axis=mask.ndim - 1, reverse=reverse)
+    return tuple(
+        jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
+        for o, d in zip(out[:-1], defaults)
+    )
+
+
+def _fill_scan_blocked(values, mask, defaults, reverse):
+    """Two-level fill: per-block scans + a scan over block summaries.
+
+    Long flat associative scans produce enormous unaligned-slice graphs that
+    choke the TPU compiler at 1M samples; blocking keeps every scan axis
+    ~sqrt(N) and the slices tile-aligned.
+    """
+    n = mask.shape[-1]
+    nb = -(-n // _BLOCK)
+    pad = nb * _BLOCK - n
+    lead = mask.shape[:-1]
+
+    def to_blocks(a, fill):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(lead + (pad,), fill, a.dtype)], axis=-1
+            )
+        return a.reshape(lead + (nb, _BLOCK))
+
+    bm = to_blocks(mask, False)
+    bv = tuple(
+        jnp.where(bm, to_blocks(v, d), jnp.asarray(d, v.dtype))
+        for v, d in zip(values, defaults)
+    )
+
+    # 1) within-block fill
+    local = lax.associative_scan(
+        _fill_combine, bv + (bm,), axis=mask.ndim, reverse=reverse
+    )
+    local_vals, local_seen = local[:-1], local[-1]
+
+    # 2) carry across blocks: summaries are the block's boundary fill state
+    edge = -1 if not reverse else 0
+    summ_vals = tuple(v[..., edge] for v in local_vals)   # (..., nb)
+    summ_seen = local_seen[..., edge]
+    carried = lax.associative_scan(
+        _fill_combine, summ_vals + (summ_seen,), axis=mask.ndim - 1, reverse=reverse
+    )
+    car_vals, car_seen = carried[:-1], carried[-1]
+    # exclusive shift: block i uses the carry from blocks before (after) it
+    if not reverse:
+        shift = lambda a, f: jnp.concatenate(
+            [jnp.full(lead + (1,), f, a.dtype), a[..., :-1]], axis=-1
+        )
+    else:
+        shift = lambda a, f: jnp.concatenate(
+            [a[..., 1:], jnp.full(lead + (1,), f, a.dtype)], axis=-1
+        )
+    prev_vals = tuple(shift(v, d) for v, d in zip(car_vals, defaults))
+    prev_seen = shift(car_seen, False)
+
+    out = []
+    for lv, pv, d in zip(local_vals, prev_vals, defaults):
+        filled = jnp.where(
+            local_seen,
+            lv,
+            jnp.where(prev_seen[..., None], pv[..., None], jnp.asarray(d, lv.dtype)),
+        )
+        filled = filled.reshape(lead + (nb * _BLOCK,))
+        out.append(filled[..., :n] if pad else filled)
+    return tuple(out)
+
+
 def forward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
-    """Gather-free multi-channel forward fill via ``lax.associative_scan``.
+    """Gather-free multi-channel forward fill.
 
     Semantically equals ``forward_fill`` per channel (positions before the
     first marked sample get the channel default), but lowers to purely
     elementwise log-passes — on TPU this avoids the pathologically slow
     per-element gather along the (long) lane axis.
     """
-    elems = tuple(
-        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
-    ) + (mask,)
-    out = lax.associative_scan(_fill_combine, elems, axis=mask.ndim - 1)
-    filled = tuple(
-        jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
-        for o, d in zip(out[:-1], defaults)
-    )
-    return filled
+    if mask.shape[-1] > 4 * _BLOCK:
+        return _fill_scan_blocked(values, mask, defaults, reverse=False)
+    return _fill_scan_flat(values, mask, defaults, reverse=False)
 
 
 def backward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
     """Reverse-direction counterpart of :func:`forward_fill_scan`."""
-    elems = tuple(
-        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
-    ) + (mask,)
-    out = lax.associative_scan(
-        _fill_combine, elems, axis=mask.ndim - 1, reverse=True
-    )
-    filled = tuple(
-        jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
-        for o, d in zip(out[:-1], defaults)
-    )
-    return filled
+    if mask.shape[-1] > 4 * _BLOCK:
+        return _fill_scan_blocked(values, mask, defaults, reverse=True)
+    return _fill_scan_flat(values, mask, defaults, reverse=True)

@@ -60,3 +60,17 @@ def test_scan_backend_matches_gather_backend():
         c = linear_baseline_extract(jnp.asarray(s), backend="scan")
         np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(c.baseline))
         np.testing.assert_array_equal(np.asarray(g.rotation), np.asarray(c.rotation))
+
+
+def test_blocked_scan_backend_large_n():
+    # n > 4096 exercises the two-level blocked fill path
+    rng = np.random.default_rng(12)
+    s = np.sin(np.linspace(0, 400, 8192)) + 0.3 * rng.normal(size=8192)
+    g = linear_baseline_extract(jnp.asarray(s), backend="gather")
+    c = linear_baseline_extract(jnp.asarray(s), backend="scan")
+    np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(c.baseline))
+    # non-multiple-of-block length + batch
+    s2 = rng.normal(size=(2, 5000))
+    g2 = linear_baseline_extract(jnp.asarray(s2), backend="gather")
+    c2 = linear_baseline_extract(jnp.asarray(s2), backend="scan")
+    np.testing.assert_array_equal(np.asarray(g2.baseline), np.asarray(c2.baseline))
