@@ -71,10 +71,21 @@ def test_mlayer_matches_expm_identity():
     np.testing.assert_allclose(approx, exact, atol=1e-3)
 
 
-def test_lie_mlayer_orthogonal_output():
+def test_lie_mlayer_blocks():
+    # the reference uses *independent* angle generators for cos and sin, so
+    # the blocks are general [c s; -s c] mixes — orthogonal only when the
+    # two generators coincide.  Check both behaviors.
     m = LieMLayer(dim_m=6)
     x = jnp.asarray(np.random.default_rng(4).normal(size=(4, 10)), jnp.float32)
     p = m.init(jax.random.PRNGKey(0), x)
     r = np.asarray(m.apply(p, x))
+    assert r.shape == (4, 6, 6) and np.all(np.isfinite(r))
+
+    import flax
+
+    pt = flax.core.unfreeze(p) if hasattr(flax.core, "unfreeze") else dict(p)
+    pt["params"]["u2"] = pt["params"]["u"]
+    pt["params"]["gen_theta2"] = pt["params"]["gen_theta"]
+    r2 = np.asarray(m.apply(pt, x))
     for i in range(4):
-        np.testing.assert_allclose(r[i] @ r[i].T, np.eye(6), atol=1e-4)
+        np.testing.assert_allclose(r2[i] @ r2[i].T, np.eye(6), atol=1e-4)
