@@ -6,9 +6,16 @@ instead keep everything at full signal resolution and use cumulative ops:
 
 * ``prev_index`` / ``next_index`` give, per sample, the position of the most
   recent / soonest marked sample (a "knot"), via ``lax.cummax`` /
-  ``lax.cummin`` — O(N) scans that XLA maps well onto the VPU.
-* ``forward_fill`` / ``backward_fill`` propagate *values* across unmarked
-  samples with a single gather on those index vectors.
+  ``lax.cummin``; ``forward_fill`` / ``backward_fill`` propagate *values*
+  with a gather on those index vectors (fast on CPU);
+* the ``*_scan`` variants are **gather-free**: associative masked-fill
+  scans (per-sample gathers along a million-lane axis are pathologically
+  slow on TPU).  Long axes use a two-level blocked decomposition — flat
+  log-pass scans at 1M samples produce slice graphs the TPU compiler
+  chokes on, while blocked scans keep every scan axis ~1k and tile-aligned;
+* ``fill2`` variants carry the last **two** marked samples' channels — the
+  shape the ITD knot formula needs (each sample's interpolation depends on
+  four surrounding knots: two via a forward fill2, two via a backward one).
 
 All ops operate on the **last axis** and broadcast over leading batch axes,
 so they compose with ``vmap``/``pjit`` for free.
@@ -27,14 +34,15 @@ __all__ = [
     "take_last_axis",
     "forward_fill_scan",
     "backward_fill_scan",
+    "forward_fill2_scan",
+    "backward_fill2_scan",
 ]
+
+_BLOCK = 1024
 
 
 def _iota_like(mask: jax.Array) -> jax.Array:
-    n = mask.shape[-1]
-    it = lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    del n
-    return it
+    return lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
 
 
 def prev_index(mask: jax.Array, *, inclusive: bool = True) -> jax.Array:
@@ -97,105 +105,135 @@ def backward_fill(values: jax.Array, mask: jax.Array, *, inclusive: bool = True)
     return take_last_axis(values, next_index(mask, inclusive=inclusive))
 
 
+# ---------------------------------------------------------------------------
+# generic blocked associative scans (forward orientation; reverse = flips)
+# ---------------------------------------------------------------------------
+
+
+def _blocked_scan(elems: tuple, combine, identities: tuple):
+    """Inclusive associative scan along the last axis, decomposed into
+    per-block scans + a scan over block summaries (= block reductions)."""
+    n = elems[0].shape[-1]
+    lead = elems[0].shape[:-1]
+    if n <= 4 * _BLOCK:
+        return lax.associative_scan(combine, elems, axis=elems[0].ndim - 1)
+
+    nb = -(-n // _BLOCK)
+    pad = nb * _BLOCK - n
+
+    def to_blocks(a, ident):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(lead + (pad,), ident, a.dtype)], axis=-1
+            )
+        return a.reshape(lead + (nb, _BLOCK))
+
+    blocks = tuple(to_blocks(a, i) for a, i in zip(elems, identities))
+    local = lax.associative_scan(combine, blocks, axis=elems[0].ndim)
+
+    summaries = tuple(a[..., -1] for a in local)  # block reductions
+    carried = lax.associative_scan(combine, summaries, axis=elems[0].ndim - 1)
+
+    def shift(a, ident):
+        lead_blk = jnp.full(lead + (1,), ident, a.dtype)
+        return jnp.concatenate([lead_blk, a[..., :-1]], axis=-1)
+
+    prefix = tuple(shift(a, i)[..., None] for a, i in zip(carried, identities))
+    out = combine(prefix, local)
+    out = tuple(a.reshape(lead + (nb * _BLOCK,)) for a in out)
+    if pad:
+        out = tuple(a[..., :n] for a in out)
+    return out
+
+
+def _scan(elems, combine, identities, reverse):
+    if reverse:
+        flipped = tuple(jnp.flip(a, axis=-1) for a in elems)
+        out = _blocked_scan(flipped, combine, identities)
+        return tuple(jnp.flip(a, axis=-1) for a in out)
+    return _blocked_scan(elems, combine, identities)
+
+
+# --- last-marked-wins fill --------------------------------------------------
+
+
 def _fill_combine(a, b):
-    """Associative last-marked-wins combine over (values..., seen) tuples."""
     seen_b = b[-1]
     out = tuple(jnp.where(seen_b, bv, av) for av, bv in zip(a[:-1], b[:-1]))
     return out + (a[-1] | seen_b,)
 
 
-_BLOCK = 1024
-
-
-def _fill_scan_flat(values, mask, defaults, reverse):
+def _fill_scan(values, mask, defaults, reverse):
     elems = tuple(
         jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
     ) + (mask,)
-    out = lax.associative_scan(_fill_combine, elems, axis=mask.ndim - 1, reverse=reverse)
+    idents = tuple(defaults) + (False,)
+    out = _scan(elems, _fill_combine, idents, reverse)
     return tuple(
         jnp.where(out[-1], o, jnp.asarray(d, o.dtype))
         for o, d in zip(out[:-1], defaults)
     )
 
 
-def _fill_scan_blocked(values, mask, defaults, reverse):
-    """Two-level fill: per-block scans + a scan over block summaries.
-
-    Long flat associative scans produce enormous unaligned-slice graphs that
-    choke the TPU compiler at 1M samples; blocking keeps every scan axis
-    ~sqrt(N) and the slices tile-aligned.
-    """
-    n = mask.shape[-1]
-    nb = -(-n // _BLOCK)
-    pad = nb * _BLOCK - n
-    lead = mask.shape[:-1]
-
-    def to_blocks(a, fill):
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.full(lead + (pad,), fill, a.dtype)], axis=-1
-            )
-        return a.reshape(lead + (nb, _BLOCK))
-
-    bm = to_blocks(mask, False)
-    bv = tuple(
-        jnp.where(bm, to_blocks(v, d), jnp.asarray(d, v.dtype))
-        for v, d in zip(values, defaults)
-    )
-
-    # 1) within-block fill
-    local = lax.associative_scan(
-        _fill_combine, bv + (bm,), axis=mask.ndim, reverse=reverse
-    )
-    local_vals, local_seen = local[:-1], local[-1]
-
-    # 2) carry across blocks: summaries are the block's boundary fill state
-    edge = -1 if not reverse else 0
-    summ_vals = tuple(v[..., edge] for v in local_vals)   # (..., nb)
-    summ_seen = local_seen[..., edge]
-    carried = lax.associative_scan(
-        _fill_combine, summ_vals + (summ_seen,), axis=mask.ndim - 1, reverse=reverse
-    )
-    car_vals, car_seen = carried[:-1], carried[-1]
-    # exclusive shift: block i uses the carry from blocks before (after) it
-    if not reverse:
-        shift = lambda a, f: jnp.concatenate(
-            [jnp.full(lead + (1,), f, a.dtype), a[..., :-1]], axis=-1
-        )
-    else:
-        shift = lambda a, f: jnp.concatenate(
-            [a[..., 1:], jnp.full(lead + (1,), f, a.dtype)], axis=-1
-        )
-    prev_vals = tuple(shift(v, d) for v, d in zip(car_vals, defaults))
-    prev_seen = shift(car_seen, False)
-
-    out = []
-    for lv, pv, d in zip(local_vals, prev_vals, defaults):
-        filled = jnp.where(
-            local_seen,
-            lv,
-            jnp.where(prev_seen[..., None], pv[..., None], jnp.asarray(d, lv.dtype)),
-        )
-        filled = filled.reshape(lead + (nb * _BLOCK,))
-        out.append(filled[..., :n] if pad else filled)
-    return tuple(out)
-
-
 def forward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
-    """Gather-free multi-channel forward fill.
-
-    Semantically equals ``forward_fill`` per channel (positions before the
-    first marked sample get the channel default), but lowers to purely
-    elementwise log-passes — on TPU this avoids the pathologically slow
-    per-element gather along the (long) lane axis.
-    """
-    if mask.shape[-1] > 4 * _BLOCK:
-        return _fill_scan_blocked(values, mask, defaults, reverse=False)
-    return _fill_scan_flat(values, mask, defaults, reverse=False)
+    """Gather-free multi-channel forward fill (defaults before the first
+    marked sample)."""
+    return _fill_scan(values, mask, defaults, reverse=False)
 
 
 def backward_fill_scan(values: tuple, mask: jax.Array, defaults: tuple) -> tuple:
     """Reverse-direction counterpart of :func:`forward_fill_scan`."""
-    if mask.shape[-1] > 4 * _BLOCK:
-        return _fill_scan_blocked(values, mask, defaults, reverse=True)
-    return _fill_scan_flat(values, mask, defaults, reverse=True)
+    return _fill_scan(values, mask, defaults, reverse=True)
+
+
+# --- last-TWO-marked fill ---------------------------------------------------
+
+
+def _fill2_combine(a, b):
+    """Truncated-concat semigroup keeping the last two marked samples.
+
+    Element layout: (v1..., v2..., count) with count saturating at 2; v1 is
+    the most recent marked sample's channels, v2 the one before.
+    """
+    k = (len(a) - 1) // 2
+    a1, a2, ca = a[:k], a[k : 2 * k], a[-1]
+    b1, b2, cb = b[:k], b[k : 2 * k], b[-1]
+    r1 = tuple(jnp.where(cb >= 1, bv, av) for av, bv in zip(a1, b1))
+    r2 = tuple(
+        jnp.where(cb >= 2, bv2, jnp.where(cb == 1, av1, av2))
+        for av1, av2, bv2 in zip(a1, a2, b2)
+    )
+    rc = jnp.minimum(ca + cb, 2)
+    return r1 + r2 + (rc,)
+
+
+def _fill2_scan(values, mask, defaults, reverse):
+    d1 = tuple(
+        jnp.where(mask, v, jnp.asarray(d, v.dtype)) for v, d in zip(values, defaults)
+    )
+    d2 = tuple(jnp.full_like(v, d) for v, d in zip(values, defaults))
+    cnt = mask.astype(jnp.int32)
+    idents = tuple(defaults) * 2 + (0,)
+    out = _scan(d1 + d2 + (cnt,), _fill2_combine, idents, reverse)
+    k = len(values)
+    v1 = tuple(
+        jnp.where(out[-1] >= 1, o, jnp.asarray(d, o.dtype))
+        for o, d in zip(out[:k], defaults)
+    )
+    v2 = tuple(
+        jnp.where(out[-1] >= 2, o, jnp.asarray(d, o.dtype))
+        for o, d in zip(out[k : 2 * k], defaults)
+    )
+    return v1, v2, out[-1]
+
+
+def forward_fill2_scan(values: tuple, mask: jax.Array, defaults: tuple):
+    """Per sample: channels of the last marked sample at-or-before it (v1)
+    and of the marked sample before that (v2), plus the saturated count."""
+    return _fill2_scan(values, mask, defaults, reverse=False)
+
+
+def backward_fill2_scan(values: tuple, mask: jax.Array, defaults: tuple):
+    """Per sample: the next marked sample at-or-after (v1) and the one after
+    it (v2)."""
+    return _fill2_scan(values, mask, defaults, reverse=True)

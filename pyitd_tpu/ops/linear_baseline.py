@@ -52,8 +52,8 @@ from .fill import (
     prev_index,
     next_index,
     take_last_axis,
-    forward_fill_scan,
-    backward_fill_scan,
+    forward_fill2_scan,
+    backward_fill2_scan,
 )
 
 __all__ = ["linear_baseline_extract", "LinearBaselineResult"]
@@ -116,37 +116,44 @@ def _baseline_gather(x, knots, it, n, endpoint_mode):
     )
 
 
-def _shift_right(a, fill):
-    lead = jnp.full_like(a[..., :1], fill)
-    return jnp.concatenate([lead, a[..., :-1]], axis=-1)
-
-
 def _shift_left(a, fill):
     tail = jnp.full_like(a[..., :1], fill)
     return jnp.concatenate([a[..., 1:], tail], axis=-1)
 
 
 def _baseline_scan(x, knots, it, n, endpoint_mode):
-    pos = it
-    # exclusive neighbors: fills over one-shifted inputs
-    prev_pos, prev_x = forward_fill_scan(
-        (_shift_right(pos, 0), _shift_right(x, 0.0)),
-        _shift_right(knots, False),
-        (0, 0.0),
-    )
-    next_pos, next_x = backward_fill_scan(
-        (_shift_left(pos, 0), _shift_left(x, 0.0)),
-        _shift_left(knots, False),
-        (0, 0.0),
-    )
-    knot_val = _knot_values(x, it, n, prev_x, next_x, prev_pos, next_pos)
+    """Two fill2 scans deliver, per sample, the four knots surrounding its
+    segment: (p2, p1) at-or-before via a forward fill2, (n1, n2) strictly
+    after via a backward fill2 over one-shifted inputs.  The knot-value
+    formula then needs no further propagation:
 
-    b_l, x_l = forward_fill_scan((knot_val, x), knots, (0.0, 0.0))
-    b_r_incl, x_r_incl = backward_fill_scan((knot_val, x), knots, (0.0, 0.0))
-    # right knot strictly after t: shift the inclusive backward fill left
-    b_r = _shift_left(b_r_incl, 0.0)
-    x_r = _shift_left(x_r_incl, 0.0)
-    return _interp(x, it, n, b_l, x_l, b_r, x_r, endpoint_mode)
+        B(p1) from neighbors (p2, n1);  B(n1) from neighbors (p1, n2).
+    """
+    dtype = x.dtype
+    posf = it.astype(dtype)
+
+    (p1_pos, p1_x), (p2_pos, p2_x), _ = forward_fill2_scan(
+        (posf, x), knots, (0.0, 0.0)
+    )
+    (n1_pos, n1_x), (n2_pos, n2_x), _ = backward_fill2_scan(
+        (_shift_left(posf, 0.0), _shift_left(x, 0.0)),
+        _shift_left(knots, False),
+        (0.0, 0.0),
+    )
+
+    def knot_value(pos, val, left_pos, left_x, right_pos, right_x, end_val, is_first):
+        span = right_pos - left_pos
+        w = (pos - left_pos) / jnp.where(span == 0, jnp.ones_like(span), span)
+        formula = 0.5 * (left_x + w * (right_x - left_x)) + 0.5 * val
+        return jnp.where(is_first, end_val[..., None], formula)
+
+    b_first = 0.5 * (x[..., 0] + x[..., 1])
+    b_last = 0.5 * (x[..., n - 2] + x[..., n - 1])
+
+    b_l = knot_value(p1_pos, p1_x, p2_pos, p2_x, n1_pos, n1_x, b_first, p1_pos == 0)
+    b_l = jnp.where(p1_pos == n - 1, b_last[..., None], b_l)
+    b_r = knot_value(n1_pos, n1_x, p1_pos, p1_x, n2_pos, n2_x, b_last, n1_pos == n - 1)
+    return _interp(x, it, n, b_l, p1_x, b_r, n1_x, endpoint_mode)
 
 
 def linear_baseline_extract(
