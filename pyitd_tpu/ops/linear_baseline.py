@@ -156,22 +156,64 @@ def _baseline_scan(x, knots, it, n, endpoint_mode):
     return _interp(x, it, n, b_l, p1_x, b_r, n1_x, endpoint_mode)
 
 
+def _baseline_pallas(x, knots, it, n, endpoint_mode):
+    """Fused Pallas fill2 kernels for the two propagation passes (f32,
+    TPU).  Math identical to :func:`_baseline_scan`."""
+    from .pallas_fill import fill2_pallas
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, n)
+    k2 = knots.reshape(-1, n)
+    posf = it.astype(x.dtype).reshape(-1, n)
+
+    p1_pos, p1_x, p2_pos, p2_x = fill2_pallas(posf, x2, k2)
+    n1_pos, n1_x, n2_pos, n2_x = fill2_pallas(
+        _shift_left(posf, 0.0), _shift_left(x2, 0.0), _shift_left(k2, False),
+        reverse=True,
+    )
+
+    def unflat(a):
+        return a.reshape(lead + (n,))
+
+    p1_pos, p1_x, p2_pos, p2_x = map(unflat, (p1_pos, p1_x, p2_pos, p2_x))
+    n1_pos, n1_x, n2_pos, n2_x = map(unflat, (n1_pos, n1_x, n2_pos, n2_x))
+
+    def knot_value(pos, val, left_pos, left_x, right_pos, right_x, end_val, is_first):
+        span = right_pos - left_pos
+        w = (pos - left_pos) / jnp.where(span == 0, jnp.ones_like(span), span)
+        formula = 0.5 * (left_x + w * (right_x - left_x)) + 0.5 * val
+        return jnp.where(is_first, end_val[..., None], formula)
+
+    b_first = 0.5 * (x[..., 0] + x[..., 1])
+    b_last = 0.5 * (x[..., n - 2] + x[..., n - 1])
+    b_l = knot_value(p1_pos, p1_x, p2_pos, p2_x, n1_pos, n1_x, b_first, p1_pos == 0)
+    b_l = jnp.where(p1_pos == n - 1, b_last[..., None], b_l)
+    b_r = knot_value(n1_pos, n1_x, p1_pos, p1_x, n2_pos, n2_x, b_last, n1_pos == n - 1)
+    return _interp(x, it, n, b_l, p1_x, b_r, n1_x, endpoint_mode)
+
+
 def linear_baseline_extract(
     x: jax.Array, *, endpoint_mode: str = "reference", backend: str = "auto"
 ) -> LinearBaselineResult:
     """One level of canonical ITD: returns (rotation, baseline, num_extrema)."""
     if endpoint_mode not in ("reference", "natural"):
         raise ValueError(f"unknown endpoint_mode: {endpoint_mode!r}")
+    n = x.shape[-1]
     if backend == "auto":
-        backend = "gather" if jax.default_backend() == "cpu" else "scan"
-    if backend not in ("gather", "scan"):
+        if jax.default_backend() == "cpu":
+            backend = "gather"
+        elif x.dtype == jnp.float32 and n >= 4096:
+            backend = "pallas"
+        else:
+            backend = "scan"
+    if backend not in ("gather", "scan", "pallas"):
         raise ValueError(f"unknown backend: {backend!r}")
 
-    n = x.shape[-1]
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     knots = _knot_mask(x)
 
-    fn = _baseline_gather if backend == "gather" else _baseline_scan
+    fn = {"gather": _baseline_gather, "scan": _baseline_scan,
+          "pallas": _baseline_pallas}[backend]
     baseline = fn(x, knots, it, n, endpoint_mode)
 
     nex = count_extrema(x)

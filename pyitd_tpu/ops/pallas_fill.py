@@ -1,0 +1,154 @@
+"""Pallas TPU kernel for the last-two-marked fill — the ITD hot path.
+
+The XLA associative-scan fills run ~3% of HBM bandwidth (every log-pass
+round-trips HBM).  This kernel streams each signal row once: the grid walks
+(row, block) sequentially, a block is filled hierarchically in VMEM
+(lane-axis doubling, then sublane-axis doubling over lane summaries), and
+the cross-block carry lives in SMEM scratch — so HBM sees one read of the
+channels and one write of the four fill outputs per direction.
+
+The kernel is a generic two-channel fill2: callers pass (pos, value) as
+plain arrays, so shifts/flips/padding happen in cheap XLA elementwise land
+and the kernel stays oblivious to orientation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fill2_pallas", "BLK"]
+
+BLK = 8192
+_LANES = 128
+
+
+def _combine(a, b):
+    """fill2 combine on (p1, x1, p2, x2, cnt) tuples (see ops/fill.py)."""
+    a1p, a1x, a2p, a2x, ca = a
+    b1p, b1x, b2p, b2x, cb = b
+    r1p = jnp.where(cb >= 1, b1p, a1p)
+    r1x = jnp.where(cb >= 1, b1x, a1x)
+    r2p = jnp.where(cb >= 2, b2p, jnp.where(cb == 1, a1p, a2p))
+    r2x = jnp.where(cb >= 2, b2x, jnp.where(cb == 1, a1x, a2x))
+    rc = jnp.minimum(ca + cb, 2.0)
+    return r1p, r1x, r2p, r2x, rc
+
+
+def _shifted(arrs, k: int, axis: int):
+    """State shifted down by k along axis; identity (zeros) at the border."""
+    idx = lax.broadcasted_iota(jnp.int32, arrs[0].shape, axis)
+    out = []
+    for a in arrs:
+        rolled = pltpu.roll(a, k, axis)
+        out.append(jnp.where(idx >= k, rolled, jnp.zeros_like(a)))
+    return tuple(out)
+
+
+def _doubling_scan(state, axis: int, steps: int):
+    for s in range(steps):
+        prev = _shifted(state, 1 << s, axis)
+        state = _combine(prev, state)
+    return state
+
+
+def _fill2_kernel(p_ref, x_ref, m_ref, p1p_ref, p1x_ref, p2p_ref, p2x_ref, carry):
+    b = pl.program_id(1)
+    rows = BLK // _LANES
+
+    @pl.when(b == 0)
+    def _():
+        for i in range(5):
+            carry[i] = 0.0
+
+    pos = p_ref[0]
+    x = x_ref[0]
+    m = m_ref[0] != 0
+
+    cnt = m.astype(jnp.float32)
+    state = (
+        jnp.where(m, pos, 0.0),
+        jnp.where(m, x, 0.0),
+        jnp.zeros_like(x),
+        jnp.zeros_like(x),
+        cnt,
+    )
+
+    # stage 1: within each 128-lane row
+    state = _doubling_scan(state, axis=1, steps=7)
+
+    # stage 2: row summaries (full-row reductions) combined across sublanes
+    summ = tuple(s[:, _LANES - 1 :] for s in state)  # (rows, 1)
+    pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)))
+    pref = _shifted(pref, 1, 0)  # exclusive: row i sees rows < i
+
+    # stage 3: row prefixes, then the cross-block SMEM carry
+    state = _combine(tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state)
+    carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(5))
+    state = _combine(carry_t, state)
+
+    p1p_ref[0] = state[0]
+    p1x_ref[0] = state[1]
+    p2p_ref[0] = state[2]
+    p2x_ref[0] = state[3]
+
+    for i in range(5):
+        carry[i] = state[i][rows - 1, _LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
+                 reverse: bool = False, interpret: bool = False):
+    """Per sample: (p1_pos, p1_x, p2_pos, p2_x) of the last two (forward) or
+    next two (reverse) marked samples, inclusively.  Channels with fewer
+    marks available hold 0 (the scan fills' defaults).
+
+    ``pos``/``x``: (rows, n) float32; ``mask``: (rows, n) bool.
+    n is padded to a BLK multiple internally (padding is unmarked).
+    """
+    rows, n = x.shape
+    npad = -(-n // BLK) * BLK
+    pad = npad - n
+
+    def prep(a, fill, dtype):
+        a = a.astype(dtype)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((rows, pad), fill, dtype)], axis=-1
+            )
+        if reverse:
+            a = jnp.flip(a, -1)
+        # 3-D view: the block's last two dims (BLK/128, 128) satisfy the
+        # Mosaic (8, 128) divisibility constraint
+        return a.reshape(rows, npad // _LANES, _LANES)
+
+    p = prep(pos, 0.0, jnp.float32)
+    v = prep(x, 0.0, jnp.float32)
+    m = prep(mask, False, jnp.float32)  # float mask: != 0 in kernel
+
+    sub = BLK // _LANES
+    spec = pl.BlockSpec(
+        (1, sub, _LANES), lambda r, b: (r, b, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        _fill2_kernel,
+        grid=(rows, npad // BLK),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
+        ] * 4,
+        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
+        interpret=interpret,
+    )(p, v, m)
+    outs = tuple(o.reshape(rows, npad) for o in outs)
+    if reverse:
+        outs = tuple(jnp.flip(o, -1) for o in outs)
+    if pad:
+        outs = tuple(o[..., :n] for o in outs)
+    return outs
