@@ -44,6 +44,7 @@ __all__ = [
     "fourier_mode_any",
     "fourier_mode_valid",
     "itd_fourier_decomposition",
+    "itd_fourier_decomposition_lean",
 ]
 
 
@@ -222,6 +223,38 @@ def itd_fourier_decomposition(signal, sample_rate: int, *, max_outer: int = 50,
             if keep[i]:
                 fourier_modes.append(modes_np[i])
                 source_indices.append(i)
+        rotations = jnp.where(is_mode[..., None], rotations - modes, rotations)
+        current = jnp.sum(rotations, axis=0) + residual
+    raise RuntimeError(f"cascade did not converge in {max_outer} iterations")
+
+
+def itd_fourier_decomposition_lean(signal, sample_rate: int, *, max_outer: int = 50,
+                                   mode="any"):
+    """C14 lean variant (itd_fourier_decomposition.py:258-303): one
+    accumulated mode array per rotation; output alternates
+    [modes_i, rotation_i, ...] then the residual.  (The reference calls an
+    undefined ``itd_fourier_wrapper`` here — the sine wrapper renamed; fixed
+    in this rebuild, as SURVEY.md prescribes.)"""
+    x = jnp.asarray(signal)
+    mode_fn = jax.vmap(fourier_mode_any if mode == "any" else fourier_mode_valid)
+
+    rotations, residual = itd_sine_sift(x, sample_rate)
+    accumulated = jnp.zeros_like(rotations)
+    current = x
+    it = 0
+    while it < max_outer:
+        it += 1
+        rotations, residual = itd_sine_sift(current, sample_rate)
+        modes = mode_fn(rotations)
+        is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
+        if not bool(jnp.any(is_mode)):
+            out = []
+            for i in range(rotations.shape[0]):
+                out.append(np.asarray(accumulated[i]))
+                out.append(np.asarray(rotations[i]))
+            out.append(np.asarray(residual))
+            return out
+        accumulated = jnp.where(is_mode[..., None], accumulated + modes, accumulated)
         rotations = jnp.where(is_mode[..., None], rotations - modes, rotations)
         current = jnp.sum(rotations, axis=0) + residual
     raise RuntimeError(f"cascade did not converge in {max_outer} iterations")

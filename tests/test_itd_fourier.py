@@ -78,3 +78,17 @@ def test_cascade_reconstructs():
     comps = itd_fourier_decomposition(x, sr, max_outer=30)
     total = np.sum(np.stack(comps), axis=0)
     np.testing.assert_allclose(total, x, atol=1e-8)
+
+
+def test_lean_cascade_reconstructs():
+    from pyitd_tpu.decomp.itd_fourier import itd_fourier_decomposition_lean
+
+    rng = np.random.default_rng(3)
+    n, sr = 600, 600
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 25 * t) + 0.4 * np.sin(2 * np.pi * 80 * t) + 0.05 * rng.normal(size=n)
+    comps = itd_fourier_decomposition_lean(x, sr, max_outer=30)
+    # alternating [mode, rotation] pairs + residual
+    assert len(comps) % 2 == 1
+    total = np.sum(np.stack(comps), axis=0)
+    np.testing.assert_allclose(total, x, atol=1e-8)
