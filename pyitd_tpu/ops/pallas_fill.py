@@ -40,65 +40,86 @@ def _combine(a, b):
     return r1p, r1x, r2p, r2x, rc
 
 
-def _shifted(arrs, k: int, axis: int):
-    """State shifted down by k along axis; identity (zeros) at the border."""
+def _shifted(arrs, k: int, axis: int, reverse: bool):
+    """Scan-predecessor state shifted by k along axis; zeros at the border.
+
+    Forward: predecessor = element k before (roll down).  Reverse:
+    predecessor in scan order = element k after (roll up)."""
     idx = lax.broadcasted_iota(jnp.int32, arrs[0].shape, axis)
+    size = arrs[0].shape[axis]
     out = []
     for a in arrs:
-        rolled = pltpu.roll(a, k, axis)
-        out.append(jnp.where(idx >= k, rolled, jnp.zeros_like(a)))
+        if reverse:
+            rolled = pltpu.roll(a, size - k, axis)  # roll up by k
+            keep = idx < size - k
+        else:
+            rolled = pltpu.roll(a, k, axis)
+            keep = idx >= k
+        out.append(jnp.where(keep, rolled, jnp.zeros_like(a)))
     return tuple(out)
 
 
-def _doubling_scan(state, axis: int, steps: int):
+def _doubling_scan(state, axis: int, steps: int, reverse: bool):
     for s in range(steps):
-        prev = _shifted(state, 1 << s, axis)
+        prev = _shifted(state, 1 << s, axis, reverse)
         state = _combine(prev, state)
     return state
 
 
-def _fill2_kernel(p_ref, x_ref, m_ref, p1p_ref, p1x_ref, p2p_ref, p2x_ref, carry):
-    b = pl.program_id(1)
-    rows = BLK // _LANES
+def _make_fill2_kernel(reverse: bool):
+    def kernel(p_ref, x_ref, m_ref, p1p_ref, p1x_ref, p2p_ref, p2x_ref, carry):
+        b = pl.program_id(1)
+        rows = BLK // _LANES
 
-    @pl.when(b == 0)
-    def _():
+        @pl.when(b == 0)
+        def _():
+            for i in range(5):
+                carry[i] = 0.0
+
+        pos = p_ref[0]
+        x = x_ref[0]
+        m = m_ref[0] != 0
+
+        cnt = m.astype(jnp.float32)
+        state = (
+            jnp.where(m, pos, 0.0),
+            jnp.where(m, x, 0.0),
+            jnp.zeros_like(x),
+            jnp.zeros_like(x),
+            cnt,
+        )
+
+        # stage 1: within each 128-lane row
+        state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
+
+        # stage 2: row summaries (full-row reductions) across sublanes
+        edge = 0 if reverse else _LANES - 1
+        summ = tuple(s[:, edge : edge + 1] for s in state)  # (rows, 1)
+        pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
+        pref = _shifted(pref, 1, 0, reverse)  # exclusive
+
+        # stage 3: row prefixes, then the cross-block SMEM carry
+        state = _combine(
+            tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
+        )
+        carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(5))
+        state = _combine(carry_t, state)
+
+        p1p_ref[0] = state[0]
+        p1x_ref[0] = state[1]
+        p2p_ref[0] = state[2]
+        p2x_ref[0] = state[3]
+
+        erow = 0 if reverse else rows - 1
+        ecol = 0 if reverse else _LANES - 1
         for i in range(5):
-            carry[i] = 0.0
+            carry[i] = state[i][erow, ecol]
 
-    pos = p_ref[0]
-    x = x_ref[0]
-    m = m_ref[0] != 0
+    return kernel
 
-    cnt = m.astype(jnp.float32)
-    state = (
-        jnp.where(m, pos, 0.0),
-        jnp.where(m, x, 0.0),
-        jnp.zeros_like(x),
-        jnp.zeros_like(x),
-        cnt,
-    )
 
-    # stage 1: within each 128-lane row
-    state = _doubling_scan(state, axis=1, steps=7)
-
-    # stage 2: row summaries (full-row reductions) combined across sublanes
-    summ = tuple(s[:, _LANES - 1 :] for s in state)  # (rows, 1)
-    pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)))
-    pref = _shifted(pref, 1, 0)  # exclusive: row i sees rows < i
-
-    # stage 3: row prefixes, then the cross-block SMEM carry
-    state = _combine(tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state)
-    carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(5))
-    state = _combine(carry_t, state)
-
-    p1p_ref[0] = state[0]
-    p1x_ref[0] = state[1]
-    p2p_ref[0] = state[2]
-    p2x_ref[0] = state[3]
-
-    for i in range(5):
-        carry[i] = state[i][rows - 1, _LANES - 1]
+_fill2_fwd = _make_fill2_kernel(False)
+_fill2_bwd = _make_fill2_kernel(True)
 
 
 @partial(jax.jit, static_argnames=("reverse", "interpret"))
@@ -121,8 +142,6 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
             a = jnp.concatenate(
                 [a, jnp.full((rows, pad), fill, dtype)], axis=-1
             )
-        if reverse:
-            a = jnp.flip(a, -1)
         # 3-D view: the block's last two dims (BLK/128, 128) satisfy the
         # Mosaic (8, 128) divisibility constraint
         return a.reshape(rows, npad // _LANES, _LANES)
@@ -132,12 +151,18 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
     m = prep(mask, False, jnp.float32)  # float mask: != 0 in kernel
 
     sub = BLK // _LANES
-    spec = pl.BlockSpec(
-        (1, sub, _LANES), lambda r, b: (r, b, 0), memory_space=pltpu.VMEM
-    )
+    nblk = npad // BLK
+    if reverse:
+        # reverse scans walk the grid from the last block backwards
+        index_map = lambda r, b: (r, nblk - 1 - b, 0)
+        kernel = _fill2_bwd
+    else:
+        index_map = lambda r, b: (r, b, 0)
+        kernel = _fill2_fwd
+    spec = pl.BlockSpec((1, sub, _LANES), index_map, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _fill2_kernel,
-        grid=(rows, npad // BLK),
+        kernel,
+        grid=(rows, nblk),
         in_specs=[spec, spec, spec],
         out_specs=[spec] * 4,
         out_shape=[
@@ -147,8 +172,6 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
         interpret=interpret,
     )(p, v, m)
     outs = tuple(o.reshape(rows, npad) for o in outs)
-    if reverse:
-        outs = tuple(jnp.flip(o, -1) for o in outs)
     if pad:
         outs = tuple(o[..., :n] for o in outs)
     return outs
