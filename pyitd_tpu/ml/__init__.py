@@ -1,0 +1,55 @@
+"""Adjacent ML research components (SURVEY.md §2.3), JAX/flax-native."""
+from .activations import rainstar
+from .optimizers import wolf, phoenix
+from .layers import ITDLinear, ITDMLP, VanillaMLP, ITDRNNForecaster
+from .parseval import (
+    variance_scaled_softmax,
+    build_haar_wavelet_basis,
+    SingleHeadWaveletAttention,
+    UnitaryAncillaAttention,
+    AnchorModule,
+    GPTConfig,
+    ParsevalGPT,
+    softcap,
+)
+from .moe import BiMLP, LinearBilinear, ModCRTMoE, router_topk, FastLearnedCellX3
+from .ultramem import UltraMemCfg, UltraMemClassifier
+from .vte import (
+    pairwise_rot_spiral,
+    spiral_mix,
+    phase_tap,
+    phase_transport,
+    subspace_iteration,
+    frft_time,
+    ManifoldStage,
+    AutoencoderBlock,
+    BlockFastGPT,
+)
+from .tape import (
+    RectifiedKAN,
+    CachedMultiheadAttention,
+    TapeHeadBlock,
+    MLayer,
+    LieMLayer,
+)
+from .newgpt import WedgeTransform, convex_softmax, AlpertQueryGenerator
+from .zoo import RecurrentMLP, fixed_embedding, UnigramModel, BatchSampler
+from .visualizer import MatrixDashboard
+
+__all__ = [
+    "rainstar", "wolf", "phoenix",
+    "ITDLinear", "ITDMLP", "VanillaMLP", "ITDRNNForecaster",
+    "variance_scaled_softmax", "build_haar_wavelet_basis",
+    "SingleHeadWaveletAttention", "UnitaryAncillaAttention", "AnchorModule",
+    "GPTConfig", "ParsevalGPT", "softcap",
+    "BiMLP", "LinearBilinear", "ModCRTMoE", "router_topk", "FastLearnedCellX3",
+    "UltraMemCfg", "UltraMemClassifier",
+    "pairwise_rot_spiral", "spiral_mix", "phase_tap", "phase_transport",
+    "subspace_iteration", "frft_time", "ManifoldStage", "AutoencoderBlock",
+    "BlockFastGPT",
+    "RectifiedKAN", "CachedMultiheadAttention", "TapeHeadBlock",
+    "MLayer", "LieMLayer",
+    "WedgeTransform", "convex_softmax", "AlpertQueryGenerator",
+    "RecurrentMLP", "fixed_embedding", "UnigramModel", "BatchSampler",
+    "MatrixDashboard",
+]
