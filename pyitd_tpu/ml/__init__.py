@@ -33,6 +33,8 @@ from .tape import (
     LieMLayer,
 )
 from .newgpt import WedgeTransform, convex_softmax, AlpertQueryGenerator
+from .phase import add_hypersphere_phase_heads, PhaseHeads, Mixer
+from .kalman import KalmanSweepMHGains
 from .zoo import RecurrentMLP, fixed_embedding, UnigramModel, BatchSampler
 from .visualizer import MatrixDashboard
 
@@ -50,6 +52,7 @@ __all__ = [
     "RectifiedKAN", "CachedMultiheadAttention", "TapeHeadBlock",
     "MLayer", "LieMLayer",
     "WedgeTransform", "convex_softmax", "AlpertQueryGenerator",
+    "add_hypersphere_phase_heads", "PhaseHeads", "Mixer", "KalmanSweepMHGains",
     "RecurrentMLP", "fixed_embedding", "UnigramModel", "BatchSampler",
     "MatrixDashboard",
 ]
