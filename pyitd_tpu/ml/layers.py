@@ -12,14 +12,10 @@ elementwise Hermite blends, vmapped over scales and batch.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from .activations import rainstar  # noqa: F401  (re-export convenience)
 
 __all__ = ["ITDLinear", "ITDMLP", "VanillaMLP", "ITDRNNForecaster"]
 

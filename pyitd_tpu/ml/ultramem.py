@@ -16,7 +16,7 @@ then overwrites it), L2-bounded accumulation, and parallel-residual blocks
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

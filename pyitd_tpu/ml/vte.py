@@ -25,7 +25,6 @@ wrapper assemble from these pieces (planned next round).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import flax.linen as nn
 import jax
