@@ -35,6 +35,14 @@ from .tape import (
 from .newgpt import WedgeTransform, convex_softmax, AlpertQueryGenerator
 from .phase import add_hypersphere_phase_heads, PhaseHeads, Mixer
 from .kalman import KalmanSweepMHGains
+from .blockfast import (
+    circular_student_t,
+    MOEMLP,
+    BlockFastBlock,
+    BlockFastLM,
+    blockfast_init_state,
+    blockfast_step,
+)
 from .zoo import RecurrentMLP, fixed_embedding, UnigramModel, BatchSampler
 from .visualizer import MatrixDashboard
 
@@ -53,6 +61,8 @@ __all__ = [
     "MLayer", "LieMLayer",
     "WedgeTransform", "convex_softmax", "AlpertQueryGenerator",
     "add_hypersphere_phase_heads", "PhaseHeads", "Mixer", "KalmanSweepMHGains",
+    "circular_student_t", "MOEMLP", "BlockFastBlock", "BlockFastLM",
+    "blockfast_init_state", "blockfast_step",
     "RecurrentMLP", "fixed_embedding", "UnigramModel", "BatchSampler",
     "MatrixDashboard",
 ]
