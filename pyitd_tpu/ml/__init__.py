@@ -15,6 +15,7 @@ from .parseval import (
 from .moe import BiMLP, LinearBilinear, ModCRTMoE, router_topk, FastLearnedCellX3
 from .ultramem import UltraMemCfg, UltraMemClassifier
 from .vte import (
+    dynmix,
     pairwise_rot_spiral,
     spiral_mix,
     phase_tap,
@@ -32,7 +33,7 @@ from .tape import (
     MLayer,
     LieMLayer,
 )
-from .newgpt import WedgeTransform, convex_softmax, AlpertQueryGenerator
+from .newgpt import WedgeTransform, convex_softmax, AlpertQueryGenerator, ExplorerEngineerStage
 from .phase import add_hypersphere_phase_heads, PhaseHeads, Mixer
 from .kalman import KalmanSweepMHGains
 from .blockfast import (
@@ -59,7 +60,7 @@ __all__ = [
     "BlockFastGPT",
     "RectifiedKAN", "CachedMultiheadAttention", "TapeHeadBlock",
     "MLayer", "LieMLayer",
-    "WedgeTransform", "convex_softmax", "AlpertQueryGenerator",
+    "WedgeTransform", "convex_softmax", "AlpertQueryGenerator", "ExplorerEngineerStage", "dynmix",
     "add_hypersphere_phase_heads", "PhaseHeads", "Mixer", "KalmanSweepMHGains",
     "circular_student_t", "MOEMLP", "BlockFastBlock", "BlockFastLM",
     "blockfast_init_state", "blockfast_step",

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WedgeTransform", "convex_softmax", "AlpertQueryGenerator"]
+__all__ = ["WedgeTransform", "convex_softmax", "AlpertQueryGenerator", "ExplorerEngineerStage"]
 
 
 class WedgeTransform(nn.Module):
@@ -75,3 +75,26 @@ class AlpertQueryGenerator(nn.Module):
         xr = x.reshape(b, t, self.num_heads, split)
         q = jnp.einsum("bths,hsd->bthd", xr, basis)
         return jnp.transpose(q, (0, 2, 1, 3)) * scale
+
+
+class ExplorerEngineerStage(nn.Module):
+    """AGI_(1).ipynb: a pre-LN causal-attention "engineer" block applied as
+    a residual mapping update, with DynMix available for multi-stream
+    cooperation (see ``ml.vte.dynmix``)."""
+
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t, d = x.shape
+        h = nn.LayerNorm()(x)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        if mask is not None:
+            causal = causal & mask
+        attn = nn.SelfAttention(num_heads=self.num_heads, name="engineer_attn")(
+            h, mask=causal[None, None]
+        )
+        h2 = x + attn
+        mlp = nn.Dense(4 * d)(nn.LayerNorm()(h2))
+        h2 = h2 + nn.Dense(d)(nn.gelu(mlp))
+        return x + h2  # the stage returns x + mapping (AGI semantics)

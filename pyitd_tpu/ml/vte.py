@@ -428,3 +428,30 @@ class BlockFastGPT(nn.Module):
         nll = -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1)
         loss = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
         return logits, loss
+
+
+def dynmix(comps, step: float = 0.1, loop_iters: int = 2):
+    """Cooperative symplectic mixer for >=3 tensors (AGI_(1).ipynb DynMix):
+    each component takes a Heun step toward the mean of the others, gated by
+    a sigmoid of their normalized inner product.  ``comps``: list of
+    same-shaped arrays or a stacked array with the component axis first."""
+    stacked = jnp.stack(comps, 0) if isinstance(comps, (list, tuple)) else comps
+    n = stacked.shape[0]
+    if n < 3:
+        raise ValueError("Need at least 3 components")
+
+    def coop(r, c):
+        w = jax.nn.sigmoid(
+            jnp.sum(r * c, axis=-1, keepdims=True) / (2.0 * r.shape[-1] ** 0.5)
+        )
+        k1 = w * (c - r)
+        k2 = w * (c - (r + step * k1))
+        return r + 0.5 * step * (k1 + k2)
+
+    for _ in range(loop_iters):
+        total = jnp.sum(stacked, axis=0, keepdims=True)
+        others_mean = (total - stacked) / (n - 1)
+        stacked = jax.vmap(coop)(stacked, others_mean)
+    if isinstance(comps, (list, tuple)):
+        return [stacked[i] for i in range(n)]
+    return stacked

@@ -34,3 +34,17 @@ def test_alpert_queries_orthogonal_basis():
     p = m.init(jax.random.PRNGKey(0), x)
     q = m.apply(p, x)
     assert q.shape == (2, 4, 6, 8)
+
+
+def test_explorer_engineer_stage():
+    from pyitd_tpu.ml.newgpt import ExplorerEngineerStage
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 16)), jnp.float32)
+    m = ExplorerEngineerStage(num_heads=2)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == x.shape and np.all(np.isfinite(np.asarray(y)))
+    # causality of the attention path
+    x2 = x.at[:, 5:].set(0.0)
+    y2 = m.apply(p, x2)
+    np.testing.assert_allclose(np.asarray(y[:, :3]), np.asarray(y2[:, :3]), atol=1e-5)

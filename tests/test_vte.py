@@ -157,3 +157,21 @@ def test_ar1_filter_matches_sequential():
         want[:, t] = rho * want[:, t - 1] + x[:, t]
     got = np.asarray(ar1_filter(jnp.asarray(x), rho))
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_dynmix_cooperative_contraction():
+    from pyitd_tpu.ml.vte import dynmix
+
+    rng = np.random.default_rng(9)
+    comps = [jnp.asarray(rng.normal(size=(2, 8, 4))) for _ in range(3)]
+    out = dynmix(comps, loop_iters=2)
+    assert len(out) == 3 and out[0].shape == comps[0].shape
+    # mixing pulls components toward each other (pairwise spread shrinks)
+    before = float(sum(jnp.linalg.norm(comps[i] - comps[j])
+                       for i in range(3) for j in range(i + 1, 3)))
+    after = float(sum(jnp.linalg.norm(out[i] - out[j])
+                      for i in range(3) for j in range(i + 1, 3)))
+    assert after < before
+    # stacked-array API agrees
+    st = np.asarray(dynmix(jnp.stack(comps, 0), loop_iters=2))
+    np.testing.assert_allclose(st[0], np.asarray(out[0]), atol=1e-12)
