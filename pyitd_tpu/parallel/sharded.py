@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover
 
 from ..ops.fill import prev_index, next_index, take_last_axis
 
-__all__ = ["make_mesh", "sharded_itd_sift"]
+__all__ = ["make_mesh", "sharded_itd_sift", "sharded_cubic_baseline"]
 
 
 def make_mesh(n_devices: int | None = None, seq: int | None = None) -> Mesh:
@@ -236,6 +236,133 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
         in_specs=P("data", "seq"),
         out_specs=(P(None, "data", "seq"), P("data"), P("data")),
         check_vma=False,  # ncomp/reason are seq-replicated by construction
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    return jax.jit(fn)(xs)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel cubic tier: knots are sparse, so each shard contributes
+# its compacted knot buffer via one all_gather, every shard solves the
+# (small) replicated not-a-knot system, and evaluation stays local
+# (SURVEY.md §7 hard part (e): the pragmatic distributed-tridiagonal route)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_local(x, axis_name, n_global, cap, min_extrema):
+    from ..ops.tridiag import spline_moments
+    from ..ops.cubic_baseline import eval_moment_spline
+    from ..ops.extrema import compact_indices
+
+    dtype = x.dtype
+    n_loc = x.shape[-1]
+    rank = lax.axis_index(axis_name)
+    size = lax.axis_size(axis_name)
+    gpos = rank * n_loc + lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+
+    big = jnp.asarray(jnp.inf, dtype)
+    x_m1 = _shift_right(x, axis_name, big)
+    x_p1 = _shift_left(x, axis_name, big)
+    dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
+    dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
+    interior = (gpos > 0) & (gpos < n_global - 1)
+    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
+    nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
+
+    knots = mask | (gpos == 0) | (gpos == n_global - 1)
+    pos_loc, cnt_loc = compact_indices(knots, cap)  # local indices, padded n_loc-1
+    k_loc = lax.broadcasted_iota(jnp.int32, pos_loc.shape, pos_loc.ndim - 1)
+    valid_loc = k_loc < cnt_loc[..., None]
+    gpos_knots = jnp.where(valid_loc, pos_loc + rank * n_loc, n_global)
+    vals_knots = jnp.where(
+        valid_loc,
+        jnp.take_along_axis(x, jnp.clip(pos_loc, 0, n_loc - 1), axis=-1),
+        jnp.zeros_like(x[..., :1]),
+    )
+
+    # replicate all shards' knots: (S, ..., cap) -> merged (..., S*cap)
+    allp = lax.all_gather(gpos_knots, axis_name)
+    allv = lax.all_gather(vals_knots, axis_name)
+    allp = jnp.moveaxis(allp, 0, -2).reshape(x.shape[:-1] + (size * cap,))
+    allv = jnp.moveaxis(allv, 0, -2).reshape(x.shape[:-1] + (size * cap,))
+    # squeeze out padding: shard-ordered positions stay sorted under a
+    # stable sort of (position, padding-at-end)
+    order = jnp.argsort(allp, axis=-1, stable=True)
+    allp = jnp.take_along_axis(allp, order, axis=-1)
+    allv = jnp.take_along_axis(allv, order, axis=-1)
+    total = lax.psum(jnp.sum(valid_loc, axis=-1).astype(jnp.int32), axis_name)
+
+    kk = lax.broadcasted_iota(jnp.int32, allp.shape, allp.ndim - 1)
+    cnt = total[..., None]
+
+    # knot values: odd-reflect ends + Frei-Osorio interior (MEITD tier)
+    first2 = lax.all_gather(x[..., :2], axis_name)[0]
+    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
+    b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
+
+    e_prev = jnp.concatenate([jnp.zeros_like(allp[..., :1]), allp[..., :-1]], axis=-1)
+    e_next = jnp.concatenate([allp[..., 1:], jnp.zeros_like(allp[..., :1])], axis=-1)
+    v_prev = jnp.concatenate([jnp.zeros_like(allv[..., :1]), allv[..., :-1]], axis=-1)
+    v_next = jnp.concatenate([allv[..., 1:], jnp.zeros_like(allv[..., :1])], axis=-1)
+    span = (e_next - e_prev).astype(dtype)
+    w = (allp - e_prev).astype(dtype) / jnp.where(span == 0, jnp.ones_like(span), span)
+    kv = 0.5 * (v_prev + w * (v_next - v_prev)) + 0.5 * allv
+    kv = jnp.where(kk == 0, b_first[..., None], kv)
+    kv = jnp.where(kk == cnt - 1, b_last[..., None], kv)
+    kv = jnp.where(kk >= cnt, jnp.zeros_like(kv), kv)
+
+    moments = spline_moments(allp.astype(dtype), kv, total, bc="not-a-knot")
+    h = (e_next - allp).astype(dtype)
+    h = jnp.where(kk < cnt - 1, h, jnp.ones_like(h))
+
+    # local segment ids: count of knots (k >= 1) at-or-before each sample
+    seg = jnp.sum(
+        (allp[..., None, :] <= gpos[..., :, None])
+        & (kk[..., None, :] >= 1)
+        & (kk[..., None, :] < cnt[..., None, :]),
+        axis=-1,
+    ).astype(jnp.int32)
+    seg = jnp.minimum(seg, jnp.maximum(cnt - 2, 0))
+
+    # evaluate with *global* sample positions
+    pos_j = jnp.take_along_axis(allp, seg, axis=-1).astype(dtype)
+    h_j = jnp.take_along_axis(h, seg, axis=-1)
+    k_j = jnp.take_along_axis(kv, seg, axis=-1)
+    k_j1 = jnp.take_along_axis(kv, jnp.minimum(seg + 1, size * cap - 1), axis=-1)
+    m_j = jnp.take_along_axis(moments, seg, axis=-1)
+    m_j1 = jnp.take_along_axis(moments, jnp.minimum(seg + 1, size * cap - 1), axis=-1)
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (gpos.astype(dtype) - pos_j) / h_safe
+    omt = 1.0 - s
+    baseline = (
+        omt * k_j + s * k_j1
+        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
+    )
+
+    passthrough = (nex < min_extrema)[..., None]
+    baseline = jnp.where(passthrough, x, baseline)
+    return x - baseline, baseline, nex
+
+
+def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = None,
+                           min_extrema: int = 10):
+    """Sequence-parallel MEITD-tier cubic baseline over a (data, seq) mesh.
+
+    Matches ``ops.cubic_baseline.cubic_baseline_extract`` on a single device;
+    cross-shard cost is one small all_gather of per-shard knot buffers.
+    Returns (rotation, baseline, num_extrema)."""
+    n_global = x.shape[-1]
+    seq = mesh.shape["seq"]
+    n_loc = n_global // seq
+    cap = capacity_per_shard or (n_loc + 2)
+    fn = shard_map(
+        partial(_cubic_local, axis_name="seq", n_global=n_global, cap=cap,
+                min_extrema=min_extrema),
+        mesh=mesh,
+        in_specs=P("data", "seq"),
+        out_specs=(P("data", "seq"), P("data", "seq"), P("data")),
+        check_vma=False,
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     return jax.jit(fn)(xs)

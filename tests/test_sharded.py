@@ -52,3 +52,16 @@ def test_sharded_reconstruction():
     for b in range(x.shape[0]):
         comps = rn[: int(ncomp[b]), b]
         np.testing.assert_allclose(comps.sum(0), x[b], atol=1e-9)
+
+
+def test_sharded_cubic_matches_single_device():
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+    from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
+
+    x = bank(batch=2, n=1024)
+    mesh = make_mesh(8, seq=4)
+    rot_s, base_s, nex_s = sharded_cubic_baseline(jnp.asarray(x), mesh)
+    ref = cubic_baseline_extract(jnp.asarray(x), capacity=1026)
+    np.testing.assert_array_equal(np.asarray(nex_s), np.asarray(ref.num_extrema))
+    np.testing.assert_allclose(np.asarray(base_s), np.asarray(ref.baseline), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotation), atol=1e-9)
