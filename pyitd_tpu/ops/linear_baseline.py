@@ -158,7 +158,12 @@ def _baseline_scan(x, knots, it, n, endpoint_mode):
 
 def _baseline_pallas(x, knots, it, n, endpoint_mode):
     """Fused Pallas fill2 kernels for the two propagation passes (f32,
-    TPU).  Math identical to :func:`_baseline_scan`."""
+    TPU).  Math identical to :func:`_baseline_scan`.
+
+    (An in-kernel-mask variant exists — ``pallas_fill.linear_fill2_pallas``,
+    bit-identical — but its halo views need non-affine BlockSpec index maps,
+    which stall the Mosaic DMA pipeline and run ~6x slower end to end, so
+    the mask/positions stay in XLA here.)"""
     from .pallas_fill import fill2_pallas
 
     lead = x.shape[:-1]

@@ -175,3 +175,131 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
     if pad:
         outs = tuple(o[..., :n] for o in outs)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# specialized ITD-level kernel: mask + positions computed in-kernel, so HBM
+# sees only x in (three views: 1-tile halos) and the four fill channels out
+# ---------------------------------------------------------------------------
+
+_SUBTILE = 8  # halo view granularity (rows of 128 lanes)
+
+
+def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
+    sub = BLK // _LANES
+
+    def kernel(xprev_ref, x_ref, xnext_ref, p1p_ref, p1x_ref, p2p_ref,
+               p2x_ref, carry):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            for i in range(5):
+                carry[i] = 0.0
+
+        blk = (nblk - 1 - g) if reverse else g
+        x = x_ref[0]
+        row = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 0)
+        lane = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 1)
+        pos = blk * BLK + row * _LANES + lane
+
+        # one-sample neighbors in row-major order, with halo scalars
+        prev_scalar = xprev_ref[0][_SUBTILE - 1, _LANES - 1]
+        next_scalar = xnext_ref[0][0, 0]
+        xm1 = pltpu.roll(x, 1, 1)
+        col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
+        xm1 = jnp.where(lane == 0, col_prev, xm1)
+        xm1 = jnp.where((lane == 0) & (row == 0), prev_scalar, xm1)
+        xp1 = pltpu.roll(x, _LANES - 1, 1)
+        col_next = pltpu.roll(x[:, :1], sub - 1, 0)
+        xp1 = jnp.where(lane == _LANES - 1, col_next, xp1)
+        xp1 = jnp.where((lane == _LANES - 1) & (row == sub - 1), next_scalar, xp1)
+
+        dxb = x - xm1
+        dxf = xp1 - x
+        dxb = jnp.where(jnp.isnan(dxb), jnp.inf, dxb)
+        dxf = jnp.where(jnp.isnan(dxf), jnp.inf, dxf)
+        near_nan = jnp.isnan(x) | jnp.isnan(xm1) | jnp.isnan(xp1)
+        interior = (pos > 0) & (pos < n_real - 1)
+        is_min = (dxb <= 0) & (dxf > 0)
+        is_max = (dxb >= 0) & (dxf < 0)
+        m = ((is_min | is_max) & interior & ~near_nan) | (pos == 0) | (
+            pos == n_real - 1
+        )
+
+        cnt = m.astype(jnp.float32)
+        state = (
+            jnp.where(m, pos.astype(jnp.float32), 0.0),
+            jnp.where(m, x, 0.0),
+            jnp.zeros_like(x),
+            jnp.zeros_like(x),
+            cnt,
+        )
+        state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
+        edge = 0 if reverse else _LANES - 1
+        summ = tuple(s[:, edge : edge + 1] for s in state)
+        pref = _doubling_scan(summ, axis=0, steps=int(np.log2(sub)), reverse=reverse)
+        pref = _shifted(pref, 1, 0, reverse)
+        state = _combine(
+            tuple(jnp.broadcast_to(p, (sub, _LANES)) for p in pref), state
+        )
+        carry_t = tuple(jnp.full((sub, _LANES), carry[i]) for i in range(5))
+        state = _combine(carry_t, state)
+
+        p1p_ref[0] = state[0]
+        p1x_ref[0] = state[1]
+        p2p_ref[0] = state[2]
+        p2x_ref[0] = state[3]
+
+        erow = 0 if reverse else sub - 1
+        ecol = 0 if reverse else _LANES - 1
+        for i in range(5):
+            carry[i] = state[i][erow, ecol]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
+                        interpret: bool = False):
+    """ITD-specialized fill2: knot mask (canonical extrema + endpoints, NaN
+    quarantine) and positions are derived in-kernel from ``x`` alone.
+    Returns inclusive (p1_pos, p1_x, p2_pos, p2_x) in the chosen direction.
+    """
+    rows, n = x.shape
+    npad = -(-n // BLK) * BLK
+    pad = npad - n
+    xp = x.astype(jnp.float32)
+    if pad:
+        xp = jnp.concatenate([xp, jnp.zeros((rows, pad), jnp.float32)], axis=-1)
+    x3 = xp.reshape(rows, npad // _LANES, _LANES)
+
+    sub = BLK // _LANES
+    nblk = npad // BLK
+    chunks = npad // (_SUBTILE * _LANES)
+    sub8 = sub // _SUBTILE
+    if reverse:
+        main_map = lambda r, b: (r, nblk - 1 - b, 0)
+        prev_map = lambda r, b: (r, jnp.maximum((nblk - 1 - b) * sub8 - 1, 0), 0)
+        next_map = lambda r, b: (r, jnp.minimum((nblk - b) * sub8, chunks - 1), 0)
+    else:
+        main_map = lambda r, b: (r, b, 0)
+        prev_map = lambda r, b: (r, jnp.maximum(b * sub8 - 1, 0), 0)
+        next_map = lambda r, b: (r, jnp.minimum((b + 1) * sub8, chunks - 1), 0)
+
+    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    mini_prev = pl.BlockSpec((1, _SUBTILE, _LANES), prev_map, memory_space=pltpu.VMEM)
+    mini_next = pl.BlockSpec((1, _SUBTILE, _LANES), next_map, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_linear_fill2_kernel(reverse, n, nblk),
+        grid=(rows, nblk),
+        in_specs=[mini_prev, spec, mini_next],
+        out_specs=[spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
+        ] * 4,
+        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
+        interpret=interpret,
+    )(x3, x3, x3)
+    outs = tuple(o.reshape(rows, npad)[..., :n] for o in outs)
+    return outs
