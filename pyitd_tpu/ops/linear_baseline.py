@@ -158,24 +158,23 @@ def _baseline_scan(x, knots, it, n, endpoint_mode):
 
 def _baseline_pallas(x, knots, it, n, endpoint_mode):
     """Fused Pallas fill2 kernels for the two propagation passes (f32,
-    TPU).  Math identical to :func:`_baseline_scan`.
+    TPU).  Math identical to :func:`_baseline_scan`; the knot mask and
+    positions are derived in-kernel (block-edge neighbors arrive as SMEM
+    scalars so every index map stays affine and the DMA pipeline keeps
+    double-buffering)."""
+    from .pallas_fill import linear_fill2_pallas
 
-    (An in-kernel-mask variant exists — ``pallas_fill.linear_fill2_pallas``,
-    bit-identical — but its halo views need non-affine BlockSpec index maps,
-    which stall the Mosaic DMA pipeline and run ~6x slower end to end, so
-    the mask/positions stay in XLA here.)"""
-    from .pallas_fill import fill2_pallas
-
+    del knots
     lead = x.shape[:-1]
     x2 = x.reshape(-1, n)
-    k2 = knots.reshape(-1, n)
-    posf = it.astype(x.dtype).reshape(-1, n)
 
-    p1_pos, p1_x, p2_pos, p2_x = fill2_pallas(posf, x2, k2)
-    n1_pos, n1_x, n2_pos, n2_x = fill2_pallas(
-        _shift_left(posf, 0.0), _shift_left(x2, 0.0), _shift_left(k2, False),
-        reverse=True,
-    )
+    p1_pos, p1_x, p2_pos, p2_x = linear_fill2_pallas(x2)
+    # inclusive next-two; shifting left makes them strictly-after
+    i1_pos, i1_x, i2_pos, i2_x = linear_fill2_pallas(x2, reverse=True)
+    n1_pos = _shift_left(i1_pos, 0.0)
+    n1_x = _shift_left(i1_x, 0.0)
+    n2_pos = _shift_left(i2_pos, 0.0)
+    n2_x = _shift_left(i2_x, 0.0)
 
     def unflat(a):
         return a.reshape(lead + (n,))

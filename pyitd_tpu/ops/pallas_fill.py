@@ -182,14 +182,12 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
 # sees only x in (three views: 1-tile halos) and the four fill channels out
 # ---------------------------------------------------------------------------
 
-_SUBTILE = 8  # halo view granularity (rows of 128 lanes)
-
-
 def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
     sub = BLK // _LANES
 
-    def kernel(xprev_ref, x_ref, xnext_ref, p1p_ref, p1x_ref, p2p_ref,
+    def kernel(xprev_ref, xnext_ref, x_ref, p1p_ref, p1x_ref, p2p_ref,
                p2x_ref, carry):
+        r = pl.program_id(0)
         g = pl.program_id(1)
 
         @pl.when(g == 0)
@@ -203,9 +201,10 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
         lane = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 1)
         pos = blk * BLK + row * _LANES + lane
 
-        # one-sample neighbors in row-major order, with halo scalars
-        prev_scalar = xprev_ref[0][_SUBTILE - 1, _LANES - 1]
-        next_scalar = xnext_ref[0][0, 0]
+        # one-sample neighbors in row-major order; block-edge scalars come
+        # from the scalar-prefetch SMEM arrays
+        prev_scalar = xprev_ref[r, blk]
+        next_scalar = xnext_ref[r, blk]
         xm1 = pltpu.roll(x, 1, 1)
         col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
         xm1 = jnp.where(lane == 0, col_prev, xm1)
@@ -263,7 +262,9 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
 def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
                         interpret: bool = False):
     """ITD-specialized fill2: knot mask (canonical extrema + endpoints, NaN
-    quarantine) and positions are derived in-kernel from ``x`` alone.
+    quarantine) and positions are derived in-kernel from ``x``; block-edge
+    neighbor samples arrive as per-block SMEM scalars so every BlockSpec
+    index map stays affine (non-affine maps stall the DMA pipeline).
     Returns inclusive (p1_pos, p1_x, p2_pos, p2_x) in the chosen direction.
     """
     rows, n = x.shape
@@ -272,34 +273,37 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
     xp = x.astype(jnp.float32)
     if pad:
         xp = jnp.concatenate([xp, jnp.zeros((rows, pad), jnp.float32)], axis=-1)
+    nblk = npad // BLK
+    # block-edge scalars: prev_edge[b] = x[b*BLK-1], next_edge[b] = x[(b+1)*BLK]
+    prev_edge = jnp.concatenate(
+        [xp[:, :1], xp[:, BLK - 1 : npad - 1 : BLK]], axis=-1
+    )  # (rows, nblk)
+    next_edge = jnp.concatenate(
+        [xp[:, BLK::BLK], xp[:, -1:]], axis=-1
+    )  # (rows, nblk)
     x3 = xp.reshape(rows, npad // _LANES, _LANES)
 
     sub = BLK // _LANES
-    nblk = npad // BLK
-    chunks = npad // (_SUBTILE * _LANES)
-    sub8 = sub // _SUBTILE
     if reverse:
-        main_map = lambda r, b: (r, nblk - 1 - b, 0)
-        prev_map = lambda r, b: (r, jnp.maximum((nblk - 1 - b) * sub8 - 1, 0), 0)
-        next_map = lambda r, b: (r, jnp.minimum((nblk - b) * sub8, chunks - 1), 0)
+        main_map = lambda r, b, _pe, _ne: (r, nblk - 1 - b, 0)
     else:
-        main_map = lambda r, b: (r, b, 0)
-        prev_map = lambda r, b: (r, jnp.maximum(b * sub8 - 1, 0), 0)
-        next_map = lambda r, b: (r, jnp.minimum((b + 1) * sub8, chunks - 1), 0)
+        main_map = lambda r, b, _pe, _ne: (r, b, 0)
 
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
-    mini_prev = pl.BlockSpec((1, _SUBTILE, _LANES), prev_map, memory_space=pltpu.VMEM)
-    mini_next = pl.BlockSpec((1, _SUBTILE, _LANES), next_map, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rows, nblk),
+        in_specs=[spec],
+        out_specs=[spec] * 4,
+        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
+    )
     outs = pl.pallas_call(
         _make_linear_fill2_kernel(reverse, n, nblk),
-        grid=(rows, nblk),
-        in_specs=[mini_prev, spec, mini_next],
-        out_specs=[spec] * 4,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
         ] * 4,
-        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
         interpret=interpret,
-    )(x3, x3, x3)
+    )(prev_edge, next_edge, x3)
     outs = tuple(o.reshape(rows, npad)[..., :n] for o in outs)
     return outs
