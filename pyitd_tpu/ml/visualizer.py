@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["MatrixDashboard"]
+__all__ = ["MatrixDashboard", "flame_attention_panel"]
 
 _GREEN = np.array([60, 220, 100], np.float32)
 _ORANGE = np.array([240, 150, 40], np.float32)
@@ -82,3 +82,28 @@ class MatrixDashboard:
         from PIL import Image
 
         return Image.fromarray(self.render())
+
+
+def flame_attention_panel(attn: np.ndarray, cell: int = 4) -> np.ndarray:
+    """Flame-colored attention-matrix panel (the TapeTransformer notebook's
+    visualization): maps weights through a black->red->orange->yellow->white
+    ramp.  ``attn``: (T, T) or (H, T, T) (heads tiled horizontally).
+    Returns (H*, W*, 3) uint8."""
+    a = np.asarray(attn, np.float32)
+    if a.ndim == 2:
+        a = a[None]
+    lo, hi = float(a.min()), float(a.max())
+    x = (a - lo) / ((hi - lo) or 1.0)
+
+    # piecewise flame ramp
+    r = np.clip(x * 3.0, 0, 1)
+    g = np.clip(x * 3.0 - 1.0, 0, 1)
+    b = np.clip(x * 3.0 - 2.0, 0, 1)
+    img = np.stack([r, g, b], axis=-1) * 255.0  # (H, T, T, 3)
+
+    tiles = [np.kron(img[h], np.ones((cell, cell, 1), np.float32)) for h in range(img.shape[0])]
+    sep = np.full((tiles[0].shape[0], 2, 3), 40.0, np.float32)
+    out = tiles[0]
+    for tl in tiles[1:]:
+        out = np.concatenate([out, sep, tl], axis=1)
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -65,3 +65,16 @@ def test_sharded_cubic_matches_single_device():
     np.testing.assert_array_equal(np.asarray(nex_s), np.asarray(ref.num_extrema))
     np.testing.assert_allclose(np.asarray(base_s), np.asarray(ref.baseline), atol=1e-9)
     np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotation), atol=1e-9)
+
+
+def test_pjit_batch_wrapper():
+    from pyitd_tpu.parallel.batch import pjit_itd_sift, shard_bank
+    from pyitd_tpu import itd_sift
+
+    x = bank(batch=4, n=512)
+    mesh = make_mesh(8, seq=2)  # data axis = 4
+    fn = pjit_itd_sift(mesh, 5)
+    rot, base, ncomp, reason = fn(shard_bank(jnp.asarray(x), mesh))
+    ref = itd_sift(jnp.asarray(x), 5)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(ref.rotations), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ncomp), np.asarray(ref.num_components))

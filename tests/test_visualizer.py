@@ -17,3 +17,13 @@ def test_dashboard_renders_and_tracks_loss():
     assert img.max() > 0
     # EWMA decreases with decreasing loss
     assert dash.loss_hist[-1] < dash.loss_hist[0] + 1e-9
+
+
+def test_flame_attention_panel():
+    from pyitd_tpu.ml.visualizer import flame_attention_panel
+
+    rng = np.random.default_rng(1)
+    attn = rng.random((2, 8, 8))
+    img = flame_attention_panel(attn, cell=3)
+    assert img.dtype == np.uint8
+    assert img.shape == (24, 24 * 2 + 2, 3)
