@@ -168,9 +168,14 @@ def _baseline_pallas(x, knots, it, n, endpoint_mode):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, n)
 
-    p1_pos, p1_x, p2_pos, p2_x = linear_fill2_pallas(x2)
+    # off-TPU the Mosaic kernel can't compile; interpret mode keeps the
+    # backend selectable (and CI-testable) everywhere
+    interp = jax.default_backend() != "tpu"
+    p1_pos, p1_x, p2_pos, p2_x = linear_fill2_pallas(x2, interpret=interp)
     # inclusive next-two; shifting left makes them strictly-after
-    i1_pos, i1_x, i2_pos, i2_x = linear_fill2_pallas(x2, reverse=True)
+    i1_pos, i1_x, i2_pos, i2_x = linear_fill2_pallas(
+        x2, reverse=True, interpret=interp
+    )
     n1_pos = _shift_left(i1_pos, 0.0)
     n1_x = _shift_left(i1_x, 0.0)
     n2_pos = _shift_left(i2_pos, 0.0)

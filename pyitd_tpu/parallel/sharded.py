@@ -182,17 +182,24 @@ def _level(x, axis_name, n_global, endpoint_mode):
 def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
     levels = max_iteration + 2
     rotation, baseline, _ = _level(x, axis_name, n_global, endpoint_mode)
-    # initial carries must already be device-varying for the loop (VMA rules)
-    def vary(a):
+
+    # Initial carries must carry the vma their loop-body updates will have
+    # (fori_loop needs carry-in == carry-out): per-sample arrays vary over
+    # both mesh axes; the per-batch scalars derive only from psum'd
+    # quantities, so they stay seq-invariant — which is what lets the
+    # caller emit them as P('data') under check_vma.
+    def vary(a, axes):
         have = jax.typeof(a).vma
-        need = tuple(ax for ax in ("data", axis_name) if ax not in have)
+        need = tuple(ax for ax in axes if ax not in have)
         return lax.pvary(a, need) if need else a
-    out = vary(jnp.zeros((levels,) + x.shape, x.dtype))
+
+    both = ("data", axis_name)
+    out = vary(jnp.zeros((levels,) + x.shape, x.dtype), both)
     batch = x.shape[:-1]
-    done = vary(jnp.zeros(batch, bool))
-    reason = vary(jnp.zeros(batch, jnp.int32))
-    ncomp = vary(jnp.zeros(batch, jnp.int32))
-    prev_base = vary(jnp.zeros_like(x))
+    done = vary(jnp.zeros(batch, bool), ("data",))
+    reason = vary(jnp.zeros(batch, jnp.int32), ("data",))
+    ncomp = vary(jnp.zeros(batch, jnp.int32), ("data",))
+    prev_base = vary(jnp.zeros_like(x), both)
 
     def body(i, carry):
         rotation, baseline, prev_base, out, done, reason, ncomp = carry
@@ -235,7 +242,6 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
         mesh=mesh,
         in_specs=P("data", "seq"),
         out_specs=(P(None, "data", "seq"), P("data"), P("data")),
-        check_vma=False,  # ncomp/reason are seq-replicated by construction
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     return jax.jit(fn)(xs)
@@ -345,24 +351,59 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     return x - baseline, baseline, nex
 
 
+@partial(jax.jit, static_argnames=("seq",))
+def _max_knots_per_shard(x, seq: int):
+    """Exact max over (batch, shards) of per-shard knot-buffer occupancy.
+
+    One elementwise pass + reduction; runs under whatever sharding ``x``
+    already has.  Knots = interior extrema plus the global endpoints, and
+    every shard may also contribute up to nothing extra — the +2 for the
+    end knots is folded in by counting them in their owning shard."""
+    n = x.shape[-1]
+    it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    dxb = jnp.where(jnp.isnan(jnp.diff(x, prepend=x[..., :1])), jnp.inf,
+                    jnp.diff(x, prepend=x[..., :1]))
+    dxf = jnp.where(jnp.isnan(jnp.diff(x, append=x[..., -1:])), jnp.inf,
+                    jnp.diff(x, append=x[..., -1:]))
+    interior = (it > 0) & (it < n - 1)
+    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
+    knots = mask | (it == 0) | (it == n - 1)
+    per_shard = knots.reshape(x.shape[:-1] + (seq, n // seq)).sum(axis=-1)
+    return jnp.max(per_shard)
+
+
 def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = None,
                            min_extrema: int = 10):
     """Sequence-parallel MEITD-tier cubic baseline over a (data, seq) mesh.
 
     Matches ``ops.cubic_baseline.cubic_baseline_extract`` on a single device;
     cross-shard cost is one small all_gather of per-shard knot buffers.
+
+    The gathered buffer is ``seq * capacity_per_shard`` wide, so the
+    capacity sets the replicated-solve cost.  When not given, it is
+    measured: a cheap jitted counting pass finds the exact max per-shard
+    knot occupancy and the capacity is that count rounded up (×1 — the
+    count is exact, rounding only stabilizes recompiles).  At realistic
+    extrema densities this keeps the gather O(#knots), not O(n_global).
+    Callers wanting one stable compiled shape across many signals should
+    pass ``capacity_per_shard`` explicitly (e.g. from a worst-case density).
+
     Returns (rotation, baseline, num_extrema)."""
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
     n_loc = n_global // seq
-    cap = capacity_per_shard or (n_loc + 2)
+    if capacity_per_shard is None:
+        measured = int(_max_knots_per_shard(jnp.asarray(x), seq))
+        # round up to a multiple of 8 (sublane alignment, fewer recompiles)
+        cap = min(max(-(-(measured) // 8) * 8, 8), n_loc + 2)
+    else:
+        cap = capacity_per_shard
     fn = shard_map(
         partial(_cubic_local, axis_name="seq", n_global=n_global, cap=cap,
                 min_extrema=min_extrema),
         mesh=mesh,
         in_specs=P("data", "seq"),
         out_specs=(P("data", "seq"), P("data", "seq"), P("data")),
-        check_vma=False,
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     return jax.jit(fn)(xs)

@@ -1,0 +1,141 @@
+"""Interpret-mode parity tests for the Pallas fill kernels.
+
+The Pallas kernels (``ops/pallas_fill.py``) produce the headline TPU number;
+these tests pin them to the associative-scan backend (``ops/fill.py``) in
+``interpret=True`` mode so the CPU suite covers the TPU hot path: the
+``_combine`` semigroup, the lane/sublane doubling scans, and — most
+regression-prone — the cross-block SMEM carry.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyitd_tpu.ops.pallas_fill import fill2_pallas, linear_fill2_pallas, BLK
+from pyitd_tpu.ops.fill import forward_fill2_scan, backward_fill2_scan
+from pyitd_tpu.ops.linear_baseline import _knot_mask, linear_baseline_extract
+
+
+def _scan_ref(pos, x, mask, reverse):
+    fn = backward_fill2_scan if reverse else forward_fill2_scan
+    (p1, x1), (p2, x2), _ = fn((pos, x), mask, (0.0, 0.0))
+    return p1, x1, p2, x2
+
+
+def _check(pos, x, mask, reverse):
+    got = fill2_pallas(pos, x, mask, reverse=reverse, interpret=True)
+    want = _scan_ref(pos, x, mask, reverse)
+    for g, w, name in zip(got, want, ("p1_pos", "p1_x", "p2_pos", "p2_x")):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w), err_msg=f"{name} reverse={reverse}"
+        )
+
+
+def _inputs(rows, n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(
+        np.broadcast_to(np.arange(n, dtype=np.float32), (rows, n)).copy()
+    )
+    x = jnp.asarray(rng.normal(size=(rows, n)).astype(np.float32))
+    mask = jnp.asarray(rng.random((rows, n)) < density)
+    return pos, x, mask
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("n", [BLK, 2 * BLK, BLK + 517, 3 * BLK - 1])
+def test_fill2_parity_random(reverse, n):
+    pos, x, mask = _inputs(rows=2, n=n, density=0.01, seed=n)
+    _check(pos, x, mask, reverse)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fill2_block_boundary_marks(reverse):
+    """Marks exactly at block edges exercise the SMEM carry hand-off."""
+    n = 3 * BLK
+    pos, x, _ = _inputs(rows=1, n=n, density=0.0)
+    idx = [0, BLK - 1, BLK, BLK + 1, 2 * BLK - 1, 2 * BLK, n - 1]
+    mask = jnp.zeros((1, n), bool)
+    for i in idx:
+        mask = mask.at[0, i].set(True)
+    _check(pos, x, mask, reverse)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fill2_carry_across_empty_blocks(reverse):
+    """Marks only in the first (last) block: every later (earlier) sample's
+    fill must come purely from the cross-block carry."""
+    n = 3 * BLK
+    pos, x, _ = _inputs(rows=1, n=n, density=0.0, seed=1)
+    mask = jnp.zeros((1, n), bool)
+    if reverse:
+        mask = mask.at[0, n - 100].set(True).at[0, n - 50].set(True)
+    else:
+        mask = mask.at[0, 100].set(True).at[0, 200].set(True)
+    _check(pos, x, mask, reverse)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fill2_degenerate_masks(reverse):
+    """Empty mask (defaults everywhere), full mask, and single-mark rows,
+    stacked so row independence is also checked."""
+    n = BLK + 130
+    pos, x, _ = _inputs(rows=4, n=n, density=0.0, seed=2)
+    mask = jnp.zeros((4, n), bool)
+    mask = mask.at[1].set(True)                      # all marked
+    mask = mask.at[2, n // 2].set(True)              # one mark mid-signal
+    mask = mask.at[3, 0].set(True).at[3, n - 1].set(True)
+    _check(pos, x, mask, reverse)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_linear_fill2_parity(reverse):
+    """The ITD-specialized kernel derives the knot mask in-kernel; it must
+    match the XLA mask + scan fill bit-for-bit (pure selection, no FP)."""
+    rng = np.random.default_rng(3)
+    n = 2 * BLK + 300
+    x = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    got = linear_fill2_pallas(x, reverse=reverse, interpret=True)
+    knots = _knot_mask(x)
+    posf = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32), x.shape
+    )
+    want = _scan_ref(posf, x, knots, reverse)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_linear_fill2_nan_quarantine():
+    """NaN samples and their neighbors are excluded from the knot mask
+    in-kernel, matching extrema_mask's quarantine."""
+    rng = np.random.default_rng(4)
+    n = BLK
+    xa = rng.normal(size=(1, n)).astype(np.float32)
+    xa[0, 1000] = np.nan
+    xa[0, 5000] = np.nan
+    x = jnp.asarray(xa)
+    got = linear_fill2_pallas(x, interpret=True)
+    knots = _knot_mask(x)
+    posf = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32), x.shape)
+    want = _scan_ref(posf, x, knots, False)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("endpoint_mode", ["reference", "natural"])
+def test_pallas_backend_full_level(endpoint_mode):
+    """backend='pallas' (interpret on CPU) matches backend='scan' on a full
+    linear-baseline level, f32, to f32 roundoff."""
+    rng = np.random.default_rng(5)
+    t = np.linspace(0, 6 * np.pi, BLK + 700)
+    sig = np.sin(3 * t) + 0.3 * rng.normal(size=t.size)
+    x = jnp.asarray(np.stack([sig, sig[::-1]]), dtype=jnp.float32)
+    got = linear_baseline_extract(x, endpoint_mode=endpoint_mode,
+                                  backend="pallas")
+    want = linear_baseline_extract(x, endpoint_mode=endpoint_mode,
+                                   backend="scan")
+    np.testing.assert_allclose(
+        np.asarray(got.baseline), np.asarray(want.baseline),
+        rtol=0, atol=5e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.num_extrema), np.asarray(want.num_extrema)
+    )

@@ -67,6 +67,34 @@ def test_sharded_cubic_matches_single_device():
     np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotation), atol=1e-9)
 
 
+def test_sharded_cubic_large_n_bounded_capacity():
+    """At n=65536 the auto capacity must be O(#knots) per shard, not
+    O(n_global) — the regression that made the knot all_gather replicate
+    the whole signal (round-1 default was n_loc + 2)."""
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+    from pyitd_tpu.parallel.sharded import (
+        _max_knots_per_shard, sharded_cubic_baseline,
+    )
+
+    n = 65536
+    t = np.linspace(0, 1, n)
+    # ~40 extrema: sparse knots, so a tight capacity matters
+    x = np.stack([np.sin(40 * np.pi * t) + 0.5 * t,
+                  np.cos(34 * np.pi * t) - 0.3 * t])
+    mesh = make_mesh(8, seq=4)
+    n_loc = n // 4
+
+    measured = int(_max_knots_per_shard(jnp.asarray(x), 4))
+    assert measured <= 16, measured          # sanity: sparse as constructed
+    assert measured < n_loc // 100           # the point: << O(n_loc)
+
+    rot_s, base_s, nex_s = sharded_cubic_baseline(jnp.asarray(x), mesh)
+    ref = cubic_baseline_extract(jnp.asarray(x), capacity=64)
+    np.testing.assert_array_equal(np.asarray(nex_s), np.asarray(ref.num_extrema))
+    np.testing.assert_allclose(np.asarray(base_s), np.asarray(ref.baseline),
+                               atol=1e-9)
+
+
 def test_pjit_batch_wrapper():
     from pyitd_tpu.parallel.batch import pjit_itd_sift, shard_bank
     from pyitd_tpu import itd_sift
