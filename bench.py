@@ -21,7 +21,7 @@ def main():
     import jax.numpy as jnp
 
     from pyitd_tpu import itd_sift
-    from pyitd_tpu.utils.summation import neumaier_sum
+    from pyitd_tpu.utils.summation import neumaier_sum_parts
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -39,14 +39,19 @@ def main():
 
     @jax.jit
     def run(a, salt):
-        res = itd_sift(a + salt, max_iteration, store_baselines=False)
-        recon = neumaier_sum(res.rotations, axis=0)
-        err = jnp.max(jnp.abs(recon - (a + salt)))
+        xx = a + salt
+        res = itd_sift(xx, max_iteration, store_baselines=False)
+        s, c = neumaier_sum_parts(res.rotations, axis=0)
+        err = jnp.max(jnp.abs((s + c) - xx))  # fast-path (f32) error
+        # verify path: s - xx is exact where s ~ xx (Sterbenz), so adding the
+        # Neumaier residual and the sift's telescoping correction recovers
+        # the true reconstruction error to ~1 ulp of the correction itself
+        err_comp = jnp.max(jnp.abs((s - xx) + (c + res.correction)))
         checksum = jnp.sum(res.rotations[0]) + jnp.sum(res.num_components)
-        return checksum, err, jnp.max(res.num_components)
+        return checksum, err, err_comp, jnp.max(res.num_components)
 
     t0 = time.time()
-    cs, err, ncomp = run(x, 0.0)
+    cs, err, err_comp, ncomp = run(x, 0.0)
     cs.block_until_ready()
     float(cs)  # host fetch = completion barrier
     print(f"compile+first run: {time.time()-t0:.2f}s", file=sys.stderr)
@@ -56,12 +61,13 @@ def main():
     acc = 0.0
     for i in range(iters):
         # vary the input (salt) so cached results can't short-circuit
-        cs, err, ncomp = run(x, float(i) * 1e-6)
+        cs, err, err_comp, ncomp = run(x, float(i) * 1e-6)
         acc += float(cs)
     dt = (time.time() - t0) / iters
     msamp = batch * n / dt / 1e6
 
-    print(f"levels used: {int(ncomp)}, recon max-abs err (f32 path): {float(err):.3e}",
+    print(f"levels used: {int(ncomp)}, recon max-abs err (f32 path): {float(err):.3e}, "
+          f"compensated: {float(err_comp):.3e} (target <=1e-10)",
           file=sys.stderr)
     print(f"time/sift: {dt*1e3:.1f} ms for {batch}x{n} (checksum {acc:.3e})",
           file=sys.stderr)

@@ -1,0 +1,113 @@
+"""Per-kernel profiling harness for the ITD hot path (SURVEY.md §5).
+
+Times each stage of one sift level in isolation on the attached device and
+derives roofline positions (achieved element throughput vs the VPU/HBM
+ceilings), then captures a ``jax.profiler`` trace of the full sift into
+``profiles/`` when the runtime supports it (remote-relay attachments may
+not).  Run on the real chip with the stock environment:
+
+    python bench_profile.py [batch] [n]
+
+Prints a stage table to stderr and one JSON summary line to stdout.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+# v5e single-core ceilings (public spec): ~0.8 Tf32-op/s VPU (4 MXU-free
+# vector units x 8x128 lanes x ~940 MHz x 2 ops), ~819 GB/s HBM.
+VPU_OPS = 0.8e12
+HBM_BPS = 819e9
+
+
+def _time(fn, *args, iters=5):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyitd_tpu import itd_sift
+    from pyitd_tpu.ops.extrema import count_extrema
+    from pyitd_tpu.ops.linear_baseline import linear_baseline_extract
+    from pyitd_tpu.ops.pallas_fill import linear_fill2_pallas
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    print(f"device: {dev} ({batch}x{n})", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, n)
+    x = jnp.asarray(
+        np.sin(20 * t[None] * (1 + 0.2 * t[None]))
+        + 0.3 * rng.normal(size=(batch, n)),
+        dtype=jnp.float32,
+    )
+    elems = batch * n
+    interp = not on_tpu
+
+    fwd = jax.jit(lambda a: linear_fill2_pallas(a, interpret=interp))
+    rev = jax.jit(lambda a: linear_fill2_pallas(a, reverse=True, interpret=interp))
+    level = jax.jit(lambda a: linear_baseline_extract(a, backend="auto").baseline)
+    nex = jax.jit(count_extrema)
+    sift = jax.jit(lambda a: itd_sift(a, 8, store_baselines=False).rotations)
+
+    stages = [
+        # (name, fn, VPU op estimate per element, HBM bytes per element)
+        ("fill2 fwd (pallas)", fwd, 170, 4 + 16),      # x in, 4ch out
+        ("fill2 rev (pallas)", rev, 170, 4 + 16),
+        ("full level (fills+knots+interp)", level, 400, 4 + 4),
+        ("extrema count", nex, 10, 4),
+        ("full sift (10 levels)", sift, 4000, 4 + 40),
+    ]
+
+    rows = []
+    for name, fn, ops_est, bytes_est in stages:
+        dt = _time(fn, x)
+        msamp = elems / dt / 1e6
+        vpu_frac = ops_est * elems / dt / VPU_OPS
+        hbm_frac = bytes_est * elems / dt / HBM_BPS
+        rows.append((name, dt, msamp, vpu_frac, hbm_frac))
+        print(
+            f"{name:36s} {dt*1e3:8.2f} ms  {msamp:9.1f} Msamp/s"
+            f"   ~VPU {vpu_frac*100:5.1f}%   ~HBM {hbm_frac*100:5.1f}%",
+            file=sys.stderr,
+        )
+
+    trace_ok = False
+    try:
+        with jax.profiler.trace("profiles"):
+            jax.block_until_ready(sift(x))
+        trace_ok = True
+        print("trace written to profiles/", file=sys.stderr)
+    except Exception as e:  # remote relays can't always host the collector
+        print(f"profiler trace unavailable: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sift_level_time",
+                "value": round(rows[2][1] * 1e3, 3),
+                "unit": "ms",
+                "stages": {r[0]: round(r[1] * 1e3, 3) for r in rows},
+                "trace": trace_ok,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

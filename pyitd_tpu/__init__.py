@@ -34,7 +34,10 @@ from .decomp.serial2d import sconcatenate, sdeconcatenate
 from .decomp.stirft import stirft, istirft, compute_synthesis_window
 from .decomp.lindeberg import time_causal_stft
 from .decomp.trend import decompose_signal, custom_filter_engine
-from .decomp.streaming import streaming_itd, streaming_step, streaming_init
+from .decomp.streaming import (
+    streaming_itd, streaming_step, streaming_init,
+    iq_baseline_extract, streaming_itd_iq, streaming_step_iq, iq_extrema_mask,
+)
 from .ops.extrema import extrema_mask, extrema_masks, count_extrema
 from .ops.linear_baseline import linear_baseline_extract
 from .ops.cubic_baseline import cubic_baseline_extract, template_fast_baseline
@@ -57,6 +60,8 @@ __all__ = [
     "time_causal_stft",
     "decompose_signal", "custom_filter_engine",
     "streaming_itd", "streaming_step", "streaming_init",
+    "iq_baseline_extract", "streaming_itd_iq", "streaming_step_iq",
+    "iq_extrema_mask",
     "extrema_mask", "extrema_masks", "count_extrema",
     "linear_baseline_extract", "cubic_baseline_extract", "template_fast_baseline",
     "weighted_permutation_entropy",

@@ -48,12 +48,35 @@ class SiftResult(NamedTuple):
     ``rotations``/``baselines`` carry the level axis first:
     ``(levels, *batch, n)``.  ``num_components`` rows of ``rotations`` are
     valid (the last valid row is the residual trend); rows beyond are zero.
+
+    ``correction`` is the compensated-reconstruction term (SURVEY.md §7
+    hard-part f): the sift telescopes (each rotation is a stored-value
+    difference), so the only reconstruction error is the rounding of those
+    per-level subtractions.  Each level's exact rounding residual (Knuth
+    two-sum) is accumulated here, making
+    ``sum(rotations[:num_components]) + correction == x`` exact to the
+    roundoff of the *correction itself* (~1e-13 for f32 O(1) signals —
+    well under the reference's 1e-10 bar, ``/root/reference/ITD.py:505-508``)
+    without leaving the fast f32 path.  Add it to the residual row (or keep
+    it as an extra component) when bit-faithful reconstruction matters.
     """
 
     rotations: jax.Array
     baselines: jax.Array
     num_components: jax.Array  # int32, per batch element
     stop_reason: jax.Array     # int32, STOP_FLAT or STOP_BUDGET
+    correction: jax.Array      # (*batch, n), same dtype as x
+
+
+def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
+    """Exact rounding residual of ``s = fl(a + b)``: returns (a+b) - s.
+
+    Knuth's branchless two-sum; valid for arbitrary a, b (no magnitude
+    ordering).  XLA does not reassociate floating point by default, so the
+    cancellation pattern survives compilation.
+    """
+    bb = s - a
+    return (a - (s - bb)) + (b - bb)
 
 
 @partial(jax.jit, static_argnames=("max_iteration", "endpoint_mode", "store_baselines"))
@@ -69,6 +92,9 @@ def itd_sift(
     extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
 
     rotation, baseline, _ = extract(x)
+    # pending_err: exact rounding residual of the not-yet-emitted rotation
+    # (rotation = fl(input - baseline); err = (input - baseline) - rotation)
+    pending_err = _two_sum_err(x, -baseline, rotation)
     zero = jnp.zeros_like(x)
     out_rot = jnp.zeros((levels,) + x.shape, dtype=x.dtype)
     base_levels = levels if store_baselines else 1
@@ -79,9 +105,11 @@ def itd_sift(
     reason = jnp.zeros(batch_shape, dtype=jnp.int32)
     ncomp = jnp.zeros(batch_shape, dtype=jnp.int32)
     prev_base = zero  # mirrors the reference's zero-filled container read
+    comp = zero       # accumulated correction (see SiftResult.correction)
 
     def body(i, carry):
-        rotation, baseline, prev_base, out_rot, out_base, done, reason, ncomp = carry
+        (rotation, baseline, prev_base, out_rot, out_base, done, reason,
+         ncomp, pending_err, comp) = carry
         nex = count_extrema(baseline)
 
         stop_a = (~done) & (nex < 2)
@@ -89,7 +117,8 @@ def itd_sift(
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b
 
-        residual = jnp.where(stop_a[..., None], prev_base, rotation + baseline)
+        res_sum = rotation + baseline
+        residual = jnp.where(stop_a[..., None], prev_base, res_sum)
         row = jnp.where(
             stopping[..., None],
             residual,
@@ -100,9 +129,21 @@ def itd_sift(
             base_row = jnp.where(cont[..., None], baseline, jnp.zeros_like(baseline))
             out_base = out_base.at[i].set(base_row)
 
+        # compensation: the pending rotation's subtraction error enters the
+        # output when the rotation is emitted (cont) or folded into the
+        # stop-B residual; stop A discards the pending extraction entirely.
+        # Stop B's residual addition rounds once more (res_err).
+        res_err = _two_sum_err(rotation, baseline, res_sum)
+        emit = (cont | stop_b)[..., None]
+        comp = comp + jnp.where(emit, pending_err, 0.0) + jnp.where(
+            stop_b[..., None], res_err, 0.0
+        )
+
         new_rot, new_base, _ = extract(baseline)
+        new_err = _two_sum_err(baseline, -new_base, new_rot)
         keep = cont[..., None]
         rotation = jnp.where(keep, new_rot, rotation)
+        pending_err = jnp.where(keep, new_err, pending_err)
         prev_base = jnp.where(keep, baseline, prev_base)
         baseline = jnp.where(keep, new_base, baseline)
 
@@ -111,16 +152,21 @@ def itd_sift(
             stop_a, STOP_FLAT, jnp.where(stop_b, STOP_BUDGET, reason)
         )
         done = done | stopping
-        return rotation, baseline, prev_base, out_rot, out_base, done, reason, ncomp
+        return (rotation, baseline, prev_base, out_rot, out_base, done,
+                reason, ncomp, pending_err, comp)
 
-    carry = (rotation, baseline, prev_base, out_rot, out_base, done, reason, ncomp)
+    carry = (rotation, baseline, prev_base, out_rot, out_base, done, reason,
+             ncomp, pending_err, comp)
     carry = lax.fori_loop(0, levels, body, carry)
-    _, _, _, out_rot, out_base, done, reason, ncomp = carry
+    out_rot, out_base, reason, ncomp, comp = (
+        carry[3], carry[4], carry[6], carry[7], carry[9]
+    )
     return SiftResult(
         rotations=out_rot,
         baselines=out_base,
         num_components=ncomp,
         stop_reason=reason,
+        correction=comp,
     )
 
 

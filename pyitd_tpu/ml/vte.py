@@ -19,8 +19,9 @@ JAX ports of the attention-free architecture's building blocks:
   time (``VTE.py:582-673``).
 
 Branchless TPU style: the reference's boolean-indexed guard branches become
-``where`` selects.  The full ManifoldAttentionNoAttn stages and the GPT
-wrapper assemble from these pieces (planned next round).
+``where`` selects.  The full ManifoldAttentionNoAttn stages
+(:class:`ManifoldStage`) and the GPT wrapper (:class:`BlockFastGPT`)
+assemble from these pieces further down in this module.
 """
 from __future__ import annotations
 

@@ -16,7 +16,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..decomp.itd import itd_sift
 
-__all__ = ["pjit_itd_sift", "shard_bank"]
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["pjit_itd_sift", "shard_bank", "sharded_streaming_itd"]
 
 
 def shard_bank(x, mesh: Mesh):
@@ -40,3 +45,34 @@ def pjit_itd_sift(mesh: Mesh, max_iteration: int = 11, **kwargs):
         return res.rotations, res.baselines, res.num_components, res.stop_reason
 
     return fn
+
+
+def sharded_streaming_itd(mesh: Mesh, hop: int, *, iq: bool = False):
+    """Block-protocol streaming over a channel bank, channels sharded on
+    the 'data' mesh axis via ``shard_map``.
+
+    Channel banks are the native tier's multi-channel use case
+    (``itd.cpp:41-44``): every channel runs the 3-hop protocol
+    independently, so each shard scans its local channels with **zero
+    collectives** — shard_map makes that guarantee structural.  Returns a
+    jitted callable ``f(x[channels, n]) -> (rotations, baselines, ready)``
+    with hop-major outputs like :func:`...decomp.streaming.streaming_itd`.
+    With ``iq=True`` channels are complex and outputs follow
+    :func:`...decomp.streaming.streaming_itd_iq`.
+    """
+    from ..decomp.streaming import streaming_itd, streaming_itd_iq
+
+    run = streaming_itd_iq if iq else streaming_itd
+
+    fn = shard_map(
+        partial(run, hop=hop),
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(None, "data", None), P(None, "data", None), P(None, "data")),
+    )
+
+    def wrapped(x):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        return jax.jit(fn)(xs)
+
+    return wrapped

@@ -12,11 +12,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["neumaier_sum", "reconstruction_error"]
+__all__ = ["neumaier_sum", "neumaier_sum_parts", "reconstruction_error"]
 
 
-def neumaier_sum(components: jax.Array, axis: int = 0) -> jax.Array:
-    """Compensated sum along ``axis`` (Neumaier variant of Kahan)."""
+def neumaier_sum_parts(components: jax.Array, axis: int = 0):
+    """Compensated sum along ``axis``; returns ``(s, c)`` with the true sum
+    ≈ ``s + c`` and every per-step rounding residual captured in ``c``.
+
+    Exposing the parts lets callers combine ``c`` with other tiny terms
+    (e.g. ``SiftResult.correction``) before the one final rounding."""
     comps = jnp.moveaxis(components, axis, 0)
 
     def step(carry, v):
@@ -27,6 +31,12 @@ def neumaier_sum(components: jax.Array, axis: int = 0) -> jax.Array:
         return (t, c), None
 
     (s, c), _ = lax.scan(step, (jnp.zeros_like(comps[0]), jnp.zeros_like(comps[0])), comps)
+    return s, c
+
+
+def neumaier_sum(components: jax.Array, axis: int = 0) -> jax.Array:
+    """Compensated sum along ``axis`` (Neumaier variant of Kahan)."""
+    s, c = neumaier_sum_parts(components, axis=axis)
     return s + c
 
 

@@ -66,6 +66,38 @@ def test_batched_sift():
         )
 
 
+def test_compensated_correction_f32_exact():
+    """The f32 fast path plus SiftResult.correction reconstructs the input
+    exactly under f64 summation (SURVEY.md §7 hard-part f: the on-chip
+    route to the reference's <=1e-10 bar without leaving f32)."""
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, 4096)
+    sigs = (
+        np.sin(20 * t * (1 + 0.2 * t))[None]
+        + 0.3 * rng.normal(size=(3, t.size))
+    ).astype(np.float32)
+    for max_it in (9, 2):  # stop A (natural) and stop B (budget) paths
+        res = itd_sift(jnp.asarray(sigs), max_it)
+        rot = np.asarray(res.rotations, dtype=np.float64)
+        corr = np.asarray(res.correction, dtype=np.float64)
+        raw = np.abs(rot.sum(0) - sigs).max()
+        comp = np.abs(rot.sum(0) + corr - sigs).max()
+        assert comp <= 1e-10, (comp, max_it)
+        # and the correction is doing real work on the f32 path
+        assert raw > 1e-9, raw
+
+
+def test_correction_zero_information_loss_f64():
+    """In f64 the correction is ~1e-16-scale and the invariant still holds."""
+    s = demo_chirp()
+    res = itd_sift(jnp.asarray(s))
+    corr = np.asarray(res.correction)
+    assert np.abs(corr).max() < 1e-12
+    n = int(res.num_components)
+    total = np.asarray(res.rotations[:n]).sum(0) + corr
+    assert np.abs(total - s).max() < 1e-13
+
+
 def test_grad_does_not_crash():
     # functional bonus over the reference: the sift is differentiable
     s = jnp.asarray(demo_chirp(128))

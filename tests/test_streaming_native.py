@@ -89,6 +89,91 @@ def test_native_streaming_matches_jax_protocol():
         np.testing.assert_allclose(rot + base, want, atol=1e-10)
 
 
+def iq_pair(n, seed=0):
+    """An IQ pair engineered to have coincident extrema in both channels
+    (pure quadrature pairs never coincide — itd.cpp:74-82 semantics)."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n)
+    re = np.cos(2 * np.pi * 25 * t) * (1 + 0.3 * np.sin(2 * np.pi * 2 * t))
+    im = 0.7 * re + 0.2 + 0.02 * np.sin(2 * np.pi * 5 * t)
+    return re, im
+
+
+@needs_native
+def test_iq_jax_matches_native():
+    from pyitd_tpu import iq_baseline_extract
+
+    re, im = iq_pair(1024)
+    want, (epos, ecnt) = runtime.baseline_extract_iq(re, im)
+    got, (pos, count) = iq_baseline_extract(jnp.asarray(re), jnp.asarray(im))
+    m = int(count)
+    assert m == int(ecnt[0])
+    np.testing.assert_array_equal(np.asarray(pos[:m]), epos[:m])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-9)
+
+
+@needs_native
+def test_iq_extrema_reuse_matches_native():
+    """compute_extrema=false protocol: knot placement from a first pass is
+    reused on adjusted data (itd.cpp:41-44)."""
+    from pyitd_tpu import iq_baseline_extract
+
+    re, im = iq_pair(1024, seed=1)
+    _, state_j = iq_baseline_extract(jnp.asarray(re), jnp.asarray(im))
+    _, state_n = runtime.baseline_extract_iq(re, im)
+    re2, im2 = re * 1.1 + 0.05, im * 0.9 - 0.02
+    want, _ = runtime.baseline_extract_iq(re2, im2, extrema_state=state_n)
+    got, _ = iq_baseline_extract(
+        jnp.asarray(re2), jnp.asarray(im2), extrema=state_j
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-9)
+
+
+def test_iq_baseline_degenerate_quadrature():
+    """A true quadrature pair has no joint extrema -> zero baseline."""
+    from pyitd_tpu import iq_baseline_extract, iq_extrema_mask
+
+    t = np.linspace(0, 1, 512)
+    re, im = np.cos(2 * np.pi * 20 * t), np.sin(2 * np.pi * 20 * t)
+    assert int(iq_extrema_mask(jnp.asarray(re), jnp.asarray(im)).sum()) == 0
+    base, (_, count) = iq_baseline_extract(jnp.asarray(re), jnp.asarray(im))
+    assert int(count) == 0
+    np.testing.assert_array_equal(np.asarray(base), np.zeros(512))
+
+
+def test_iq_streaming_reconstructs_inner_hops():
+    from pyitd_tpu import streaming_itd_iq
+
+    re, im = iq_pair(1024, seed=2)
+    x = (re + 1j * im).astype(np.complex128)
+    hop = 128
+    rots, bases, readys = streaming_itd_iq(jnp.asarray(x), hop)
+    r, b, rd = np.asarray(rots), np.asarray(bases), np.asarray(readys)
+    assert rd[:2].sum() == 0 and rd[2:].all()
+    for k in range(2, r.shape[0]):
+        want = x[(k - 1) * hop : k * hop]
+        got = r[k] + b[k] * (1 + 1j)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_sharded_streaming_channel_bank():
+    import jax
+    from pyitd_tpu.parallel.batch import sharded_streaming_itd
+    from pyitd_tpu.parallel.sharded import make_mesh
+    from pyitd_tpu.decomp.streaming import streaming_itd
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, seq=1)  # 8-way channel sharding
+    chans = np.stack([chirpy(512, seed=s) for s in range(16)])
+    hop = 64
+    fn = sharded_streaming_itd(mesh, hop)
+    rots, bases, readys = fn(jnp.asarray(chans))
+    ref = streaming_itd(jnp.asarray(chans), hop)
+    np.testing.assert_allclose(np.asarray(rots), np.asarray(ref[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bases), np.asarray(ref[1]), atol=1e-12)
+
+
 @needs_native
 def test_native_pool_batch_and_bench():
     rng = np.random.default_rng(5)
