@@ -4,10 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 metric is sift throughput in Msamples/sec/chip (samples = batch * N) and
 vs_baseline is value / 100 (the >=100 Msamp/s v5e target from BASELINE.md).
 
-Design notes for remote/relay TPU attachments: everything (sift + checksum
-+ compensated-sum reconstruction error) is ONE jitted function returning
-scalars, and timing fetches a scalar each iteration — a host round trip is
-the only reliable completion barrier on async backends.
+Remote/relay measurement discipline:
+* correctness (reconstruction error, fast + compensated paths) is checked in
+  a separate un-timed call;
+* throughput is measured steady-state: ONE jitted call chains ``inner``
+  data-dependent sift repetitions (each iteration's input is salted with the
+  previous checksum, so neither the relay's result cache nor XLA CSE can
+  collapse them, and iterations cannot overlap) and returns a scalar.  The
+  per-sift time is ``(t(inner=hi) - t(inner=lo)) / (hi - lo)``, which
+  cancels the relay's ~30 ms dispatch floor — an artifact of the remote
+  attachment, not of the chip.
 """
 import json
 import sys
@@ -38,37 +44,56 @@ def main():
     x = jnp.asarray(sigs, dtype=jnp.float32)
 
     @jax.jit
-    def run(a, salt):
-        xx = a + salt
-        res = itd_sift(xx, max_iteration, store_baselines=False)
+    def check(a):
+        res = itd_sift(a, max_iteration, store_baselines=False)
         s, c = neumaier_sum_parts(res.rotations, axis=0)
-        err = jnp.max(jnp.abs((s + c) - xx))  # fast-path (f32) error
-        # verify path: s - xx is exact where s ~ xx (Sterbenz), so adding the
+        err = jnp.max(jnp.abs((s + c) - a))  # fast-path (f32) error
+        # verify path: s - a is exact where s ~ a (Sterbenz), so adding the
         # Neumaier residual and the sift's telescoping correction recovers
         # the true reconstruction error to ~1 ulp of the correction itself
-        err_comp = jnp.max(jnp.abs((s - xx) + (c + res.correction)))
-        checksum = jnp.sum(res.rotations[0]) + jnp.sum(res.num_components)
-        return checksum, err, err_comp, jnp.max(res.num_components)
+        err_comp = jnp.max(jnp.abs((s - a) + (c + res.correction)))
+        return err, err_comp, jnp.max(res.num_components)
+
+    def timed(inner):
+        @jax.jit
+        def run(a, salt):
+            def body(i, carry):
+                acc, seed = carry
+                res = itd_sift(a + (salt + seed * 1e-12), max_iteration,
+                               store_baselines=False)
+                cs = jnp.sum(res.rotations[0, :, ::65536]) + jnp.sum(
+                    res.num_components
+                )
+                return acc + cs, cs * 1e-9
+            acc, _ = jax.lax.fori_loop(
+                0, inner, body, (jnp.float32(0), jnp.float32(0))
+            )
+            return acc
+        return run
 
     t0 = time.time()
-    cs, err, err_comp, ncomp = run(x, 0.0)
-    cs.block_until_ready()
-    float(cs)  # host fetch = completion barrier
-    print(f"compile+first run: {time.time()-t0:.2f}s", file=sys.stderr)
+    err, err_comp, ncomp = check(x)
+    err_f = float(err)
+    print(f"compile+check run: {time.time()-t0:.2f}s", file=sys.stderr)
+    print(
+        f"levels used: {int(ncomp)}, recon max-abs err (f32 path): {err_f:.3e}, "
+        f"compensated: {float(err_comp):.3e} (target <=1e-10)",
+        file=sys.stderr,
+    )
 
-    iters = 5
-    t0 = time.time()
+    lo_n, hi_n = 1, 6
+    lo, hi = timed(lo_n), timed(hi_n)
+    float(lo(x, 0.0))  # compile
+    float(hi(x, 1.0))
+    best = np.inf
     acc = 0.0
-    for i in range(iters):
-        # vary the input (salt) so cached results can't short-circuit
-        cs, err, err_comp, ncomp = run(x, float(i) * 1e-6)
-        acc += float(cs)
-    dt = (time.time() - t0) / iters
+    for r in range(3):
+        t0 = time.time(); acc += float(lo(x, 2.0 + r)); t_lo = time.time() - t0
+        t0 = time.time(); acc += float(hi(x, 5.0 + r)); t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / (hi_n - lo_n))
+    dt = best
     msamp = batch * n / dt / 1e6
 
-    print(f"levels used: {int(ncomp)}, recon max-abs err (f32 path): {float(err):.3e}, "
-          f"compensated: {float(err_comp):.3e} (target <=1e-10)",
-          file=sys.stderr)
     print(f"time/sift: {dt*1e3:.1f} ms for {batch}x{n} (checksum {acc:.3e})",
           file=sys.stderr)
 

@@ -8,6 +8,14 @@ not).  Run on the real chip with the stock environment:
 
     python bench_profile.py [batch] [n]
 
+Remote-relay discipline (same as bench.py): identical calls are cached by
+the relay and the ~30 ms dispatch floor swamps sub-ms kernels, so every
+stage is timed as ONE jitted call that chains ``inner`` data-dependent
+repetitions (each iteration's input depends on the previous checksum — no
+relay caching, no XLA CSE, no cross-iteration overlap) and returns a
+scalar.  Per-iteration time = (t(inner=K) - t(inner=1)) / (K - 1), which
+cancels the dispatch floor and the chain prologue.
+
 Prints a stage table to stderr and one JSON summary line to stdout.
 """
 import json
@@ -16,27 +24,16 @@ import time
 
 import numpy as np
 
-# v5e single-core ceilings (public spec): ~0.8 Tf32-op/s VPU (4 MXU-free
-# vector units x 8x128 lanes x ~940 MHz x 2 ops), ~819 GB/s HBM.
+# v5e single-core ceilings (public spec): ~0.8 Tf32-op/s VPU (4 vector
+# units x 8x128 lanes x ~940 MHz x 2 ops), ~819 GB/s HBM.
 VPU_OPS = 0.8e12
 HBM_BPS = 819e9
-
-
-def _time(fn, *args, iters=5):
-    out = fn(*args)
-    import jax
-
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     from pyitd_tpu import itd_sift
     from pyitd_tpu.ops.extrema import count_extrema
@@ -59,24 +56,53 @@ def main():
     elems = batch * n
     interp = not on_tpu
 
-    fwd = jax.jit(lambda a: linear_fill2_pallas(a, interpret=interp))
-    rev = jax.jit(lambda a: linear_fill2_pallas(a, reverse=True, interpret=interp))
-    level = jax.jit(lambda a: linear_baseline_extract(a, backend="auto").baseline)
-    nex = jax.jit(count_extrema)
-    sift = jax.jit(lambda a: itd_sift(a, 8, store_baselines=False).rotations)
+    def chk(outs):
+        if isinstance(outs, (tuple, list)):
+            return sum(jnp.sum(o[..., :8].astype(jnp.float32)) for o in outs)
+        return jnp.sum(outs[..., :8].astype(jnp.float32))
+
+    def chained(fn, inner):
+        @jax.jit
+        def run(a, salt):
+            def body(i, carry):
+                s, seed = carry
+                out = fn(a + (seed * 1e-12 + salt))
+                c = chk(out)
+                return s + c, c * 1e-9
+            s, _ = jax.lax.fori_loop(0, inner, body, (0.0, jnp.float32(0)))
+            return s
+        return run
+
+    def stage_time(fn, k_lo=1, k_hi=8, reps=3):
+        lo, hi = chained(fn, k_lo), chained(fn, k_hi)
+        float(lo(x, 0.0))  # compile both
+        float(hi(x, 1.0))
+        best = np.inf
+        for r in range(reps):
+            t0 = time.time(); float(lo(x, 2.0 + r)); t_lo = time.time() - t0
+            t0 = time.time(); float(hi(x, 5.0 + r)); t_hi = time.time() - t0
+            best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
+        return max(best, 1e-9)
 
     stages = [
         # (name, fn, VPU op estimate per element, HBM bytes per element)
-        ("fill2 fwd (pallas)", fwd, 170, 4 + 16),      # x in, 4ch out
-        ("fill2 rev (pallas)", rev, 170, 4 + 16),
-        ("full level (fills+knots+interp)", level, 400, 4 + 4),
-        ("extrema count", nex, 10, 4),
-        ("full sift (10 levels)", sift, 4000, 4 + 40),
+        ("fill2 fwd (pallas)", lambda a: linear_fill2_pallas(a, interpret=interp),
+         320, 4 + 16),
+        ("fill2 rev (pallas)",
+         lambda a: linear_fill2_pallas(a, reverse=True, interpret=interp),
+         320, 4 + 16),
+        ("full level (fills+knots+interp)",
+         lambda a: linear_baseline_extract(a, backend="auto").baseline,
+         760, 8 + 4),
+        ("extrema count", count_extrema, 12, 4),
+        ("full sift (10 levels)",
+         lambda a: itd_sift(a, 8, store_baselines=False).rotations[0],
+         7600, 120),
     ]
 
     rows = []
     for name, fn, ops_est, bytes_est in stages:
-        dt = _time(fn, x)
+        dt = stage_time(fn)
         msamp = elems / dt / 1e6
         vpu_frac = ops_est * elems / dt / VPU_OPS
         hbm_frac = bytes_est * elems / dt / HBM_BPS
@@ -89,6 +115,7 @@ def main():
 
     trace_ok = False
     try:
+        sift = jax.jit(lambda a: itd_sift(a, 8, store_baselines=False).rotations)
         with jax.profiler.trace("profiles"):
             jax.block_until_ready(sift(x))
         trace_ok = True

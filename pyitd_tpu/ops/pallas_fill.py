@@ -9,7 +9,15 @@ channels and one write of the four fill outputs per direction.
 
 The kernel is a generic two-channel fill2: callers pass (pos, value) as
 plain arrays, so shifts/flips/padding happen in cheap XLA elementwise land
-and the kernel stays oblivious to orientation.
+and the kernel stays oblivious to orientation.  **Precondition: marked
+positions are non-negative** — the scan state encodes "no mark seen" as a
+negative position, which drops the separate saturating-count channel of the
+XLA scan backend (``ops/fill.py`` ``_fill2_combine``).  That encoding cuts
+the per-step VPU work by ~25% on a compute-bound kernel: 4 carried channels
+instead of 5 (fewer rolls), 2 comparisons instead of 3, no count add/min,
+and border masking only on the two position channels (value channels may
+carry garbage wherever the position is negative — one select per output at
+block end restores the scan backend's zero-defaults exactly).
 """
 from __future__ import annotations
 
@@ -22,40 +30,56 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill2_pallas", "BLK"]
+__all__ = ["fill2_pallas", "linear_fill2_pallas", "BLK"]
 
 BLK = 8192
 _LANES = 128
+_NONE = -1.0  # "no mark yet" sentinel in the position channels
 
 
 def _combine(a, b):
-    """fill2 combine on (p1, x1, p2, x2, cnt) tuples (see ops/fill.py)."""
-    a1p, a1x, a2p, a2x, ca = a
-    b1p, b1x, b2p, b2x, cb = b
-    r1p = jnp.where(cb >= 1, b1p, a1p)
-    r1x = jnp.where(cb >= 1, b1x, a1x)
-    r2p = jnp.where(cb >= 2, b2p, jnp.where(cb == 1, a1p, a2p))
-    r2x = jnp.where(cb >= 2, b2x, jnp.where(cb == 1, a1x, a2x))
-    rc = jnp.minimum(ca + cb, 2.0)
-    return r1p, r1x, r2p, r2x, rc
+    """fill2 combine on sign-encoded (p1, x1, p2, x2) tuples.
+
+    ``p >= 0`` means the slot holds a real mark.  Invariant: whenever the
+    combined element has >= k marks, its k-th slot is correct; slots beyond
+    the mark count may hold garbage *values* but always a negative
+    *position*.
+    """
+    a1p, a1x, a2p, a2x = a
+    b1p, b1x, b2p, b2x = b
+    has_b1 = b1p >= 0
+    has_b2 = b2p >= 0
+    t2p = jnp.where(has_b1, a1p, a2p)
+    t2x = jnp.where(has_b1, a1x, a2x)
+    return (
+        jnp.where(has_b1, b1p, a1p),
+        jnp.where(has_b1, b1x, a1x),
+        jnp.where(has_b2, b2p, t2p),
+        jnp.where(has_b2, b2x, t2x),
+    )
 
 
 def _shifted(arrs, k: int, axis: int, reverse: bool):
-    """Scan-predecessor state shifted by k along axis; zeros at the border.
+    """Scan-predecessor state shifted by k along axis.
+
+    Border slots (no predecessor) get the identity element: position
+    channels (even indices) become the negative sentinel; value channels
+    roll in garbage, which the sign-encoding invariant permits.
 
     Forward: predecessor = element k before (roll down).  Reverse:
     predecessor in scan order = element k after (roll up)."""
     idx = lax.broadcasted_iota(jnp.int32, arrs[0].shape, axis)
     size = arrs[0].shape[axis]
+    if reverse:
+        keep = idx < size - k
+    else:
+        keep = idx >= k
     out = []
-    for a in arrs:
-        if reverse:
-            rolled = pltpu.roll(a, size - k, axis)  # roll up by k
-            keep = idx < size - k
-        else:
-            rolled = pltpu.roll(a, k, axis)
-            keep = idx >= k
-        out.append(jnp.where(keep, rolled, jnp.zeros_like(a)))
+    for i, a in enumerate(arrs):
+        rolled = pltpu.roll(a, size - k if reverse else k, axis)
+        if i % 2 == 0:  # position channel: sentinel at the border
+            rolled = jnp.where(keep, rolled, jnp.full_like(a, _NONE))
+        out.append(rolled)
     return tuple(out)
 
 
@@ -66,6 +90,50 @@ def _doubling_scan(state, axis: int, steps: int, reverse: bool):
     return state
 
 
+def _mask_outputs(state):
+    """Restore the scan backend's defaults: zero wherever no mark exists."""
+    has1 = state[0] >= 0
+    has2 = state[2] >= 0
+    return (
+        jnp.where(has1, state[0], 0.0),
+        jnp.where(has1, state[1], 0.0),
+        jnp.where(has2, state[2], 0.0),
+        jnp.where(has2, state[3], 0.0),
+    )
+
+
+def _block_scan(state, reverse: bool, carry, rows: int):
+    """Hierarchical in-VMEM fill of one (rows, 128) block + SMEM carry."""
+    # stage 1: within each 128-lane row
+    state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
+
+    # stage 2: row summaries (full-row reductions) across sublanes
+    edge = 0 if reverse else _LANES - 1
+    summ = tuple(s[:, edge : edge + 1] for s in state)  # (rows, 1)
+    pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
+    pref = _shifted(pref, 1, 0, reverse)  # exclusive
+
+    # stage 3: row prefixes, then the cross-block SMEM carry
+    state = _combine(
+        tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
+    )
+    carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(4))
+    state = _combine(carry_t, state)
+
+    erow = 0 if reverse else rows - 1
+    ecol = 0 if reverse else _LANES - 1
+    for i in range(4):
+        carry[i] = state[i][erow, ecol]
+    return state
+
+
+def _init_carry(carry):
+    carry[0] = _NONE
+    carry[1] = 0.0
+    carry[2] = _NONE
+    carry[3] = 0.0
+
+
 def _make_fill2_kernel(reverse: bool):
     def kernel(p_ref, x_ref, m_ref, p1p_ref, p1x_ref, p2p_ref, p2x_ref, carry):
         b = pl.program_id(1)
@@ -73,47 +141,18 @@ def _make_fill2_kernel(reverse: bool):
 
         @pl.when(b == 0)
         def _():
-            for i in range(5):
-                carry[i] = 0.0
+            _init_carry(carry)
 
         pos = p_ref[0]
         x = x_ref[0]
         m = m_ref[0] != 0
 
-        cnt = m.astype(jnp.float32)
-        state = (
-            jnp.where(m, pos, 0.0),
-            jnp.where(m, x, 0.0),
-            jnp.zeros_like(x),
-            jnp.zeros_like(x),
-            cnt,
-        )
+        # sign-encoded init: unmarked -> sentinel position, garbage values
+        state = (jnp.where(m, pos, _NONE), x, jnp.full_like(x, _NONE), x)
+        state = _block_scan(state, reverse, carry, rows)
 
-        # stage 1: within each 128-lane row
-        state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
-
-        # stage 2: row summaries (full-row reductions) across sublanes
-        edge = 0 if reverse else _LANES - 1
-        summ = tuple(s[:, edge : edge + 1] for s in state)  # (rows, 1)
-        pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
-        pref = _shifted(pref, 1, 0, reverse)  # exclusive
-
-        # stage 3: row prefixes, then the cross-block SMEM carry
-        state = _combine(
-            tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
-        )
-        carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(5))
-        state = _combine(carry_t, state)
-
-        p1p_ref[0] = state[0]
-        p1x_ref[0] = state[1]
-        p2p_ref[0] = state[2]
-        p2x_ref[0] = state[3]
-
-        erow = 0 if reverse else rows - 1
-        ecol = 0 if reverse else _LANES - 1
-        for i in range(5):
-            carry[i] = state[i][erow, ecol]
+        outs = _mask_outputs(state)
+        p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
 
     return kernel
 
@@ -130,6 +169,7 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
     marks available hold 0 (the scan fills' defaults).
 
     ``pos``/``x``: (rows, n) float32; ``mask``: (rows, n) bool.
+    ``pos`` must be non-negative at marked samples (see module docstring).
     n is padded to a BLK multiple internally (padding is unmarked).
     """
     rows, n = x.shape
@@ -168,7 +208,7 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
         out_shape=[
             jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
         ] * 4,
-        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
         interpret=interpret,
     )(p, v, m)
     outs = tuple(o.reshape(rows, npad) for o in outs)
@@ -192,8 +232,7 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
 
         @pl.when(g == 0)
         def _():
-            for i in range(5):
-                carry[i] = 0.0
+            _init_carry(carry)
 
         blk = (nblk - 1 - g) if reverse else g
         x = x_ref[0]
@@ -226,34 +265,16 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
             pos == n_real - 1
         )
 
-        cnt = m.astype(jnp.float32)
         state = (
-            jnp.where(m, pos.astype(jnp.float32), 0.0),
-            jnp.where(m, x, 0.0),
-            jnp.zeros_like(x),
-            jnp.zeros_like(x),
-            cnt,
+            jnp.where(m, pos.astype(jnp.float32), _NONE),
+            x,
+            jnp.full_like(x, _NONE),
+            x,
         )
-        state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
-        edge = 0 if reverse else _LANES - 1
-        summ = tuple(s[:, edge : edge + 1] for s in state)
-        pref = _doubling_scan(summ, axis=0, steps=int(np.log2(sub)), reverse=reverse)
-        pref = _shifted(pref, 1, 0, reverse)
-        state = _combine(
-            tuple(jnp.broadcast_to(p, (sub, _LANES)) for p in pref), state
-        )
-        carry_t = tuple(jnp.full((sub, _LANES), carry[i]) for i in range(5))
-        state = _combine(carry_t, state)
+        state = _block_scan(state, reverse, carry, sub)
 
-        p1p_ref[0] = state[0]
-        p1x_ref[0] = state[1]
-        p2p_ref[0] = state[2]
-        p2x_ref[0] = state[3]
-
-        erow = 0 if reverse else sub - 1
-        ecol = 0 if reverse else _LANES - 1
-        for i in range(5):
-            carry[i] = state[i][erow, ecol]
+        outs = _mask_outputs(state)
+        p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
 
     return kernel
 
@@ -295,7 +316,7 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
         grid=(rows, nblk),
         in_specs=[spec],
         out_specs=[spec] * 4,
-        scratch_shapes=[pltpu.SMEM((5,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
     outs = pl.pallas_call(
         _make_linear_fill2_kernel(reverse, n, nblk),
