@@ -157,48 +157,27 @@ def _baseline_scan(x, knots, it, n, endpoint_mode):
 
 
 def _baseline_pallas(x, knots, it, n, endpoint_mode):
-    """Fused Pallas fill2 kernels for the two propagation passes (f32,
-    TPU).  Math identical to :func:`_baseline_scan`; the knot mask and
-    positions are derived in-kernel (block-edge neighbors arrive as SMEM
-    scalars so every index map stays affine and the DMA pipeline keeps
-    double-buffering)."""
-    from .pallas_fill import linear_fill2_pallas
+    """Fused Pallas path (f32, TPU): a forward fill2 kernel, then one
+    reverse kernel that runs the backward fill *and* the knot-value +
+    interpolation epilogue in-VMEM (math identical to
+    :func:`_baseline_scan`).  The knot mask and positions are derived
+    in-kernel; block-edge neighbors arrive as SMEM scalars so every index
+    map stays affine and the DMA pipeline keeps double-buffering.  HBM per
+    level: x + 4 forward channels read, baseline written."""
+    from .pallas_fill import linear_fill2_pallas, linear_baseline_pallas
 
-    del knots
+    del knots, it
     lead = x.shape[:-1]
     x2 = x.reshape(-1, n)
 
     # off-TPU the Mosaic kernel can't compile; interpret mode keeps the
     # backend selectable (and CI-testable) everywhere
     interp = jax.default_backend() != "tpu"
-    p1_pos, p1_x, p2_pos, p2_x = linear_fill2_pallas(x2, interpret=interp)
-    # inclusive next-two; shifting left makes them strictly-after
-    i1_pos, i1_x, i2_pos, i2_x = linear_fill2_pallas(
-        x2, reverse=True, interpret=interp
+    fwd = linear_fill2_pallas(x2, interpret=interp)
+    baseline = linear_baseline_pallas(
+        x2, *fwd, endpoint_mode=endpoint_mode, interpret=interp
     )
-    n1_pos = _shift_left(i1_pos, 0.0)
-    n1_x = _shift_left(i1_x, 0.0)
-    n2_pos = _shift_left(i2_pos, 0.0)
-    n2_x = _shift_left(i2_x, 0.0)
-
-    def unflat(a):
-        return a.reshape(lead + (n,))
-
-    p1_pos, p1_x, p2_pos, p2_x = map(unflat, (p1_pos, p1_x, p2_pos, p2_x))
-    n1_pos, n1_x, n2_pos, n2_x = map(unflat, (n1_pos, n1_x, n2_pos, n2_x))
-
-    def knot_value(pos, val, left_pos, left_x, right_pos, right_x, end_val, is_first):
-        span = right_pos - left_pos
-        w = (pos - left_pos) / jnp.where(span == 0, jnp.ones_like(span), span)
-        formula = 0.5 * (left_x + w * (right_x - left_x)) + 0.5 * val
-        return jnp.where(is_first, end_val[..., None], formula)
-
-    b_first = 0.5 * (x[..., 0] + x[..., 1])
-    b_last = 0.5 * (x[..., n - 2] + x[..., n - 1])
-    b_l = knot_value(p1_pos, p1_x, p2_pos, p2_x, n1_pos, n1_x, b_first, p1_pos == 0)
-    b_l = jnp.where(p1_pos == n - 1, b_last[..., None], b_l)
-    b_r = knot_value(n1_pos, n1_x, p1_pos, p1_x, n2_pos, n2_x, b_last, n1_pos == n - 1)
-    return _interp(x, it, n, b_l, p1_x, b_r, n1_x, endpoint_mode)
+    return baseline.reshape(lead + (n,)).astype(x.dtype)
 
 
 def linear_baseline_extract(

@@ -30,7 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill2_pallas", "linear_fill2_pallas", "BLK"]
+__all__ = ["fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas", "BLK"]
 
 BLK = 8192
 _LANES = 128
@@ -102,8 +102,12 @@ def _mask_outputs(state):
     )
 
 
-def _block_scan(state, reverse: bool, carry, rows: int):
-    """Hierarchical in-VMEM fill of one (rows, 128) block + SMEM carry."""
+def _block_scan(state, reverse: bool, carry_in, rows: int):
+    """Hierarchical in-VMEM fill of one (rows, 128) block.
+
+    ``carry_in`` is the exclusive cross-block prefix (4 scalars); returns
+    the inclusive state and the carry for the next block (the state at this
+    block's scan-order-last element)."""
     # stage 1: within each 128-lane row
     state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
 
@@ -113,18 +117,17 @@ def _block_scan(state, reverse: bool, carry, rows: int):
     pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
     pref = _shifted(pref, 1, 0, reverse)  # exclusive
 
-    # stage 3: row prefixes, then the cross-block SMEM carry
+    # stage 3: row prefixes, then the cross-block carry
     state = _combine(
         tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
     )
-    carry_t = tuple(jnp.full((rows, _LANES), carry[i]) for i in range(4))
+    carry_t = tuple(jnp.full((rows, _LANES), c) for c in carry_in)
     state = _combine(carry_t, state)
 
     erow = 0 if reverse else rows - 1
     ecol = 0 if reverse else _LANES - 1
-    for i in range(4):
-        carry[i] = state[i][erow, ecol]
-    return state
+    carry_out = tuple(state[i][erow, ecol] for i in range(4))
+    return state, carry_out
 
 
 def _init_carry(carry):
@@ -149,7 +152,10 @@ def _make_fill2_kernel(reverse: bool):
 
         # sign-encoded init: unmarked -> sentinel position, garbage values
         state = (jnp.where(m, pos, _NONE), x, jnp.full_like(x, _NONE), x)
-        state = _block_scan(state, reverse, carry, rows)
+        carry_in = tuple(carry[i] for i in range(4))
+        state, carry_out = _block_scan(state, reverse, carry_in, rows)
+        for i in range(4):
+            carry[i] = carry_out[i]
 
         outs = _mask_outputs(state)
         p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
@@ -222,6 +228,53 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
 # sees only x in (three views: 1-tile halos) and the four fill channels out
 # ---------------------------------------------------------------------------
 
+def _roll_next(a, boundary, row, lane):
+    """Row-major next element of a (sub, 128) block; the block's last
+    element receives ``boundary`` (a scalar)."""
+    sub = a.shape[0]
+    nxt = pltpu.roll(a, _LANES - 1, 1)
+    col_next = pltpu.roll(a[:, :1], sub - 1, 0)
+    nxt = jnp.where(lane == _LANES - 1, col_next, nxt)
+    return jnp.where((lane == _LANES - 1) & (row == sub - 1), boundary, nxt)
+
+
+def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
+    """In-kernel ITD knot mask (canonical extrema + endpoints, NaN
+    quarantine) and sign-encoded fill2 init state for one block."""
+    sub = BLK // _LANES
+    row = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 1)
+    pos = blk * BLK + row * _LANES + lane
+
+    # one-sample neighbors in row-major order; block-edge scalars come
+    # from the scalar-prefetch SMEM arrays
+    xm1 = pltpu.roll(x, 1, 1)
+    col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
+    xm1 = jnp.where(lane == 0, col_prev, xm1)
+    xm1 = jnp.where((lane == 0) & (row == 0), prev_scalar, xm1)
+    xp1 = _roll_next(x, next_scalar, row, lane)
+
+    dxb = x - xm1
+    dxf = xp1 - x
+    dxb = jnp.where(jnp.isnan(dxb), jnp.inf, dxb)
+    dxf = jnp.where(jnp.isnan(dxf), jnp.inf, dxf)
+    near_nan = jnp.isnan(x) | jnp.isnan(xm1) | jnp.isnan(xp1)
+    interior = (pos > 0) & (pos < n_real - 1)
+    is_min = (dxb <= 0) & (dxf > 0)
+    is_max = (dxb >= 0) & (dxf < 0)
+    m = ((is_min | is_max) & interior & ~near_nan) | (pos == 0) | (
+        pos == n_real - 1
+    )
+
+    state = (
+        jnp.where(m, pos.astype(jnp.float32), _NONE),
+        x,
+        jnp.full_like(x, _NONE),
+        x,
+    )
+    return pos, row, lane, state
+
+
 def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
     sub = BLK // _LANES
 
@@ -235,43 +288,13 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
             _init_carry(carry)
 
         blk = (nblk - 1 - g) if reverse else g
-        x = x_ref[0]
-        row = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 0)
-        lane = lax.broadcasted_iota(jnp.int32, (sub, _LANES), 1)
-        pos = blk * BLK + row * _LANES + lane
-
-        # one-sample neighbors in row-major order; block-edge scalars come
-        # from the scalar-prefetch SMEM arrays
-        prev_scalar = xprev_ref[r, blk]
-        next_scalar = xnext_ref[r, blk]
-        xm1 = pltpu.roll(x, 1, 1)
-        col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
-        xm1 = jnp.where(lane == 0, col_prev, xm1)
-        xm1 = jnp.where((lane == 0) & (row == 0), prev_scalar, xm1)
-        xp1 = pltpu.roll(x, _LANES - 1, 1)
-        col_next = pltpu.roll(x[:, :1], sub - 1, 0)
-        xp1 = jnp.where(lane == _LANES - 1, col_next, xp1)
-        xp1 = jnp.where((lane == _LANES - 1) & (row == sub - 1), next_scalar, xp1)
-
-        dxb = x - xm1
-        dxf = xp1 - x
-        dxb = jnp.where(jnp.isnan(dxb), jnp.inf, dxb)
-        dxf = jnp.where(jnp.isnan(dxf), jnp.inf, dxf)
-        near_nan = jnp.isnan(x) | jnp.isnan(xm1) | jnp.isnan(xp1)
-        interior = (pos > 0) & (pos < n_real - 1)
-        is_min = (dxb <= 0) & (dxf > 0)
-        is_max = (dxb >= 0) & (dxf < 0)
-        m = ((is_min | is_max) & interior & ~near_nan) | (pos == 0) | (
-            pos == n_real - 1
+        _, _, _, state = _knot_state(
+            x_ref[0], blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
         )
-
-        state = (
-            jnp.where(m, pos.astype(jnp.float32), _NONE),
-            x,
-            jnp.full_like(x, _NONE),
-            x,
-        )
-        state = _block_scan(state, reverse, carry, sub)
+        carry_in = tuple(carry[i] for i in range(4))
+        state, carry_out = _block_scan(state, reverse, carry_in, sub)
+        for i in range(4):
+            carry[i] = carry_out[i]
 
         outs = _mask_outputs(state)
         p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
@@ -328,3 +351,130 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
     )(prev_edge, next_edge, x3)
     outs = tuple(o.reshape(rows, npad)[..., :n] for o in outs)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# fused level kernel: the reverse fill *and* the knot-value/interpolation
+# epilogue in one pass, so HBM sees x + the 4 forward channels in and ONLY
+# the baseline out (the XLA epilogue previously re-read all fill channels
+# and dominated the level time ~2:1 over the fills)
+# ---------------------------------------------------------------------------
+
+
+def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
+    sub = BLK // _LANES
+    nm1 = float(n_real - 1)
+
+    def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, x_ref,
+               f1p_ref, f1x_ref, f2p_ref, f2x_ref, base_ref, carry):
+        r = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            _init_carry(carry)
+
+        blk = nblk - 1 - g  # reverse walk
+        x = x_ref[0]
+        pos, row, lane, state = _knot_state(
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+        )
+        # carry_in = inclusive reverse state at the NEXT block's first
+        # element — read it before updating: it is both this block's scan
+        # prefix and the shift boundary for "strictly after"
+        carry_in = tuple(carry[i] for i in range(4))
+        state, carry_out = _block_scan(state, reverse=True,
+                                       carry_in=carry_in, rows=sub)
+        for i in range(4):
+            carry[i] = carry_out[i]
+
+        # strictly-after knots: the inclusive state of the next sample
+        # (row-major shift; the block's last sample takes carry_in)
+        shifted = tuple(
+            _roll_next(s, c, row, lane) for s, c in zip(state, carry_in)
+        )
+        n1p, n1x, n2p, n2x = _mask_outputs(shifted)
+
+        # forward channels were default-masked by the forward kernel
+        f1p, f1x, f2p, f2x = f1p_ref[0], f1x_ref[0], f2p_ref[0], f2x_ref[0]
+
+        b_first = bfirst_ref[r]
+        b_last = blast_ref[r]
+
+        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+            span = rpos - lpos
+            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
+            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+            return jnp.where(is_first, end_val, formula)
+
+        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+        b_l = jnp.where(f1p == nm1, b_last, b_l)
+        b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
+
+        den = n1x - f1x
+        slope = jnp.where(
+            den == 0,
+            jnp.zeros_like(den),
+            (b_r - b_l) / jnp.where(den == 0, jnp.ones_like(den), den),
+        )
+        baseline = b_l + slope * (x - f1x)
+        if endpoint_mode == "reference":
+            baseline = jnp.where(pos == n_real - 1,
+                                 jnp.zeros_like(baseline), baseline)
+        base_ref[0] = baseline
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
+def linear_baseline_pallas(x: jax.Array, f1p: jax.Array, f1x: jax.Array,
+                           f2p: jax.Array, f2x: jax.Array, *,
+                           endpoint_mode: str = "reference",
+                           interpret: bool = False) -> jax.Array:
+    """Full linear-in-value ITD baseline from the forward fill channels.
+
+    Runs the reverse fill and the knot-value + interpolation math
+    (``/root/reference/ITD.py:106-117`` semantics, matching
+    ``linear_baseline._baseline_scan`` exactly) fused in one reverse-walking
+    kernel.  ``f*`` are the outputs of ``linear_fill2_pallas(x)``.
+    """
+    rows, n = x.shape
+    npad = -(-n // BLK) * BLK
+    pad = npad - n
+
+    def prep(a):
+        a = a.astype(jnp.float32)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((rows, pad), jnp.float32)],
+                                axis=-1)
+        return a.reshape(rows, npad // _LANES, _LANES)
+
+    xp = prep(x)
+    xflat = xp.reshape(rows, npad)
+    nblk = npad // BLK
+    prev_edge = jnp.concatenate(
+        [xflat[:, :1], xflat[:, BLK - 1 : npad - 1 : BLK]], axis=-1
+    )
+    next_edge = jnp.concatenate([xflat[:, BLK::BLK], xflat[:, -1:]], axis=-1)
+    b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
+    b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
+
+    sub = BLK // _LANES
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(rows, nblk),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _make_linear_baseline_kernel(n, nblk, endpoint_mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(prev_edge, next_edge, b_first, b_last, xp,
+      prep(f1p), prep(f1x), prep(f2p), prep(f2x))
+    return out.reshape(rows, npad)[..., :n]

@@ -121,6 +121,32 @@ def test_linear_fill2_nan_quarantine():
 
 
 @pytest.mark.parametrize("endpoint_mode", ["reference", "natural"])
+def test_fused_baseline_kernel_parity(endpoint_mode):
+    """linear_baseline_pallas (reverse fill + epilogue fused in-kernel)
+    matches the scan backend to f32 roundoff across block boundaries and
+    under NaN contamination."""
+    from pyitd_tpu.ops.pallas_fill import (
+        linear_fill2_pallas, linear_baseline_pallas,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 2 * BLK + 515
+    xa = rng.normal(size=(2, n)).astype(np.float32)
+    xa[0, BLK] = np.nan          # block-boundary NaN
+    xa[1, 77] = np.nan
+    x = jnp.asarray(xa)
+    fwd = linear_fill2_pallas(x, interpret=True)
+    got = linear_baseline_pallas(x, *fwd, endpoint_mode=endpoint_mode,
+                                 interpret=True)
+    want = linear_baseline_extract(x, endpoint_mode=endpoint_mode,
+                                   backend="scan").baseline
+    g, w = np.asarray(got), np.asarray(want)
+    assert np.isnan(g).sum() == np.isnan(w).sum()
+    ok = ~np.isnan(w)
+    np.testing.assert_allclose(g[ok], w[ok], rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("endpoint_mode", ["reference", "natural"])
 def test_pallas_backend_full_level(endpoint_mode):
     """backend='pallas' (interpret on CPU) matches backend='scan' on a full
     linear-baseline level, f32, to f32 roundoff."""
