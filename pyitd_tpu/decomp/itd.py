@@ -139,13 +139,16 @@ def itd_sift(
             stop_b[..., None], res_err, 0.0
         )
 
+        # Unconditional carry updates: once an element stops, its carries
+        # are never read again (rows are zero-gated by `cont`/`stopping`
+        # above, and the residual reads the carries exactly at the stop
+        # trip, before this update) — so freezing them with per-element
+        # selects would only add 4 full-array select passes per level.
         new_rot, new_base, _ = extract(baseline)
-        new_err = _two_sum_err(baseline, -new_base, new_rot)
-        keep = cont[..., None]
-        rotation = jnp.where(keep, new_rot, rotation)
-        pending_err = jnp.where(keep, new_err, pending_err)
-        prev_base = jnp.where(keep, baseline, prev_base)
-        baseline = jnp.where(keep, new_base, baseline)
+        pending_err = _two_sum_err(baseline, -new_base, new_rot)
+        rotation = new_rot
+        prev_base = baseline
+        baseline = new_base
 
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(

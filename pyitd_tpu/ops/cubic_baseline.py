@@ -31,12 +31,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from .extrema import extrema_mask, compact_indices
-from .fill import take_last_axis
+from .fill import take_last_axis, forward_fill_scan, backward_fill_scan
 from .tridiag import reference_spline_moments, spline_moments
 
 __all__ = [
     "segment_index",
     "eval_moment_spline",
+    "eval_moment_spline_scan",
     "template_fast_baseline",
     "cubic_baseline_extract",
     "CubicBaselineResult",
@@ -107,6 +108,90 @@ def eval_moment_spline(
     return lin, cub
 
 
+def _scatter_channels(x_like, positions, valid, channels):
+    """Scatter per-knot ``channels`` onto the signal grid at ``positions``
+    (positions are unique; invalid slots are dropped)."""
+    n = x_like.shape[-1]
+    pos = jnp.where(valid, positions, jnp.full_like(positions, n))
+
+    def one(p, v, base):
+        return base.at[p].set(v, mode="drop")
+
+    f = one
+    for _ in range(x_like.ndim - 1):
+        f = jax.vmap(f)
+
+    out = []
+    for ch in channels:
+        base = jnp.zeros(x_like.shape[:-1] + (n,), ch.dtype)
+        out.append(f(pos, ch, base))
+    return tuple(out)
+
+
+def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
+    """Gather-free twin of :func:`eval_moment_spline` for the MEITD-tier
+    segment semantics (endpoints in the knot set, last sample capped to the
+    final interval).
+
+    Per-sample knot data is piecewise-constant between knots, so instead of
+    six capacity-sized gathers per sample (pathological on TPU lane axes)
+    the per-knot channels are scattered onto the signal grid once and
+    propagated with the same masked fill scans the linear tier uses:
+    the j-side channels forward-fill from every knot except the last, the
+    (j+1)-side channels backward-fill strictly-after from every knot except
+    the first, and the one sample with no strictly-after knot (the final
+    endpoint) is patched with the last knot's channels.
+    """
+    dtype = values.dtype
+    n = x_like.shape[-1]
+    it = lax.broadcasted_iota(jnp.int32, x_like.shape, x_like.ndim - 1)
+    k = lax.broadcasted_iota(jnp.int32, positions.shape, positions.ndim - 1)
+    count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), x_like.shape[:-1])
+    cnt = count[..., None]
+
+    valid_j = k < cnt - 1              # j-side: knots 0 .. count-2
+    valid_n = (k >= 1) & (k < cnt)     # (j+1)-side: knots 1 .. count-1
+
+    posf = positions.astype(dtype)
+    pj_g, kj_g, mj_g, hj_g, occ_j = _scatter_channels(
+        x_like, positions, valid_j,
+        (posf, values, moments, h, jnp.ones_like(values)),
+    )
+    kn_g, mn_g, occ_n = _scatter_channels(
+        x_like, positions, valid_n,
+        (values, moments, jnp.ones_like(values)),
+    )
+
+    pos_j, k_j, m_j, h_j = forward_fill_scan(
+        (pj_g, kj_g, mj_g, hj_g), occ_j != 0, (0.0, 0.0, 0.0, 1.0)
+    )
+
+    def shift_left(a, fill):
+        tail = jnp.full_like(a[..., :1], fill)
+        return jnp.concatenate([a[..., 1:], tail], axis=-1)
+
+    k_j1, m_j1 = backward_fill_scan(
+        (shift_left(kn_g, 0.0), shift_left(mn_g, 0.0)),
+        shift_left(occ_n, 0.0) != 0,
+        (0.0, 0.0),
+    )
+    # the final endpoint has no strictly-after knot; it belongs to the last
+    # interval, whose right knot is knot count-1
+    last_idx = jnp.maximum(cnt - 1, 0)
+    k_last = jnp.take_along_axis(values, last_idx, axis=-1)
+    m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
+    is_last = it == n - 1
+    k_j1 = jnp.where(is_last, k_last, k_j1)
+    m_j1 = jnp.where(is_last, m_last, m_j1)
+
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (it.astype(dtype) - pos_j) / h_safe
+    lin = (1.0 - s) * k_j + s * k_j1
+    omt = 1.0 - s
+    cub = h_j * h_j / 6.0 * ((omt * omt * omt - omt) * m_j + (s * s * s - s) * m_j1)
+    return lin, cub
+
+
 class CubicBaselineResult(NamedTuple):
     rotation: jax.Array
     baseline: jax.Array
@@ -154,7 +239,8 @@ def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array)
 
 
 def cubic_baseline_extract(
-    x: jax.Array, capacity: int, *, min_extrema: int = 10
+    x: jax.Array, capacity: int, *, min_extrema: int = 10,
+    eval_backend: str = "auto",
 ) -> CubicBaselineResult:
     """MEITD-tier cubic baseline: extrema knots + not-a-knot spline.
 
@@ -162,7 +248,11 @@ def cubic_baseline_extract(
     signal itself (rotation 0) — the reference's pass-through guard
     (``numba_accelerated_itd.py:188-190``).  Pass ``min_extrema=0`` to
     disable (MEITD's own extract has the guard commented out and relies on
-    its drivers to never call below 6 extrema)."""
+    its drivers to never call below 6 extrema).
+
+    ``eval_backend``: "gather" (per-sample gathers — fast on CPU), "scan"
+    (scatter + masked fill scans — gather-free, the TPU shape), or "auto"
+    (by platform).  Numerically identical."""
     dtype = x.dtype
     n = x.shape[-1]
     mask = extrema_mask(x)
@@ -191,8 +281,15 @@ def cubic_baseline_extract(
     moments = spline_moments(pos.astype(dtype), knots, kcount, bc="not-a-knot")
     h = (e_next - pos).astype(dtype)
     h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
-    seg = segment_index(x, pos, kcount, cap_to_last_interval=True)
-    lin, cub = eval_moment_spline(x, pos, knots, moments, h, seg)
+    if eval_backend == "auto":
+        eval_backend = "gather" if jax.default_backend() == "cpu" else "scan"
+    if eval_backend == "gather":
+        seg = segment_index(x, pos, kcount, cap_to_last_interval=True)
+        lin, cub = eval_moment_spline(x, pos, knots, moments, h, seg)
+    elif eval_backend == "scan":
+        lin, cub = eval_moment_spline_scan(x, pos, knots, moments, h, kcount)
+    else:
+        raise ValueError(f"unknown eval_backend: {eval_backend!r}")
     baseline = lin + cub
 
     passthrough = nex < min_extrema

@@ -212,10 +212,11 @@ def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
         row = jnp.where(stopping[..., None], residual,
                         jnp.where(cont[..., None], rotation, 0.0))
         out = out.at[i].set(row)
-        keep = cont[..., None]
-        rotation = jnp.where(keep, new_rot, rotation)
-        prev_base = jnp.where(keep, baseline, prev_base)
-        baseline = jnp.where(keep, new_base, baseline)
+        # unconditional carry updates: stopped elements' carries are never
+        # read again (see decomp/itd.py body for the argument)
+        rotation = new_rot
+        prev_base = baseline
+        baseline = new_base
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))
         done = done | stopping

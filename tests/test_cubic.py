@@ -117,3 +117,19 @@ def test_cubic_extract_passthrough_guard():
     assert int(res.num_extrema) < 10
     np.testing.assert_array_equal(np.asarray(res.baseline), x)
     np.testing.assert_array_equal(np.asarray(res.rotation), np.zeros_like(x))
+
+
+def test_cubic_eval_scan_matches_gather():
+    """The gather-free (scatter + fill-scan) segment evaluation is
+    bit-identical to the gather evaluation — the TPU-shaped twin used when
+    per-sample gathers along the lane axis would be pathological."""
+    rng = np.random.default_rng(11)
+    for n, dtype, noise in [(1024, np.float64, 0.3), (777, np.float32, 0.1)]:
+        t = np.linspace(0, 1, n)
+        x = (np.sin(2 * np.pi * 17 * t) + noise * rng.normal(size=(3, n))).astype(dtype)
+        a = cubic_baseline_extract(jnp.asarray(x), capacity=n, eval_backend="gather")
+        b = cubic_baseline_extract(jnp.asarray(x), capacity=n, eval_backend="scan")
+        np.testing.assert_array_equal(np.asarray(a.baseline), np.asarray(b.baseline))
+        np.testing.assert_array_equal(
+            np.asarray(a.num_extrema), np.asarray(b.num_extrema)
+        )
