@@ -187,13 +187,15 @@ class ITD:
     here ``__call__`` simply works.
     """
 
-    def __init__(self, extrema_detection: str = "matlab", *, endpoint_mode: str = "reference"):
+    def __init__(self, extrema_detection: str = "matlab", *,
+                 endpoint_mode: str = "reference", as_numpy: bool = False):
         if extrema_detection not in ("simple", "parabol", "matlab"):
             raise ValueError(
                 "Only 'simple', 'matlab', and 'parabol' values supported"
             )
         self.extrema_detection = extrema_detection
         self.endpoint_mode = endpoint_mode
+        self.as_numpy = as_numpy  # convert outputs to host numpy arrays
         self.rotations = None
         self.baselines = None
 
@@ -214,6 +216,11 @@ class ITD:
         # additionally exposes one zero row past them (ITD.py:414,424)
         n_base = n - 1 if int(res.stop_reason) == STOP_FLAT else n
         self.baselines = res.baselines[:n_base]
+        if self.as_numpy:
+            import numpy as np
+
+            self.rotations = np.asarray(self.rotations)
+            self.baselines = np.asarray(self.baselines)
         return self.rotations
 
     def get_rotations(self):
@@ -229,3 +236,9 @@ class ITD:
                 "No baselines found. Please, run ITD method or its variant first."
             )
         return self.baselines
+
+    def get_rotations_and_residual(self):
+        """PyEMD-style convenience: ``(proper rotations, residual trend)``
+        — the last valid row of :meth:`itd`'s output is the residual."""
+        rot = self.get_rotations()
+        return rot[:-1], rot[-1]

@@ -323,22 +323,45 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     h = (e_next - allp).astype(dtype)
     h = jnp.where(kk < cnt - 1, h, jnp.ones_like(h))
 
-    # local segment ids: count of knots (k >= 1) at-or-before each sample
-    seg = jnp.sum(
-        (allp[..., None, :] <= gpos[..., :, None])
-        & (kk[..., None, :] >= 1)
-        & (kk[..., None, :] < cnt[..., None, :]),
-        axis=-1,
-    ).astype(jnp.int32)
-    seg = jnp.minimum(seg, jnp.maximum(cnt - 2, 0))
+    # Gather-free evaluation (same shape as ops.cubic_baseline's
+    # eval_moment_spline_scan, with the fills cross-shard): scatter each
+    # knot's channels onto its owning shard's local grid, forward-fill the
+    # j-side channels from knots 0..count-2, backward-fill the (j+1)-side
+    # channels strictly-after from knots 1..count-1, patch the global final
+    # sample (no strictly-after knot) with the last knot's channels.
+    from ..ops.cubic_baseline import _scatter_channels
 
-    # evaluate with *global* sample positions
-    pos_j = jnp.take_along_axis(allp, seg, axis=-1).astype(dtype)
-    h_j = jnp.take_along_axis(h, seg, axis=-1)
-    k_j = jnp.take_along_axis(kv, seg, axis=-1)
-    k_j1 = jnp.take_along_axis(kv, jnp.minimum(seg + 1, size * cap - 1), axis=-1)
-    m_j = jnp.take_along_axis(moments, seg, axis=-1)
-    m_j1 = jnp.take_along_axis(moments, jnp.minimum(seg + 1, size * cap - 1), axis=-1)
+    loc = allp - rank * n_loc
+    in_shard = (loc >= 0) & (loc < n_loc)
+    valid_j = (kk < cnt - 1) & in_shard
+    valid_n = (kk >= 1) & (kk < cnt) & in_shard
+    posf = allp.astype(dtype)
+
+    pj_g, kj_g, mj_g, hj_g, occj = _scatter_channels(
+        x, loc, valid_j, (posf, kv, moments, h, jnp.ones_like(kv))
+    )
+    kn_g, mn_g, occn = _scatter_channels(
+        x, loc, valid_n, (kv, moments, jnp.ones_like(kv))
+    )
+
+    pos_j, k_j, m_j, h_j = _ffill(
+        (pj_g, kj_g, mj_g, hj_g), occj != 0, axis_name,
+        (jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
+         jnp.ones((), dtype)),
+    )
+    zf = jnp.zeros((), dtype)
+    k_j1, m_j1 = _bfill(
+        (_shift_left(kn_g, axis_name, zf), _shift_left(mn_g, axis_name, zf)),
+        _shift_left(occn != 0, axis_name, jnp.asarray(False)),
+        axis_name, (zf, zf),
+    )
+    last_idx = jnp.maximum(cnt - 1, 0)
+    k_last = jnp.take_along_axis(kv, last_idx, axis=-1)
+    m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
+    is_glast = gpos == n_global - 1
+    k_j1 = jnp.where(is_glast, k_last, k_j1)
+    m_j1 = jnp.where(is_glast, m_last, m_j1)
+
     h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
     s = (gpos.astype(dtype) - pos_j) / h_safe
     omt = 1.0 - s

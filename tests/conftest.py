@@ -10,6 +10,9 @@ real chip.
 """
 import os
 
+# silence the benign per-load AOT-cache machine-feature warnings
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -29,6 +32,17 @@ except Exception:  # pragma: no cover - best effort
     pass
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent compilation cache: most suite wall-clock is jit compilation of
+# the same graphs every run; cache them on disk (keyed by HLO hash, so code
+# changes invalidate naturally).  First run populates, repeat runs fly.
+_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 import sys
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def test_circular_student_t_properties():
     assert w[2, 0] > w[2, 2]
 
 
+@pytest.mark.slow
 def test_blockfast_lm_trains():
     import optax
 

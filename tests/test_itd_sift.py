@@ -45,6 +45,16 @@ def test_class_api():
     assert ITD()(s).shape == rot.shape
 
 
+def test_class_api_conveniences():
+    s = demo_chirp()
+    itd = ITD(as_numpy=True)
+    rot = itd.itd(s)
+    assert isinstance(rot, np.ndarray)
+    comps, residual = itd.get_rotations_and_residual()
+    assert comps.shape[0] == rot.shape[0] - 1
+    np.testing.assert_allclose(comps.sum(0) + residual, s, atol=1e-9)
+
+
 def test_flat_signal_single_zero_row():
     # first baseline already flat -> reference returns one zero row
     s = np.linspace(0.0, 1.0, 64)

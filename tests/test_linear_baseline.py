@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def test_vmap_and_jit():
         assert int(nex[i]) == r_nex
 
 
+@pytest.mark.slow
 def test_scan_backend_matches_gather_backend():
     rng = np.random.default_rng(11)
     for s in [
@@ -62,6 +64,7 @@ def test_scan_backend_matches_gather_backend():
         np.testing.assert_array_equal(np.asarray(g.rotation), np.asarray(c.rotation))
 
 
+@pytest.mark.slow
 def test_blocked_scan_backend_large_n():
     # n > 4096 exercises the two-level blocked fill path
     rng = np.random.default_rng(12)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pyitd_tpu.decomp.meitd import meitd
@@ -15,6 +16,7 @@ def _sig(n=400, seed=3):
     )
 
 
+@pytest.mark.slow
 def test_meitd_jit_matches_host():
     s = _sig()
     hi_h, lo_h, resid_h = meitd(s)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -42,6 +43,7 @@ def test_phoenix_reduces_quadratic():
     assert final < 1.0, final
 
 
+@pytest.mark.slow
 def test_itd_linear_shapes_and_smoothing():
     rng = np.random.default_rng(0)
     L, out_dim = 64, 6
@@ -56,6 +58,7 @@ def test_itd_linear_shapes_and_smoothing():
     assert v_coarse < v_fine
 
 
+@pytest.mark.slow
 def test_itdmlp_trains():
     rng = np.random.default_rng(1)
     L = 48

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -37,6 +38,7 @@ def test_router_topk_forward_and_grad():
     assert np.any(gn[sel] != 0)
 
 
+@pytest.mark.slow
 def test_bimlp_shapes_and_grad():
     x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16)), jnp.float32)
     m = BiMLP()
@@ -47,6 +49,7 @@ def test_bimlp_shapes_and_grad():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_modcrt_moe_routes_and_runs():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(32, 12)), jnp.float32)
@@ -62,6 +65,7 @@ def test_modcrt_moe_routes_and_runs():
     np.testing.assert_array_equal(np.asarray(m.apply(params, x)), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_fast_learned_cell_trains():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def test_alpert_queries_orthogonal_basis():
     assert q.shape == (2, 4, 6, 8)
 
 
+@pytest.mark.slow
 def test_explorer_engineer_stage():
     from pyitd_tpu.ml.newgpt import ExplorerEngineerStage
 

@@ -40,14 +40,23 @@ def _inputs(rows, n, density, seed=0):
     return pos, x, mask
 
 
-@pytest.mark.parametrize("reverse", [False, True])
-@pytest.mark.parametrize("n", [BLK, 2 * BLK, BLK + 517, 3 * BLK - 1])
+# forward-direction interpret runs are ~5-10x slower than reverse on this
+# host; the fast tier keeps reverse coverage (same combine/shift/carry code)
+_FWD_SLOW = pytest.param(False, marks=pytest.mark.slow)
+
+
+@pytest.mark.parametrize("reverse", [_FWD_SLOW, True])
+@pytest.mark.parametrize(
+    "n",
+    [BLK, pytest.param(2 * BLK, marks=pytest.mark.slow), BLK + 517,
+     pytest.param(3 * BLK - 1, marks=pytest.mark.slow)],
+)
 def test_fill2_parity_random(reverse, n):
     pos, x, mask = _inputs(rows=2, n=n, density=0.01, seed=n)
     _check(pos, x, mask, reverse)
 
 
-@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("reverse", [_FWD_SLOW, True])
 def test_fill2_block_boundary_marks(reverse):
     """Marks exactly at block edges exercise the SMEM carry hand-off."""
     n = 3 * BLK
@@ -73,7 +82,7 @@ def test_fill2_carry_across_empty_blocks(reverse):
     _check(pos, x, mask, reverse)
 
 
-@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("reverse", [_FWD_SLOW, True])
 def test_fill2_degenerate_masks(reverse):
     """Empty mask (defaults everywhere), full mask, and single-mark rows,
     stacked so row independence is also checked."""
@@ -86,7 +95,7 @@ def test_fill2_degenerate_masks(reverse):
     _check(pos, x, mask, reverse)
 
 
-@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("reverse", [_FWD_SLOW, True])
 def test_linear_fill2_parity(reverse):
     """The ITD-specialized kernel derives the knot mask in-kernel; it must
     match the XLA mask + scan fill bit-for-bit (pure selection, no FP)."""
@@ -103,6 +112,7 @@ def test_linear_fill2_parity(reverse):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_linear_fill2_nan_quarantine():
     """NaN samples and their neighbors are excluded from the knot mask
     in-kernel, matching extrema_mask's quarantine."""
@@ -120,6 +130,7 @@ def test_linear_fill2_nan_quarantine():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("endpoint_mode", ["reference", "natural"])
 def test_fused_baseline_kernel_parity(endpoint_mode):
     """linear_baseline_pallas (reverse fill + epilogue fused in-kernel)
@@ -146,7 +157,10 @@ def test_fused_baseline_kernel_parity(endpoint_mode):
     np.testing.assert_allclose(g[ok], w[ok], rtol=0, atol=5e-6)
 
 
-@pytest.mark.parametrize("endpoint_mode", ["reference", "natural"])
+@pytest.mark.parametrize(
+    "endpoint_mode",
+    [pytest.param("reference", marks=pytest.mark.slow), "natural"],
+)
 def test_pallas_backend_full_level(endpoint_mode):
     """backend='pallas' (interpret on CPU) matches backend='scan' on a full
     linear-baseline level, f32, to f32 roundoff."""

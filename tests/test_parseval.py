@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -77,6 +78,7 @@ def test_wavelet_attention_runs_causally():
     np.testing.assert_allclose(np.asarray(y[:, :5]), np.asarray(y2[:, :5]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gpt_trains_on_copy_task():
     cfg = GPTConfig(block_size=16, vocab_size=12, n_layer=1, n_embd=32,
                     near_window=4, wavelet_levels=2, ancilla_dim=4, n_anchor=4)

@@ -54,6 +54,7 @@ def test_sharded_reconstruction():
         np.testing.assert_allclose(comps.sum(0), x[b], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_cubic_matches_single_device():
     from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
     from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
@@ -67,6 +68,7 @@ def test_sharded_cubic_matches_single_device():
     np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotation), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_cubic_large_n_bounded_capacity():
     """At n=65536 the auto capacity must be O(#knots) per shard, not
     O(n_global) — the regression that made the knot all_gather replicate

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -127,6 +128,7 @@ def test_recursive_filter_matches_sequential():
     np.testing.assert_allclose(got, y, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_time_causal_stft_shapes():
     x = np.sin(np.linspace(0, 200, 4000))
     s = time_causal_stft(jnp.asarray(x), n_fft=256, hop_len=64, tau_max=0.1, c=2.0, k=4)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -6,6 +7,7 @@ import optax
 from pyitd_tpu.ml.ultramem import UltraMemCfg, UltraMemClassifier
 
 
+@pytest.mark.slow
 def test_ultramem_forward_and_train():
     cfg = UltraMemCfg(hidden_size=32, n_keys=16, key_dim=8, tucker_rank=2,
                       rb=16, rp=16, qr=8, qc=8, topk_rows=4, topk_cols=4,
@@ -36,6 +38,7 @@ def test_ultramem_forward_and_train():
     assert l1 < l0 * 0.8, (l0, l1)
 
 
+@pytest.mark.slow
 def test_ultramem_shared_params_across_blocks():
     cfg = UltraMemCfg(hidden_size=16, n_keys=8, key_dim=4, tucker_rank=2,
                       rb=8, rp=8, qr=4, qc=4, topk_rows=2, topk_cols=2,

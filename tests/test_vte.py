@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -109,6 +110,7 @@ def test_frft_identity_and_reversal():
     assert np.all(np.isfinite(mid.real)) and np.all(np.isfinite(mid.imag))
 
 
+@pytest.mark.slow
 def test_manifold_stage_and_blockfast_gpt():
     import optax
     from pyitd_tpu.ml.vte import ManifoldStage, AutoencoderBlock, BlockFastGPT
