@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.extrema import count_extrema
 from ..ops.linear_baseline import linear_baseline_extract
 
 __all__ = ["itd_sift", "SiftResult", "ITD", "STOP_RUNNING", "STOP_FLAT", "STOP_BUDGET"]
@@ -91,10 +90,11 @@ def itd_sift(
     levels = max_iteration + 2
     extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
 
-    rotation, baseline, _ = extract(x)
+    first = extract(x)
+    rotation, baseline = first.rotation, first.baseline
     # pending_err: exact rounding residual of the not-yet-emitted rotation
     # (rotation = fl(input - baseline); err = (input - baseline) - rotation)
-    pending_err = _two_sum_err(x, -baseline, rotation)
+    pending_err = first.sub_err
     zero = jnp.zeros_like(x)
     out_rot = jnp.zeros((levels,) + x.shape, dtype=x.dtype)
     base_levels = levels if store_baselines else 1
@@ -110,7 +110,12 @@ def itd_sift(
     def body(i, carry):
         (rotation, baseline, prev_base, out_rot, out_base, done, reason,
          ncomp, pending_err, comp) = carry
-        nex = count_extrema(baseline)
+        # one extraction per trip: its extrema count drives the stop
+        # decision for the *current* baseline, and its outputs become the
+        # next level's carries (the pallas backend emits count, rotation,
+        # and rounding residual from the kernels directly)
+        new = extract(baseline)
+        nex = new.num_extrema
 
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & (i > max_iteration)
@@ -144,11 +149,10 @@ def itd_sift(
         # above, and the residual reads the carries exactly at the stop
         # trip, before this update) — so freezing them with per-element
         # selects would only add 4 full-array select passes per level.
-        new_rot, new_base, _ = extract(baseline)
-        pending_err = _two_sum_err(baseline, -new_base, new_rot)
-        rotation = new_rot
+        rotation = new.rotation
+        pending_err = new.sub_err
         prev_base = baseline
-        baseline = new_base
+        baseline = new.baseline
 
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(

@@ -63,6 +63,13 @@ class LinearBaselineResult(NamedTuple):
     rotation: jax.Array
     baseline: jax.Array
     num_extrema: jax.Array  # interior extrema count (int32), per batch elem
+    sub_err: jax.Array      # exact residual of rotation = fl(x - baseline)
+
+
+def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
+    """Exact rounding residual of ``s = fl(a + b)`` (Knuth two-sum)."""
+    bb = s - a
+    return (a - (s - bb)) + (b - bb)
 
 
 def _knot_mask(x: jax.Array) -> jax.Array:
@@ -164,7 +171,7 @@ def _baseline_pallas(x, knots, it, n, endpoint_mode):
     in-kernel; block-edge neighbors arrive as SMEM scalars so every index
     map stays affine and the DMA pipeline keeps double-buffering.  HBM per
     level: x + 4 forward channels read, baseline written."""
-    from .pallas_fill import linear_fill2_pallas, linear_baseline_pallas
+    from .pallas_fill import linear_level_pallas
 
     del knots, it
     lead = x.shape[:-1]
@@ -173,17 +180,36 @@ def _baseline_pallas(x, knots, it, n, endpoint_mode):
     # off-TPU the Mosaic kernel can't compile; interpret mode keeps the
     # backend selectable (and CI-testable) everywhere
     interp = jax.default_backend() != "tpu"
-    fwd = linear_fill2_pallas(x2, interpret=interp)
-    baseline = linear_baseline_pallas(
-        x2, *fwd, endpoint_mode=endpoint_mode, interpret=interp
+    baseline, rotation, err, nex = linear_level_pallas(
+        x2, endpoint_mode=endpoint_mode, interpret=interp
     )
-    return baseline.reshape(lead + (n,)).astype(x.dtype)
+
+    def unflat(a):
+        return a.reshape(lead + (n,))
+
+    if x.dtype == jnp.float32:
+        return LinearBaselineResult(
+            rotation=unflat(rotation), baseline=unflat(baseline),
+            num_extrema=nex.reshape(lead), sub_err=unflat(err),
+        )
+    # non-f32 inputs (forced-pallas tests): keep the f32 baseline but make
+    # rotation/err exact in the input precision, as the telescoping
+    # reconstruction requires
+    baseline = unflat(baseline).astype(x.dtype)
+    rotation = x - baseline
+    err = _two_sum_err(x, -baseline, rotation)
+    return LinearBaselineResult(
+        rotation=rotation, baseline=baseline,
+        num_extrema=nex.reshape(lead), sub_err=err,
+    )
 
 
 def linear_baseline_extract(
     x: jax.Array, *, endpoint_mode: str = "reference", backend: str = "auto"
 ) -> LinearBaselineResult:
-    """One level of canonical ITD: returns (rotation, baseline, num_extrema)."""
+    """One level of canonical ITD: returns (rotation, baseline, num_extrema,
+    sub_err) — sub_err is the exact rounding residual of the stored
+    rotation, consumed by the sift's compensated reconstruction."""
     if endpoint_mode not in ("reference", "natural"):
         raise ValueError(f"unknown endpoint_mode: {endpoint_mode!r}")
     n = x.shape[-1]
@@ -198,13 +224,17 @@ def linear_baseline_extract(
         raise ValueError(f"unknown backend: {backend!r}")
 
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    knots = _knot_mask(x)
 
-    fn = {"gather": _baseline_gather, "scan": _baseline_scan,
-          "pallas": _baseline_pallas}[backend]
+    if backend == "pallas":
+        return _baseline_pallas(x, None, it, n, endpoint_mode)
+
+    knots = _knot_mask(x)
+    fn = {"gather": _baseline_gather, "scan": _baseline_scan}[backend]
     baseline = fn(x, knots, it, n, endpoint_mode)
 
     nex = count_extrema(x)
+    rotation = x - baseline
     return LinearBaselineResult(
-        rotation=x - baseline, baseline=baseline, num_extrema=nex
+        rotation=rotation, baseline=baseline, num_extrema=nex,
+        sub_err=_two_sum_err(x, -baseline, rotation),
     )

@@ -30,7 +30,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas", "BLK"]
+__all__ = [
+    "fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas",
+    "linear_level_pallas", "BLK",
+]
 
 BLK = 8192
 _LANES = 128
@@ -272,7 +275,7 @@ def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
         jnp.full_like(x, _NONE),
         x,
     )
-    return pos, row, lane, state
+    return pos, row, lane, m, state
 
 
 def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
@@ -288,7 +291,7 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
             _init_carry(carry)
 
         blk = (nblk - 1 - g) if reverse else g
-        _, _, _, state = _knot_state(
+        _, _, _, _, state = _knot_state(
             x_ref[0], blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
         )
         carry_in = tuple(carry[i] for i in range(4))
@@ -302,15 +305,9 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("reverse", "interpret"))
-def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
-                        interpret: bool = False):
-    """ITD-specialized fill2: knot mask (canonical extrema + endpoints, NaN
-    quarantine) and positions are derived in-kernel from ``x``; block-edge
-    neighbor samples arrive as per-block SMEM scalars so every BlockSpec
-    index map stays affine (non-affine maps stall the DMA pipeline).
-    Returns inclusive (p1_pos, p1_x, p2_pos, p2_x) in the chosen direction.
-    """
+def _pad_edges(x):
+    """Pad a (rows, n) f32 signal to a BLK multiple and compute the
+    per-block edge-neighbor scalar arrays the kernels prefetch."""
     rows, n = x.shape
     npad = -(-n // BLK) * BLK
     pad = npad - n
@@ -326,7 +323,13 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
         [xp[:, BLK::BLK], xp[:, -1:]], axis=-1
     )  # (rows, nblk)
     x3 = xp.reshape(rows, npad // _LANES, _LANES)
+    return x3, prev_edge, next_edge, npad, nblk
 
+
+def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
+    """Run the ITD fill2 kernel on already-padded 3-D inputs; returns the
+    four fill channels still in padded 3-D layout."""
+    rows = x3.shape[0]
     sub = BLK // _LANES
     if reverse:
         main_map = lambda r, b, _pe, _ne: (r, nblk - 1 - b, 0)
@@ -341,16 +344,28 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
         out_specs=[spec] * 4,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         _make_linear_fill2_kernel(reverse, n, nblk),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
-        ] * 4,
+        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 4,
         interpret=interpret,
     )(prev_edge, next_edge, x3)
-    outs = tuple(o.reshape(rows, npad)[..., :n] for o in outs)
-    return outs
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
+                        interpret: bool = False):
+    """ITD-specialized fill2: knot mask (canonical extrema + endpoints, NaN
+    quarantine) and positions are derived in-kernel from ``x``; block-edge
+    neighbor samples arrive as per-block SMEM scalars so every BlockSpec
+    index map stays affine (non-affine maps stall the DMA pipeline).
+    Returns inclusive (p1_pos, p1_x, p2_pos, p2_x) in the chosen direction.
+    """
+    rows, n = x.shape
+    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
+    outs = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse,
+                                interpret)
+    return tuple(o.reshape(rows, npad)[..., :n] for o in outs)
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +381,8 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
     nm1 = float(n_real - 1)
 
     def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, x_ref,
-               f1p_ref, f1x_ref, f2p_ref, f2x_ref, base_ref, carry):
+               f1p_ref, f1x_ref, f2p_ref, f2x_ref, base_ref, rot_ref,
+               err_ref, carry):
         r = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -376,7 +392,7 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
 
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
-        pos, row, lane, state = _knot_state(
+        pos, row, lane, _, state = _knot_state(
             x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
         )
         # carry_in = inclusive reverse state at the NEXT block's first
@@ -423,7 +439,39 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
                                  jnp.zeros_like(baseline), baseline)
         base_ref[0] = baseline
 
+        # rotation and its exact two-sum rounding residual, computed while
+        # x and baseline are in registers (the sift's compensated
+        # reconstruction needs err = (x - baseline) - fl(x - baseline))
+        rot = x - baseline
+        bb = rot - x
+        err = (x - (rot - bb)) + ((-baseline) - bb)
+        rot_ref[0] = rot
+        err_ref[0] = err
+
     return kernel
+
+
+def _linear_baseline_padded(x3, fwd3, prev_edge, next_edge, b_first, b_last,
+                            n, nblk, endpoint_mode, interpret):
+    """Run the fused reverse-fill + epilogue kernel on padded 3-D inputs;
+    returns padded (baseline, rotation, sub_err)."""
+    rows = x3.shape[0]
+    sub = BLK // _LANES
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(rows, nblk),
+        in_specs=[spec] * 5,
+        out_specs=[spec] * 3,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_linear_baseline_kernel(n, nblk, endpoint_mode),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 3,
+        interpret=interpret,
+    )(prev_edge, next_edge, b_first, b_last, x3, *fwd3)
 
 
 @partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
@@ -437,9 +485,11 @@ def linear_baseline_pallas(x: jax.Array, f1p: jax.Array, f1x: jax.Array,
     (``/root/reference/ITD.py:106-117`` semantics, matching
     ``linear_baseline._baseline_scan`` exactly) fused in one reverse-walking
     kernel.  ``f*`` are the outputs of ``linear_fill2_pallas(x)``.
+    (Production path: :func:`linear_level_pallas`, which keeps the forward
+    channels in padded layout between the two kernels.)
     """
     rows, n = x.shape
-    npad = -(-n // BLK) * BLK
+    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
     pad = npad - n
 
     def prep(a):
@@ -447,34 +497,50 @@ def linear_baseline_pallas(x: jax.Array, f1p: jax.Array, f1x: jax.Array,
         if pad:
             a = jnp.concatenate([a, jnp.zeros((rows, pad), jnp.float32)],
                                 axis=-1)
-        return a.reshape(rows, npad // _LANES, _LANES)
+        return a.reshape(x3.shape)
 
-    xp = prep(x)
-    xflat = xp.reshape(rows, npad)
-    nblk = npad // BLK
-    prev_edge = jnp.concatenate(
-        [xflat[:, :1], xflat[:, BLK - 1 : npad - 1 : BLK]], axis=-1
-    )
-    next_edge = jnp.concatenate([xflat[:, BLK::BLK], xflat[:, -1:]], axis=-1)
     b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
     b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
-
-    sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
-    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(rows, nblk),
-        in_specs=[spec] * 5,
-        out_specs=spec,
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    out = _linear_baseline_padded(
+        x3, (prep(f1p), prep(f1x), prep(f2p), prep(f2x)),
+        prev_edge, next_edge, b_first, b_last, n, nblk, endpoint_mode,
+        interpret,
     )
-    out = pl.pallas_call(
-        _make_linear_baseline_kernel(n, nblk, endpoint_mode),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES),
-                                       jnp.float32),
-        interpret=interpret,
-    )(prev_edge, next_edge, b_first, b_last, xp,
-      prep(f1p), prep(f1x), prep(f2p), prep(f2x))
-    return out.reshape(rows, npad)[..., :n]
+    return out[0].reshape(rows, npad)[..., :n]
+
+
+@partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
+def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
+                        interpret: bool = False):
+    """One full linear-baseline level: forward fill2 kernel + fused
+    reverse/epilogue kernel, with the four intermediate fill channels kept
+    in padded 3-D layout between the two (no crop/re-pad copies — at
+    non-BLK-multiple n those cost ~8 full-array copies per level).
+
+    Returns ``(baseline, rotation, sub_err, num_extrema)``: rotation and
+    its exact two-sum rounding residual come from the fused kernel while x
+    and baseline are in registers, and the interior extrema count comes
+    from the forward kernel's per-block knot-mask counts (total marks minus
+    the 2 endpoint marks)."""
+    rows, n = x.shape
+    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
+    fwd3 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
+                                reverse=False, interpret=interpret)
+    b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
+    b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
+    base, rot, err = _linear_baseline_padded(
+        x3, fwd3, prev_edge, next_edge, b_first, b_last, n, nblk,
+        endpoint_mode, interpret,
+    )
+
+    def crop(a):
+        return a.reshape(rows, npad)[..., :n]
+
+    # knot count from the forward channels: a sample is a knot iff it is
+    # its own most-recent knot (positions are exact in f32 below 2^24);
+    # padded samples never match (their p1 position is < n).  Interior
+    # extrema count = total knots - the 2 endpoint marks.
+    f1p_flat = fwd3[0].reshape(rows, npad)
+    iota = lax.broadcasted_iota(jnp.float32, (rows, npad), 1)
+    nex = jnp.sum(f1p_flat == iota, axis=-1).astype(jnp.int32) - 2
+    return crop(base), crop(rot), crop(err), nex

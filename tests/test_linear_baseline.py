@@ -17,7 +17,7 @@ def _signals():
 
 def test_parity_with_numpy_oracle():
     for s in _signals():
-        rot, base, nex = linear_baseline_extract(jnp.asarray(s))
+        rot, base, nex, _ = linear_baseline_extract(jnp.asarray(s))
         r_rot, r_base, r_nex = baseline_extract(s)
         np.testing.assert_allclose(np.asarray(base), r_base, atol=1e-12, rtol=0)
         np.testing.assert_allclose(np.asarray(rot), r_rot, atol=1e-12, rtol=0)
@@ -27,7 +27,7 @@ def test_parity_with_numpy_oracle():
 def test_exact_reconstruction():
     # rotation := x - baseline, so rot + base == x to f64 roundoff
     for s in _signals():
-        rot, base, _ = linear_baseline_extract(jnp.asarray(s))
+        rot, base, _, _ = linear_baseline_extract(jnp.asarray(s))
         np.testing.assert_allclose(
             np.asarray(rot) + np.asarray(base), np.asarray(s), atol=1e-12, rtol=0
         )
@@ -35,16 +35,16 @@ def test_exact_reconstruction():
 
 def test_reference_endpoint_quirk():
     s = np.sin(np.linspace(0, 30, 256))
-    _, base, _ = linear_baseline_extract(jnp.asarray(s))
+    _, base, _, _ = linear_baseline_extract(jnp.asarray(s))
     assert float(base[-1]) == 0.0
-    _, base_nat, _ = linear_baseline_extract(jnp.asarray(s), endpoint_mode="natural")
+    _, base_nat, _, _ = linear_baseline_extract(jnp.asarray(s), endpoint_mode="natural")
     assert float(base_nat[-1]) != 0.0
 
 
 def test_vmap_and_jit():
     sigs = np.stack([np.sin(np.linspace(0, k, 256)) for k in (11, 23, 37, 53)])
     fn = jax.jit(lambda a: linear_baseline_extract(a))
-    rot, base, nex = fn(jnp.asarray(sigs))
+    rot, base, nex, _ = fn(jnp.asarray(sigs))
     for i, s in enumerate(sigs):
         r_rot, r_base, r_nex = baseline_extract(s)
         np.testing.assert_allclose(np.asarray(base[i]), r_base, atol=1e-12, rtol=0)
