@@ -84,6 +84,12 @@ def main():
             best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
         return max(best, 1e-9)
 
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+
+    # knot capacity for the cubic stage, from the measured density of the
+    # bench signal (~2/3 per sample for the noisy component)
+    cub_cap = min(n, int(0.75 * n) + 16)
+
     stages = [
         # (name, fn, VPU op estimate per element, HBM bytes per element)
         ("fill2 fwd (pallas)", lambda a: linear_fill2_pallas(a, interpret=interp),
@@ -98,6 +104,10 @@ def main():
         ("full sift (10 levels)",
          lambda a: itd_sift(a, 8, store_baselines=False).rotations[0],
          7600, 120),
+        ("cubic baseline (MEITD tier)",
+         lambda a: cubic_baseline_extract(a, capacity=cub_cap,
+                                          min_extrema=0).baseline,
+         2000, 60),
     ]
 
     rows = []

@@ -192,6 +192,100 @@ def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
     return lin, cub
 
 
+def _eval_fills(x, capacity, min_extrema):
+    """Fill-kernel MEITD-tier cubic level — the dense-knot TPU shape.
+
+    At noise-driven extrema densities (~2n/3 knots) the scatter/gather
+    route costs ~40 ms per transfer at 1M points on v5e; this path keeps
+    every per-sample quantity on the signal grid via the Pallas fill2
+    kernels (three rounds: knot neighbors, knot-value neighbors, moment
+    neighbors) and only touches compact buffers for the PCR moment solve
+    (one scatter in ``compact_indices``, two gathers in, one scatter out).
+
+    f32 end to end (the kernels' dtype); matches the gather/scan
+    evaluations to f32 roundoff.
+    """
+    from .pallas_fill import linear_fill2_pallas, fill2_pallas
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    it = lax.broadcasted_iota(jnp.int32, x2.shape, 1)
+    iota_f = it.astype(jnp.float32)
+
+    def shift_l(a, fill=0.0):
+        return jnp.concatenate(
+            [a[..., 1:], jnp.full_like(a[..., :1], fill)], axis=-1
+        )
+
+    # round 1: knot-neighbor channels (the kernel's in-kernel mask IS the
+    # cubic knot set: interior extrema + both endpoints)
+    p1p, p1x, p2p, p2x = linear_fill2_pallas(x2, interpret=interp)
+    i1p, i1x, _, _ = linear_fill2_pallas(x2, reverse=True, interpret=interp)
+    n1p = shift_l(i1p)
+    n1x = shift_l(i1x)
+    mask = p1p == iota_f  # a sample is a knot iff it is its own latest knot
+    nex = jnp.sum(mask, axis=-1).astype(jnp.int32) - 2
+
+    # knot values at knot sites (Frei-Osorio over this knot's neighbors,
+    # odd-reflect end values — MEITD tier semantics)
+    span = n1p - p2p
+    w = (iota_f - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
+    k_site = 0.5 * (p2x + w * (n1x - p2x)) + 0.5 * x2
+    b_first = 0.5 * (3.0 * x2[..., 0] - x2[..., 1])
+    b_last = 0.5 * (3.0 * x2[..., n - 1] - x2[..., n - 2])
+    k_site = jnp.where(it == 0, b_first[..., None], k_site)
+    k_site = jnp.where(it == n - 1, b_last[..., None], k_site)
+
+    # compact solve: gather positions + knot values, not-a-knot PCR
+    pos_c, kcount = compact_indices(mask, capacity)
+    k_c = jnp.take_along_axis(k_site, jnp.clip(pos_c, 0, n - 1), axis=-1)
+    moments = spline_moments(pos_c.astype(jnp.float32), k_c, kcount,
+                             bc="not-a-knot")
+    cnt = kcount[..., None]
+    kk = lax.broadcasted_iota(jnp.int32, pos_c.shape, pos_c.ndim - 1)
+    m_grid, = _scatter_channels(x2, pos_c, kk < cnt, (moments,))
+
+    # rounds 2+3: neighbor knot values / moments per sample
+    f2 = fill2_pallas(iota_f, k_site, mask, interpret=interp)
+    r2 = fill2_pallas(iota_f, k_site, mask, reverse=True, interpret=interp)
+    k_j, k_jm1 = f2[1], f2[3]
+    k_j1 = shift_l(r2[1])
+    f3 = fill2_pallas(iota_f, m_grid, mask, interpret=interp)
+    r3 = fill2_pallas(iota_f, m_grid, mask, reverse=True, interpret=interp)
+    m_j = f3[1]
+    m_j1 = shift_l(r3[1])
+
+    # the final sample belongs to the last interval: its j-side is the
+    # second-to-last knot (fill2's second channel), its (j+1)-side the
+    # last knot itself
+    is_last = it == n - 1
+    last_idx = jnp.maximum(cnt - 1, 0)
+    m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
+    pos_j = jnp.where(is_last, p2p, p1p)
+    k_j = jnp.where(is_last, k_jm1, k_j)
+    m_j = jnp.where(is_last, f3[3], m_j)
+    k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
+    m_j1 = jnp.where(is_last, m_last, m_j1)
+    right_pos = jnp.where(is_last, iota_f, n1p)
+
+    h_j = right_pos - pos_j
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (iota_f - pos_j) / h_safe
+    omt = 1.0 - s
+    baseline = (
+        omt * k_j + s * k_j1
+        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
+    )
+
+    passthrough = (nex < min_extrema)[..., None]
+    baseline = jnp.where(passthrough, x2, baseline)
+    baseline = baseline.reshape(lead + (n,)).astype(x.dtype)
+    nex = nex.reshape(lead)
+    return baseline, nex
+
+
 class CubicBaselineResult(NamedTuple):
     rotation: jax.Array
     baseline: jax.Array
@@ -251,8 +345,17 @@ def cubic_baseline_extract(
     its drivers to never call below 6 extrema).
 
     ``eval_backend``: "gather" (per-sample gathers — fast on CPU), "scan"
-    (scatter + masked fill scans — gather-free, the TPU shape), or "auto"
-    (by platform).  Numerically identical."""
+    (scatter + masked fill scans), "fills" (Pallas fill kernels + compact
+    PCR solve — the dense-knot TPU shape, f32), or "auto" (by platform).
+    Numerically identical up to f32 roundoff on the fills path."""
+    if eval_backend == "auto":
+        eval_backend = "gather" if jax.default_backend() == "cpu" else "fills"
+    if eval_backend == "fills":
+        baseline, nex = _eval_fills(x, capacity, min_extrema)
+        return CubicBaselineResult(
+            rotation=x - baseline, baseline=baseline, num_extrema=nex
+        )
+
     dtype = x.dtype
     n = x.shape[-1]
     mask = extrema_mask(x)
@@ -281,8 +384,6 @@ def cubic_baseline_extract(
     moments = spline_moments(pos.astype(dtype), knots, kcount, bc="not-a-knot")
     h = (e_next - pos).astype(dtype)
     h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
-    if eval_backend == "auto":
-        eval_backend = "gather" if jax.default_backend() == "cpu" else "scan"
     if eval_backend == "gather":
         seg = segment_index(x, pos, kcount, cap_to_last_interval=True)
         lin, cub = eval_moment_spline(x, pos, knots, moments, h, seg)

@@ -1,22 +1,25 @@
 """Tridiagonal solvers and cubic-spline moment systems on padded knot buffers.
 
-Three solvers, all expressed as masked ``lax.scan`` over the (small) knot
-axis and vectorized over arbitrary batch axes — knot counts are orders of
-magnitude smaller than signal length, so a sequential scan over knots with
-full vector width over the batch is the right TPU shape:
+All vectorized over arbitrary batch axes on fixed-capacity knot buffers:
 
 * :func:`reference_spline_moments` — bit-for-bit the recurrence the
   reference's native tier runs (``/root/reference/itd.cpp:117-137`` and its
   numba port ``itd_fourier_decomposition.py:86-107``).  Note this recurrence
   is *not* a mathematically exact Thomas elimination (the superdiagonal is
   never normalized by the pivot); it is reproduced deliberately because the
-  reference's outputs depend on it.
-* :func:`thomas_solve` — the exact Thomas algorithm, for the quality path.
+  reference's outputs depend on it.  Sequential scan — only used at the
+  template tier's tiny knot counts.
+* :func:`thomas_solve` — the exact Thomas algorithm as a masked
+  ``lax.scan``: the right shape when knot counts are small and the batch is
+  wide.
+* :func:`pcr_solve` — parallel cyclic reduction: log-depth full-vector
+  rounds, the right shape when knot counts are large (noise-driven extrema
+  densities reach ~2n/3).
 * :func:`spline_moments` — second-derivative (moment) system of an
   interpolating cubic spline with ``natural`` or ``not-a-knot`` boundary
   conditions; ``not-a-knot`` matches scipy's ``splrep(k=3, s=0)`` behavior
   that the reference's MEITD/2-D tiers rely on
-  (``/root/reference/MEITD.py:131-146``).
+  (``/root/reference/MEITD.py:131-146``).  Picks Thomas or PCR by capacity.
 
 Buffers are fixed-capacity with a per-batch-element ``count``; lanes at or
 beyond ``count`` are inert (identity scan steps, guarded denominators).
@@ -27,7 +30,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["reference_spline_moments", "thomas_solve", "spline_moments"]
+__all__ = ["reference_spline_moments", "thomas_solve", "pcr_solve",
+           "spline_moments"]
+
+# above this capacity the sequential Thomas scan (O(cap) dependent steps)
+# loses to log-depth parallel cyclic reduction on full vectors
+_PCR_MIN_CAP = 1024
 
 
 def _arange_like(x: jax.Array) -> jax.Array:
@@ -170,6 +178,55 @@ def thomas_solve(lower: jax.Array, diag: jax.Array, upper: jax.Array, rhs: jax.A
     return rev(jnp.moveaxis(xs, 0, -1))
 
 
+def pcr_solve(lower: jax.Array, diag: jax.Array, upper: jax.Array,
+              rhs: jax.Array) -> jax.Array:
+    """Parallel cyclic reduction for batched tridiagonal systems — the
+    log-depth, full-vector TPU shape (a ``lax.scan`` Thomas elimination is
+    a sequential dependence chain over the knot axis; at the MEITD tier's
+    noise-driven knot counts that chain reaches ~1M steps).
+
+    Inactive lanes must already be identity rows (``lower=upper=rhs=0,
+    diag=1``) — exactly how :func:`spline_moments` masks its systems, which
+    also keeps independent per-batch blocks decoupled.  Requires diagonal
+    dominance for stability; spline moment systems are strictly dominant
+    (diag = 2(h_{i-1}+h_i) vs off-diagonals h).
+
+    Each round eliminates couplings at distance ``2^k`` by absorbing the
+    neighbor rows; after ``ceil(log2(cap))`` rounds the system is diagonal.
+    """
+    cap = diag.shape[-1]
+    a, b, c, d = lower, diag, upper, rhs
+
+    def shift_r(x, s, fill):
+        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+    def shift_l(x, s, fill):
+        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+        return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+    steps = max(1, int(cap - 1).bit_length())
+    for k in range(steps):
+        s = 1 << k
+        if s >= cap:
+            break
+        b_m = shift_r(b, s, 1.0)
+        c_m = shift_r(c, s, 0.0)
+        d_m = shift_r(d, s, 0.0)
+        a_m = shift_r(a, s, 0.0)
+        b_p = shift_l(b, s, 1.0)
+        a_p = shift_l(a, s, 0.0)
+        d_p = shift_l(d, s, 0.0)
+        c_p = shift_l(c, s, 0.0)
+        alpha = -_safe_div(a, b_m)
+        beta = -_safe_div(c, b_p)
+        b = b + alpha * c_m + beta * a_p
+        d = d + alpha * d_m + beta * d_p
+        a = alpha * a_m
+        c = beta * c_p
+    return _safe_div(d, b)
+
+
 def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
                    bc: str = "natural") -> jax.Array:
     """Second derivatives M of the cubic interpolant through
@@ -209,7 +266,8 @@ def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
         # kill the couplings that reach M[0]/M[count-1]
         lower_s = jnp.where(idx == 1, jnp.zeros_like(lower_s), lower_s)
         upper_s = jnp.where(idx == cnt - 2, jnp.zeros_like(upper_s), upper_s)
-        m = thomas_solve(lower_s, diag_s, upper_s, rhs_s)
+        solve = pcr_solve if diag.shape[-1] >= _PCR_MIN_CAP else thomas_solve
+        m = solve(lower_s, diag_s, upper_s, rhs_s)
         return jnp.where(interior, m, jnp.zeros_like(m))
 
     # not-a-knot: eliminate M0 = ((h0+h1) M1 - h0 M2) / h1 into row i=1 and
@@ -234,7 +292,8 @@ def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
     diag_s = jnp.where(interior, diag_s, jnp.ones_like(diag_s))
     upper_s = jnp.where(interior, upper_s, jnp.zeros_like(upper_s))
     rhs_s = jnp.where(interior, rhs, jnp.zeros_like(rhs))
-    m = thomas_solve(lower_s, diag_s, upper_s, rhs_s)
+    solve = pcr_solve if diag.shape[-1] >= _PCR_MIN_CAP else thomas_solve
+    m = solve(lower_s, diag_s, upper_s, rhs_s)
     m = jnp.where(interior, m, jnp.zeros_like(m))
 
     m1 = jnp.take_along_axis(m, jnp.ones_like(cnt), axis=-1)

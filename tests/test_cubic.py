@@ -133,3 +133,57 @@ def test_cubic_eval_scan_matches_gather():
         np.testing.assert_array_equal(
             np.asarray(a.num_extrema), np.asarray(b.num_extrema)
         )
+
+
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction (the large-capacity TPU solver) agrees
+    with sequential Thomas elimination to f64 roundoff on diagonally
+    dominant systems, including identity-padded lanes."""
+    from pyitd_tpu.ops.tridiag import thomas_solve, pcr_solve
+
+    rng = np.random.default_rng(13)
+    for cap in (64, 1025, 1500):
+        lower = jnp.asarray(rng.uniform(0.1, 1, (3, cap)))
+        upper = jnp.asarray(rng.uniform(0.1, 1, (3, cap)))
+        diag = 2.0 * (lower + upper) + 0.5
+        rhs = jnp.asarray(rng.normal(size=(3, cap)))
+        lower = lower.at[:, 0].set(0)
+        upper = upper.at[:, -1].set(0)
+        # identity-pad a tail region like spline_moments' masking does
+        k = cap - 7
+        lower = lower.at[:, k:].set(0); upper = upper.at[:, k - 1:].set(0)
+        diag = diag.at[:, k:].set(1); rhs = rhs.at[:, k:].set(0)
+        xt = thomas_solve(lower, diag, upper, rhs)
+        xp = pcr_solve(lower, diag, upper, rhs)
+        np.testing.assert_allclose(np.asarray(xp), np.asarray(xt),
+                                   rtol=0, atol=1e-12)
+
+
+def test_cubic_large_capacity_pcr_path():
+    """cubic_baseline_extract above the PCR threshold matches the Thomas
+    path run at just-below-threshold capacity on the same signal."""
+    t = np.linspace(0, 1, 3000)
+    x = jnp.asarray(np.sin(2 * np.pi * 60 * t)[None] * np.array([[1.0], [2.0]]))
+    a = cubic_baseline_extract(x, capacity=1023)   # thomas
+    b = cubic_baseline_extract(x, capacity=1200)   # pcr
+    np.testing.assert_allclose(np.asarray(a.baseline), np.asarray(b.baseline),
+                               rtol=0, atol=1e-12)
+
+
+def test_cubic_eval_fills_matches_scan():
+    """The Pallas-fills evaluation (dense-knot TPU path, f32) is
+    bit-identical to the scan evaluation on f32 inputs (interpret mode)."""
+    rng = np.random.default_rng(17)
+    n = 4800
+    t = np.linspace(0, 1, n)
+    x = jnp.asarray(
+        (np.sin(2 * np.pi * 17 * t) + 0.3 * rng.normal(size=(2, n))).astype(np.float32)
+    )
+    a = cubic_baseline_extract(x, capacity=n, eval_backend="scan")
+    b = cubic_baseline_extract(x, capacity=n, eval_backend="fills")
+    np.testing.assert_array_equal(np.asarray(a.num_extrema), np.asarray(b.num_extrema))
+    np.testing.assert_array_equal(np.asarray(a.baseline), np.asarray(b.baseline))
+    # passthrough guard also works on the fills path
+    xs = jnp.asarray(np.sin(np.linspace(0, 6, 256))[None].astype(np.float32))
+    g = cubic_baseline_extract(xs, capacity=64, eval_backend="fills", min_extrema=10)
+    np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
