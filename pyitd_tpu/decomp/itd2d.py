@@ -72,7 +72,10 @@ def statistical_component(img: jax.Array, key: jax.Array, iterations: int = 20) 
 
 def totalextract2d(img, key=None, iterations: int = 20):
     """[highpass, lowpass] separation (siftED2D `totalextract2d`)."""
-    img = jnp.asarray(img, jnp.float64)
+    # f64 where available (CPU / x64 mode — the reference's precision);
+    # TPUs run the f32 fast path without the truncation warning
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    img = jnp.asarray(img, dtype)
     if key is None:
         key = jax.random.PRNGKey(0)
     lowpass = statistical_component(img, key, iterations)
