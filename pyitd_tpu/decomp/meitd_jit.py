@@ -23,7 +23,7 @@ from ..ops.cubic_baseline import cubic_baseline_extract
 from ..ops.extrema import count_extrema
 from ..ops.wpe import weighted_permutation_entropy
 
-__all__ = ["meitd_jit", "MeitdResult"]
+__all__ = ["meitd_jit", "meitd_jit_bank", "MeitdResult"]
 
 _MAX_ROWS = 44
 _SOFT_CAP = 64     # bound on the reference's unbounded soft_reset digging
@@ -233,3 +233,15 @@ def meitd_jit(data, wpemax: float = 0.6, *, capacity: int | None = None) -> Meit
         high=c.high, low=c.low, residual=c.x,
         high_count=c.highc, low_count=c.lowc,
     )
+
+
+def meitd_jit_bank(bank, wpemax: float = 0.6, *, capacity: int | None = None) -> MeitdResult:
+    """Batched MEITD over a (batch, n) signal bank — the modpool-style
+    many-independent-decompositions use case (``/root/reference/modpool.c``)
+    expressed as one vmapped program: every signal walks its own HILO state
+    machine, the lockstep while_loop runs until the slowest member stops.
+    Matches per-signal :func:`meitd_jit` to f64 roundoff (lockstep batching
+    reorders a few floating-point reductions)."""
+    from functools import partial
+
+    return jax.vmap(partial(meitd_jit, wpemax=wpemax, capacity=capacity))(bank)
