@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .chained_pcr import chained_block_pcr
 from .extrema import extrema_mask, compact_indices
 from .fill import take_last_axis, forward_fill_scan, backward_fill_scan
 from .tridiag import reference_spline_moments, spline_moments
@@ -192,15 +193,93 @@ def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
     return lin, cub
 
 
-def _eval_fills(x, capacity, min_extrema):
+def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
+                     k_j1, shift_l):
+    """Per-sample previous/next-knot spline moments via the grid-resident
+    chained block PCR (no compact buffers; see :mod:`.chained_pcr`).
+
+    Builds the not-a-knot tridiagonal row of every *interior* knot in
+    place from the fill channels (previous/next knot positions and
+    Frei-Osorio values), solves on the grid, and recovers the
+    extrapolated end moments ``M0``/``M_last``
+    (``spline_moments``'s not-a-knot closed forms) from the first/last
+    two interior moments via four tiny argmax reductions.
+
+    Returns ``(m_j, m_j1, m_last)``: moment of the knot at-or-before each
+    sample, of the knot strictly after, and the end moment (the caller
+    patches the final sample with it).
+    """
+    n = x2.shape[-1]
+    mask_int = mask & (it > 0) & (it < n - 1)
+    hl_ = iota_f - p2p   # distance to the previous knot (endpoint included)
+    hr_ = n1p - iota_f   # distance to the next knot (endpoint included)
+
+    def sdiv(num, den):
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
+    a = hl_
+    b = 2.0 * (hl_ + hr_)
+    c = hr_
+    d = 6.0 * (sdiv(k_j1 - k_site, hr_) - sdiv(k_site - k_jm1, hl_))
+
+    # not-a-knot boundary substitutions, in the same order as
+    # tridiag.spline_moments (row 1 first; the last row uses the updated
+    # upper coefficient — matters when a single interior knot gets both)
+    firstrow = p2p == 0          # previous knot is the left endpoint
+    lastrow = n1p == n - 1       # next knot is the right endpoint
+    b1 = jnp.where(firstrow, b + a * sdiv(hl_ + hr_, hr_), b)
+    c1 = jnp.where(firstrow, c - a * sdiv(hl_, hr_), c)
+    a1 = jnp.where(firstrow, jnp.zeros_like(a), a)
+    b2 = jnp.where(lastrow, b1 + c1 * sdiv(hr_ + hl_, hl_), b1)
+    a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr_, hl_), a1)
+    c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
+
+    u, w = chained_block_pcr(mask_int, a2, b2, c2, d)
+    m_j = u
+    m_j1 = shift_l(w)
+
+    # end moments: M0 = M1 + (h0/h1)(M1 - M2), mirrored at the far end,
+    # from the first/last two interior knots (argmax = first True)
+    def at(arr, idx):
+        return jnp.take_along_axis(arr, idx[..., None], axis=-1)
+
+    i1 = jnp.argmax(mask_int, axis=-1).astype(jnp.int32)
+    i2 = jnp.argmax(mask_int & (it > i1[..., None]), axis=-1).astype(jnp.int32)
+    il1 = (n - 1) - jnp.argmax(jnp.flip(mask_int, -1), axis=-1).astype(jnp.int32)
+    il2 = (n - 1) - jnp.argmax(
+        jnp.flip(mask_int & (it < il1[..., None]), -1), axis=-1
+    ).astype(jnp.int32)
+
+    m1, m2 = at(u, i1), at(u, i2)
+    ml1, ml2 = at(u, il1), at(u, il2)
+    h0 = i1[..., None].astype(x2.dtype)
+    h1 = (i2 - i1)[..., None].astype(x2.dtype)
+    hl = (n - 1 - il1)[..., None].astype(x2.dtype)
+    hl2 = (il1 - il2)[..., None].astype(x2.dtype)
+    m0 = m1 + sdiv(h0, h1) * (m1 - m2)
+    m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
+
+    m_j = jnp.where(p1p == 0, m0, m_j)        # first-interval samples
+    m_j1 = jnp.where(n1p == n - 1, m_last, m_j1)  # last-interval samples
+    return m_j, m_j1, m_last
+
+
+def _eval_fills(x, capacity, min_extrema, solver="chained"):
     """Fill-kernel MEITD-tier cubic level — the dense-knot TPU shape.
 
     At noise-driven extrema densities (~2n/3 knots) the scatter/gather
     route costs ~40 ms per transfer at 1M points on v5e; this path keeps
     every per-sample quantity on the signal grid via the Pallas fill2
-    kernels (three rounds: knot neighbors, knot-value neighbors, moment
-    neighbors) and only touches compact buffers for the PCR moment solve
-    (one scatter in ``compact_indices``, two gathers in, one scatter out).
+    kernels.  Two moment solvers:
+
+    * ``solver="chained"`` (default) — no compact buffers at all: the
+      knot-space tridiagonal system is embedded on the signal grid as a
+      block-2x2 chained system and solved with grid PCR
+      (:mod:`.chained_pcr`), whose solution channels are *already* the
+      per-sample previous/next-knot moments (replaces one scatter, two
+      gathers, and a whole fill round of the compact route).
+    * ``solver="compact"`` — the scatter/gather route: compact the knot
+      positions, PCR in knot space, scatter moments back, fill round 3.
 
     f32 end to end (the kernels' dtype); matches the gather/scan
     evaluations to f32 roundoff.
@@ -238,36 +317,45 @@ def _eval_fills(x, capacity, min_extrema):
     k_site = jnp.where(it == 0, b_first[..., None], k_site)
     k_site = jnp.where(it == n - 1, b_last[..., None], k_site)
 
-    # compact solve: gather positions + knot values, not-a-knot PCR
-    pos_c, kcount = compact_indices(mask, capacity)
-    k_c = jnp.take_along_axis(k_site, jnp.clip(pos_c, 0, n - 1), axis=-1)
-    moments = spline_moments(pos_c.astype(jnp.float32), k_c, kcount,
-                             bc="not-a-knot")
-    cnt = kcount[..., None]
-    kk = lax.broadcasted_iota(jnp.int32, pos_c.shape, pos_c.ndim - 1)
-    m_grid, = _scatter_channels(x2, pos_c, kk < cnt, (moments,))
-
-    # rounds 2+3: neighbor knot values / moments per sample
+    # round 2: neighbor knot values per sample
     f2 = fill2_pallas(iota_f, k_site, mask, interpret=interp)
     r2 = fill2_pallas(iota_f, k_site, mask, reverse=True, interpret=interp)
     k_j, k_jm1 = f2[1], f2[3]
     k_j1 = shift_l(r2[1])
-    f3 = fill2_pallas(iota_f, m_grid, mask, interpret=interp)
-    r3 = fill2_pallas(iota_f, m_grid, mask, reverse=True, interpret=interp)
-    m_j = f3[1]
-    m_j1 = shift_l(r3[1])
+    is_last = it == n - 1
+
+    if solver == "chained":
+        m_j, m_j1, m_last2d = _chained_moments(
+            x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1, k_j1,
+            shift_l,
+        )
+        m_j1 = jnp.where(is_last, m_last2d, m_j1)
+    else:
+        # compact solve: gather positions + knot values, not-a-knot PCR
+        pos_c, kcount = compact_indices(mask, capacity)
+        k_c = jnp.take_along_axis(k_site, jnp.clip(pos_c, 0, n - 1), axis=-1)
+        moments = spline_moments(pos_c.astype(jnp.float32), k_c, kcount,
+                                 bc="not-a-knot")
+        cnt = kcount[..., None]
+        kk = lax.broadcasted_iota(jnp.int32, pos_c.shape, pos_c.ndim - 1)
+        m_grid, = _scatter_channels(x2, pos_c, kk < cnt, (moments,))
+
+        # round 3: neighbor moments per sample
+        f3 = fill2_pallas(iota_f, m_grid, mask, interpret=interp)
+        r3 = fill2_pallas(iota_f, m_grid, mask, reverse=True, interpret=interp)
+        m_j = f3[1]
+        m_j1 = shift_l(r3[1])
+        last_idx = jnp.maximum(cnt - 1, 0)
+        m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
+        m_j = jnp.where(is_last, f3[3], m_j)
+        m_j1 = jnp.where(is_last, m_last, m_j1)
 
     # the final sample belongs to the last interval: its j-side is the
     # second-to-last knot (fill2's second channel), its (j+1)-side the
     # last knot itself
-    is_last = it == n - 1
-    last_idx = jnp.maximum(cnt - 1, 0)
-    m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
     pos_j = jnp.where(is_last, p2p, p1p)
     k_j = jnp.where(is_last, k_jm1, k_j)
-    m_j = jnp.where(is_last, f3[3], m_j)
     k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
-    m_j1 = jnp.where(is_last, m_last, m_j1)
     right_pos = jnp.where(is_last, iota_f, n1p)
 
     h_j = right_pos - pos_j
@@ -345,13 +433,17 @@ def cubic_baseline_extract(
     its drivers to never call below 6 extrema).
 
     ``eval_backend``: "gather" (per-sample gathers — fast on CPU), "scan"
-    (scatter + masked fill scans), "fills" (Pallas fill kernels + compact
-    PCR solve — the dense-knot TPU shape, f32), or "auto" (by platform).
-    Numerically identical up to f32 roundoff on the fills path."""
+    (scatter + masked fill scans), "fills" (Pallas fill kernels + the
+    grid-resident chained-PCR moment solve — the dense-knot TPU shape,
+    f32), "fills_compact" (fill kernels + compact-knot-space PCR with
+    scatter/gather movement — kept for A/B verification), or "auto" (by
+    platform).  Numerically identical up to f32 roundoff on the fills
+    paths."""
     if eval_backend == "auto":
         eval_backend = "gather" if jax.default_backend() == "cpu" else "fills"
-    if eval_backend == "fills":
-        baseline, nex = _eval_fills(x, capacity, min_extrema)
+    if eval_backend in ("fills", "fills_compact"):
+        solver = "chained" if eval_backend == "fills" else "compact"
+        baseline, nex = _eval_fills(x, capacity, min_extrema, solver=solver)
         return CubicBaselineResult(
             rotation=x - baseline, baseline=baseline, num_extrema=nex
         )

@@ -171,8 +171,11 @@ def test_cubic_large_capacity_pcr_path():
 
 
 def test_cubic_eval_fills_matches_scan():
-    """The Pallas-fills evaluation (dense-knot TPU path, f32) is
-    bit-identical to the scan evaluation on f32 inputs (interpret mode)."""
+    """The Pallas-fills evaluations (dense-knot TPU path, f32) match the
+    scan evaluation on f32 inputs (interpret mode): the compact-solver
+    variant bit-identically (same moment arithmetic), the default
+    chained-grid-PCR variant to f32 roundoff (different but exact solver
+    algebra)."""
     rng = np.random.default_rng(17)
     n = 4800
     t = np.linspace(0, 1, n)
@@ -180,10 +183,19 @@ def test_cubic_eval_fills_matches_scan():
         (np.sin(2 * np.pi * 17 * t) + 0.3 * rng.normal(size=(2, n))).astype(np.float32)
     )
     a = cubic_baseline_extract(x, capacity=n, eval_backend="scan")
-    b = cubic_baseline_extract(x, capacity=n, eval_backend="fills")
+    b = cubic_baseline_extract(x, capacity=n, eval_backend="fills_compact")
     np.testing.assert_array_equal(np.asarray(a.num_extrema), np.asarray(b.num_extrema))
     np.testing.assert_array_equal(np.asarray(a.baseline), np.asarray(b.baseline))
-    # passthrough guard also works on the fills path
+
+    c = cubic_baseline_extract(x, capacity=n, eval_backend="fills")
+    np.testing.assert_array_equal(np.asarray(a.num_extrema), np.asarray(c.num_extrema))
+    scale = float(jnp.max(jnp.abs(a.baseline)))
+    err = float(jnp.max(jnp.abs(a.baseline - c.baseline))) / scale
+    assert err < 2e-6, err
+
+    # passthrough guard also works on both fills paths
     xs = jnp.asarray(np.sin(np.linspace(0, 6, 256))[None].astype(np.float32))
-    g = cubic_baseline_extract(xs, capacity=64, eval_backend="fills", min_extrema=10)
-    np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
+    for backend in ("fills", "fills_compact"):
+        g = cubic_baseline_extract(xs, capacity=64, eval_backend=backend,
+                                   min_extrema=10)
+        np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
