@@ -194,7 +194,7 @@ def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
 
 
 def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
-                     k_j1, shift_l):
+                     k_j1, shift_l, use_spike=False):
     """Per-sample previous/next-knot spline moments via the grid-resident
     chained block PCR (no compact buffers; see :mod:`.chained_pcr`).
 
@@ -234,7 +234,12 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr_, hl_), a1)
     c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
 
-    u, w = chained_block_pcr(mask_int, a2, b2, c2, d)
+    if use_spike:
+        from .pallas_spike import chained_block_spike
+
+        u, w = chained_block_spike(mask_int, a2, b2, c2, d)
+    else:
+        u, w = chained_block_pcr(mask_int, a2, b2, c2, d)
     m_j = u
     m_j1 = shift_l(w)
 
@@ -325,9 +330,11 @@ def _eval_fills(x, capacity, min_extrema, solver="chained"):
     is_last = it == n - 1
 
     if solver == "chained":
+        # the Pallas SPIKE solver replaces ~65 ms of full-grid PCR rounds
+        # on-chip; the XLA PCR stays for CPU (interpret-mode kernels crawl)
         m_j, m_j1, m_last2d = _chained_moments(
             x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1, k_j1,
-            shift_l,
+            shift_l, use_spike=not interp,
         )
         m_j1 = jnp.where(is_last, m_last2d, m_j1)
     else:

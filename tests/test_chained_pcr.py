@@ -101,3 +101,21 @@ def test_chained_pcr_empty_and_single():
     u, w = np.asarray(u), np.asarray(w)
     assert np.allclose(u[0, 37:], 2.0) and np.allclose(u[0, :37], 0.0)
     assert np.allclose(w[0, :38], 2.0) and np.allclose(w[0, 38:], 0.0)
+
+
+def test_spike_matches_grid_pcr_interpret():
+    """The Pallas SPIKE solver (interpret mode) matches the full-grid
+    chained PCR across block boundaries, multi-block and padded sizes."""
+    from pyitd_tpu.ops.pallas_spike import chained_block_spike, SPIKE_BLK
+
+    rng = np.random.default_rng(11)
+    for n in (SPIKE_BLK * 2 + 1777, 3000):  # multi-block + sub-block
+        mask, a, b, c, d = _random_system(rng, 2, n, 0.3)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        u0, w0 = chained_block_pcr(jnp.asarray(mask), f32(a), f32(b),
+                                   f32(c), f32(d))
+        u1, w1 = chained_block_spike(jnp.asarray(mask), f32(a), f32(b),
+                                     f32(c), f32(d), interpret=True)
+        scale = float(jnp.max(jnp.abs(u0))) + 1e-30
+        assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 5e-5
+        assert float(jnp.max(jnp.abs(w1 - w0))) / scale < 5e-5
