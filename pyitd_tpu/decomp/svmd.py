@@ -94,9 +94,15 @@ def _mode_kernel(f_hat_onesided, omega_freqs, h_coup, u_coup,
         )
 
         du = u_new - s["u"]
-        udiff = eps + jnp.abs(
-            (jnp.vdot(du, du) / T) / ((jnp.vdot(s["u"], s["u"]) / T) + 0j)
-        )
+        # the reference's convergence ratio is a complex division whose
+        # denominator is exactly 0+0j on the first pass (u starts at 0);
+        # numpy yields inf+nanj there and |eps + inf+nanj| = inf, so the
+        # loop CONTINUES.  vdot(z, z) has exactly-zero imaginary part, so
+        # real division reproduces that semantics (x/0 = inf, 0/0 = nan)
+        # where a complex-typed division would produce nan and stop early.
+        num = jnp.real(jnp.vdot(du, du)) / T
+        den = jnp.real(jnp.vdot(s["u"], s["u"])) / T
+        udiff = jnp.abs(eps + num / den)
         return {
             **s,
             "u": u_new,

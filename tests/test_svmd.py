@@ -52,3 +52,21 @@ def test_svmd_noisy_stop1():
     u, _, omega = svmd(noisy, stopc=1, max_modes=8)
     assert 1 <= u.shape[0] <= 8
     assert np.all(np.isfinite(u))
+
+
+def test_svmd_scalar_coupling_matches_reference_oracle():
+    """The fidelity tier (coupling="scalar") reproduces an independent
+    numpy implementation of the reference translation, quirks included:
+    scalar whole-matrix coupling sums, the alpha bit-flag walk, the
+    one-step-behind saved omega, the exit-alpha filter row, and the
+    reset-alpha power criterion (tests/reference/svmd_ref.py)."""
+    from tests.reference.svmd_ref import svmd_ref
+
+    lo, hi, sig = two_tone(256)
+
+    for stopc in (4, 2):
+        u_r, _, om_r = svmd_ref(sig, stopc=stopc)
+        u_j, _, om_j = svmd(sig, stopc=stopc, coupling="scalar")
+        assert u_j.shape == u_r.shape, (stopc, u_j.shape, u_r.shape)
+        np.testing.assert_allclose(om_j, om_r, rtol=0, atol=1e-8)
+        np.testing.assert_allclose(u_j, u_r, rtol=0, atol=1e-6)
