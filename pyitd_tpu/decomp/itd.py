@@ -78,15 +78,36 @@ def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
     return (a - (s - bb)) + (b - bb)
 
 
-@partial(jax.jit, static_argnames=("max_iteration", "endpoint_mode", "store_baselines"))
+@partial(jax.jit, static_argnames=(
+    "max_iteration", "endpoint_mode", "store_baselines", "backend"))
 def itd_sift(
     x: jax.Array,
     max_iteration: int = 11,
     *,
     endpoint_mode: str = "reference",
     store_baselines: bool = True,
+    backend: str = "auto",
 ) -> SiftResult:
-    """Full canonical sift of ``x`` (last axis = time; leading axes = batch)."""
+    """Full canonical sift of ``x`` (last axis = time; leading axes = batch).
+
+    ``backend``: "auto" picks the fused Pallas emit path on TPU for large
+    f32 inputs (per-trip bookkeeping — output row, residual selects,
+    compensation, extrema count — happens inside the level kernel) and the
+    portable XLA carry loop elsewhere; "xla" / "pallas_emit" force one.
+    """
+    if backend == "auto":
+        use_emit = (
+            jax.default_backend() == "tpu"
+            and x.dtype == jnp.float32
+            and x.shape[-1] >= 4096
+        )
+    elif backend in ("xla", "pallas_emit"):
+        use_emit = backend == "pallas_emit"
+    else:
+        raise ValueError(f"unknown backend: {backend!r}")
+    if use_emit:
+        return _itd_sift_emit(x, max_iteration, endpoint_mode,
+                              store_baselines)
     levels = max_iteration + 2
     extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
 
@@ -174,6 +195,72 @@ def itd_sift(
         num_components=ncomp,
         stop_reason=reason,
         correction=comp,
+    )
+
+
+def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
+    """TPU fast path: identical loop semantics to the XLA body above, but
+    each trip is one fused Pallas level (``linear_level_emit_pallas``) that
+    also materializes the output row and compensation update in-register —
+    the XLA row/residual/compensation selects and the extrema-count
+    reduction cost ~1 ms per trip at 8x1M on v5e."""
+    from ..ops.pallas_fill import linear_level_emit_pallas
+
+    levels = max_iteration + 2
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    rows = x2.shape[0]
+    interp = jax.default_backend() != "tpu"
+
+    first = linear_baseline_extract(x2, endpoint_mode=endpoint_mode)
+    rotation, baseline = first.rotation, first.baseline
+    pending_err = first.sub_err
+    out_rot = jnp.zeros((levels, rows, n), jnp.float32)
+    base_levels = levels if store_baselines else 1
+    out_base = jnp.zeros((base_levels, rows, n), jnp.float32)
+    done = jnp.zeros((rows,), bool)
+    reason = jnp.zeros((rows,), jnp.int32)
+    ncomp = jnp.zeros((rows,), jnp.int32)
+    prev_base = jnp.zeros_like(x2)
+    comp = jnp.zeros_like(x2)
+
+    def body(i, carry):
+        (rotation, baseline, prev_base, out_rot, out_base, done, reason,
+         ncomp, pending_err, comp) = carry
+        (new_base, new_rot, new_err, row, comp, nex, stop_a, stop_b,
+         cont) = linear_level_emit_pallas(
+            baseline, rotation, prev_base, pending_err, comp, done,
+            i > max_iteration, endpoint_mode=endpoint_mode,
+            interpret=interp,
+        )
+        out_rot = out_rot.at[i].set(row)
+        if store_baselines:
+            base_row = jnp.where(cont[:, None], baseline,
+                                 jnp.zeros_like(baseline))
+            out_base = out_base.at[i].set(base_row)
+
+        stopping = stop_a | stop_b
+        ncomp = jnp.where(stopping, i + 1, ncomp)
+        reason = jnp.where(
+            stop_a, STOP_FLAT, jnp.where(stop_b, STOP_BUDGET, reason)
+        )
+        done = done | stopping
+        return (new_rot, new_base, baseline, out_rot, out_base, done,
+                reason, ncomp, new_err, comp)
+
+    carry = (rotation, baseline, prev_base, out_rot, out_base, done, reason,
+             ncomp, pending_err, comp)
+    carry = lax.fori_loop(0, levels, body, carry)
+    out_rot, out_base, reason, ncomp, comp = (
+        carry[3], carry[4], carry[6], carry[7], carry[9]
+    )
+    return SiftResult(
+        rotations=out_rot.reshape((levels,) + batch_shape + (n,)),
+        baselines=out_base.reshape((base_levels,) + batch_shape + (n,)),
+        num_components=ncomp.reshape(batch_shape),
+        stop_reason=reason.reshape(batch_shape),
+        correction=comp.reshape(batch_shape + (n,)).astype(x.dtype),
     )
 
 

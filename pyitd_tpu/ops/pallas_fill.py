@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas",
-    "linear_level_pallas", "BLK",
+    "linear_level_pallas", "linear_level_emit_pallas", "BLK",
 ]
 
 BLK = 8192
@@ -305,6 +305,36 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
     return kernel
 
 
+def _make_linear_fill2_counts_kernel(n_real: int, nblk: int):
+    """Forward ITD fill2 that also emits each block's knot-mark count, so
+    the sift's stop logic needs no full-array pass over the channels."""
+    sub = BLK // _LANES
+
+    def kernel(xprev_ref, xnext_ref, x_ref, p1p_ref, p1x_ref, p2p_ref,
+               p2x_ref, cnt_ref, carry):
+        r = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            _init_carry(carry)
+
+        _, _, _, m, state = _knot_state(
+            x_ref[0], g, n_real, xprev_ref[r, g], xnext_ref[r, g]
+        )
+        # whole-array SMEM output: each grid step stores its block's count
+        cnt_ref[r, g] = jnp.sum(m.astype(jnp.float32))
+        carry_in = tuple(carry[i] for i in range(4))
+        state, carry_out = _block_scan(state, False, carry_in, sub)
+        for i in range(4):
+            carry[i] = carry_out[i]
+
+        outs = _mask_outputs(state)
+        p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
+
+    return kernel
+
+
 def _pad_edges(x):
     """Pad a (rows, n) f32 signal to a BLK multiple and compute the
     per-block edge-neighbor scalar arrays the kernels prefetch."""
@@ -544,3 +574,184 @@ def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
     iota = lax.broadcasted_iota(jnp.float32, (rows, npad), 1)
     nex = jnp.sum(f1p_flat == iota, axis=-1).astype(jnp.int32) - 2
     return crop(base), crop(rot), crop(err), nex
+
+
+# ---------------------------------------------------------------------------
+# sift-emit level: the fused kernel additionally consumes the sift's carried
+# arrays (previous rotation / baseline / pending rounding residual /
+# compensation) plus per-row stop flags, and emits the sift's OUTPUT ROW and
+# updated compensation in-register — replacing the XLA bookkeeping passes
+# that cost ~1 ms per level at 8x1M (decomp/itd.py's row construction,
+# residual selects, compensation update, and extrema-count reduction)
+# ---------------------------------------------------------------------------
+
+
+def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str):
+    sub = BLK // _LANES
+    nm1 = float(n_real - 1)
+
+    def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, fa_ref, fb_ref,
+               fc_ref, x_ref, f1p_ref, f1x_ref, f2p_ref, f2x_ref, rotp_ref,
+               pbase_ref, perr_ref, comp_ref,
+               base_ref, rot_ref, err_ref, row_ref, compo_ref, carry):
+        r = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            _init_carry(carry)
+
+        blk = nblk - 1 - g  # reverse walk
+        x = x_ref[0]
+        pos, row, lane, _, state = _knot_state(
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+        )
+        carry_in = tuple(carry[i] for i in range(4))
+        state, carry_out = _block_scan(state, reverse=True,
+                                       carry_in=carry_in, rows=sub)
+        for i in range(4):
+            carry[i] = carry_out[i]
+
+        shifted = tuple(
+            _roll_next(s, c, row, lane) for s, c in zip(state, carry_in)
+        )
+        n1p, n1x, n2p, n2x = _mask_outputs(shifted)
+        f1p, f1x, f2p, f2x = f1p_ref[0], f1x_ref[0], f2p_ref[0], f2x_ref[0]
+        b_first = bfirst_ref[r]
+        b_last = blast_ref[r]
+
+        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+            span = rpos - lpos
+            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
+            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+            return jnp.where(is_first, end_val, formula)
+
+        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+        b_l = jnp.where(f1p == nm1, b_last, b_l)
+        b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
+
+        den = n1x - f1x
+        slope = jnp.where(
+            den == 0,
+            jnp.zeros_like(den),
+            (b_r - b_l) / jnp.where(den == 0, jnp.ones_like(den), den),
+        )
+        baseline = b_l + slope * (x - f1x)
+        if endpoint_mode == "reference":
+            baseline = jnp.where(pos == n_real - 1,
+                                 jnp.zeros_like(baseline), baseline)
+        base_ref[0] = baseline
+
+        rot = x - baseline
+        bb = rot - x
+        err = (x - (rot - bb)) + ((-baseline) - bb)
+        rot_ref[0] = rot
+        err_ref[0] = err
+
+        # --- sift bookkeeping for the PREVIOUS extraction's outputs ---
+        # (x here IS that extraction's baseline; rotp its rotation)
+        stop_a = fa_ref[r] != 0
+        stop_b = fb_ref[r] != 0
+        cont = fc_ref[r] != 0
+        rotp = rotp_ref[0]
+        res_sum = rotp + x
+        rbb = res_sum - rotp
+        res_err = (rotp - (res_sum - rbb)) + (x - rbb)
+
+        zero = jnp.zeros_like(x)
+        residual = jnp.where(stop_a, pbase_ref[0], res_sum)
+        row_ref[0] = jnp.where(
+            stop_a | stop_b, residual, jnp.where(cont, rotp, zero)
+        )
+        perr = perr_ref[0]
+        compo_ref[0] = (
+            comp_ref[0]
+            + jnp.where(cont | stop_b, perr, zero)
+            + jnp.where(stop_b, res_err, zero)
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
+def linear_level_emit_pallas(x, rot_prev, prev_base, pending_err, comp,
+                             done, over_budget, *,
+                             endpoint_mode: str = "reference",
+                             interpret: bool = False):
+    """One sift trip, fully in-kernel (see ``decomp/itd.py`` for the loop
+    semantics): runs the forward fill (emitting per-block knot counts), the
+    stop-flag logic on the tiny count vector, and the fused reverse kernel
+    that interpolates the next level AND materializes this trip's output
+    row + compensation update while everything is in registers.
+
+    ``x``..``comp``: (rows, n) f32.  ``done``: (rows,) bool; ``over_budget``:
+    scalar bool (trip index > max_iteration).
+
+    Returns ``(baseline, rotation, sub_err, row, comp_out, nex,
+    stop_a, stop_b, cont)``.
+    """
+    rows, n = x.shape
+    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
+    sub = BLK // _LANES
+
+    spec = pl.BlockSpec((1, sub, _LANES), lambda r, b, *_refs: (r, b, 0),
+                        memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rows, nblk),
+        in_specs=[spec],
+        out_specs=[spec] * 4 + [cnt_spec],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    )
+    *fwd3, counts = pl.pallas_call(
+        _make_linear_fill2_counts_kernel(n, nblk),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((rows, nblk), jnp.float32)],
+        interpret=interpret,
+    )(prev_edge, next_edge, x3)
+
+    nex = jnp.sum(counts, axis=-1).astype(jnp.int32) - 2
+    stop_a = (~done) & (nex < 2)
+    stop_b = (~done) & (~stop_a) & over_budget
+    cont = (~done) & (~stop_a) & (~stop_b)
+
+    def prep(a):
+        a = a.astype(jnp.float32)
+        pad = npad - n
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((rows, pad), jnp.float32)],
+                                axis=-1)
+        return a.reshape(x3.shape)
+
+    b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
+    b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
+
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    rgrid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(rows, nblk),
+        in_specs=[rspec] * 9,
+        out_specs=[rspec] * 5,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        _make_linear_emit_kernel(n, nblk, endpoint_mode),
+        grid_spec=rgrid,
+        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 5,
+        interpret=interpret,
+    )(
+        prev_edge, next_edge, b_first, b_last,
+        stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
+        cont.astype(jnp.float32),
+        x3, *fwd3, prep(rot_prev), prep(prev_base), prep(pending_err),
+        prep(comp),
+    )
+
+    def crop(a):
+        return a.reshape(rows, npad)[..., :n]
+
+    base, rot, err, row, comp_out = (crop(o) for o in outs)
+    return base, rot, err, row, comp_out, nex, stop_a, stop_b, cont

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -118,3 +119,27 @@ def test_grad_does_not_crash():
 
     g = jax.grad(loss)(s)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.slow
+def test_sift_emit_backend_matches_xla():
+    """The fused Pallas emit path (TPU fast path, forced here in interpret
+    mode) is bit-identical to the XLA carry loop: rows, baselines, counts,
+    stop reasons, and the compensation channel, including early-stop and
+    budget-stop batches and non-BLK-multiple lengths."""
+    rng = np.random.default_rng(2)
+    n = 8192 + 517
+    t = np.linspace(0, 2 * np.pi, n)
+    x = jnp.asarray(
+        (np.sin(20 * t)[None] + 0.3 * rng.normal(size=(2, n))).astype(np.float32)
+    )
+    a = itd_sift(x, 3, backend="xla")
+    b = itd_sift(x, 3, backend="pallas_emit")
+    np.testing.assert_array_equal(np.asarray(a.rotations), np.asarray(b.rotations))
+    np.testing.assert_array_equal(np.asarray(a.baselines), np.asarray(b.baselines))
+    np.testing.assert_array_equal(
+        np.asarray(a.num_components), np.asarray(b.num_components))
+    np.testing.assert_array_equal(
+        np.asarray(a.stop_reason), np.asarray(b.stop_reason))
+    np.testing.assert_array_equal(
+        np.asarray(a.correction), np.asarray(b.correction))
