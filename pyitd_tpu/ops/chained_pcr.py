@@ -42,11 +42,89 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["chained_block_pcr"]
+__all__ = ["chained_block_pcr", "shard_spike_factors",
+           "reduced_interface_solve"]
 
 
 def _safe_inv(x):
     return 1.0 / jnp.where(x == 0, jnp.ones_like(x), x)
+
+
+def _shift_r(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+
+def _shift_l(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def _encode(mask, a, b, c, d):
+    """Chain-encoded 2x2 block channels: marked cells carry the knot row,
+    unmarked cells the pass-through chains (al=-1, B=I, cw=-1)."""
+    one = jnp.ones_like(b)
+    zero = jnp.zeros_like(b)
+    al = jnp.where(mask, a, -one)
+    b11 = jnp.where(mask, b, one)
+    b21 = jnp.where(mask, -one, zero)
+    cg = jnp.where(mask, c, zero)
+    cw = jnp.where(mask, zero, -one)
+    d1 = jnp.where(mask, d, zero)
+    return al, b11, b21, cg, cw, d1
+
+
+def _pcr_core(al, b11, b21, cg, cw, rhs_pairs):
+    """Block PCR on chain-encoded channels; ``rhs_pairs`` is a list of
+    (rhs_u, rhs_w) vectors sharing the one matrix reduction.  Returns the
+    per-cell (u, w) solution for every pair."""
+    n = al.shape[-1]
+    b12 = jnp.zeros_like(b11)
+    rhs = list(rhs_pairs)
+
+    s = 1
+    while s < n:
+        # neighbors at distance s; out-of-range -> identity row, zero rhs
+        b11m, b12m, b21m = (_shift_r(b11, s, 1.0), _shift_r(b12, s, 0.0),
+                            _shift_r(b21, s, 0.0))
+        alm = _shift_r(al, s, 0.0)
+        cgm, cwm = _shift_r(cg, s, 0.0), _shift_r(cw, s, 0.0)
+        b11p, b12p, b21p = (_shift_l(b11, s, 1.0), _shift_l(b12, s, 0.0),
+                            _shift_l(b21, s, 0.0))
+        alp = _shift_l(al, s, 0.0)
+        cgp, cwp = _shift_l(cg, s, 0.0), _shift_l(cw, s, 0.0)
+
+        # E = -A·inv(B_m): row 2 is zero because A's is.
+        idetm = _safe_inv(b11m - b12m * b21m)
+        e11 = -al * idetm
+        e12 = al * b12m * idetm
+        # F = -C·inv(B_p): full 2x2.
+        idetp = _safe_inv(b11p - b12p * b21p)
+        f11 = cg * b21p * idetp
+        f12 = -cg * b11p * idetp
+        f21 = cw * b21p * idetp
+        f22 = -cw * b11p * idetp
+
+        b11 = b11 + f11 * alp
+        b12 = b12 + e11 * cgm + e12 * cwm
+        b21 = b21 + f21 * alp
+        new_rhs = []
+        for (p1, p2) in rhs:
+            p1m, p2m = _shift_r(p1, s, 0.0), _shift_r(p2, s, 0.0)
+            p1p, p2p = _shift_l(p1, s, 0.0), _shift_l(p2, s, 0.0)
+            new_rhs.append((
+                p1 + e11 * p1m + e12 * p2m + f11 * p1p + f12 * p2p,
+                p2 + f21 * p1p + f22 * p2p,
+            ))
+        rhs = new_rhs
+        al = e11 * alm
+        cg = f11 * cgp + f12 * cwp
+        cw = f21 * cgp + f22 * cwp
+        s <<= 1
+
+    idet = _safe_inv(b11 - b12 * b21)
+    return [((p1 - b12 * p2) * idet, (b11 * p2 - b21 * p1) * idet)
+            for (p1, p2) in rhs]
 
 
 def chained_block_pcr(mask, a, b, c, d):
@@ -65,65 +143,98 @@ def chained_block_pcr(mask, a, b, c, d):
       cell <= g (0 before the first), ``w[g]`` at the next marked cell
       >= g (0 after the last).
     """
-    n = mask.shape[-1]
-    one = jnp.ones_like(b)
-    zero = jnp.zeros_like(b)
+    al, b11, b21, cg, cw, d1 = _encode(mask, a, b, c, d)
+    return _pcr_core(al, b11, b21, cg, cw, [(d1, jnp.zeros_like(d1))])[0]
 
-    # 8-channel block state; chain rows are (al=-1, b=I, cw=-1).
-    al = jnp.where(mask, a, -one)
-    b11 = jnp.where(mask, b, one)
-    b12 = zero
-    b21 = jnp.where(mask, -one, zero)
-    cg = jnp.where(mask, c, zero)
-    cw = jnp.where(mask, zero, -one)
-    d1 = jnp.where(mask, d, zero)
-    d2 = zero
 
-    def shift_r(x, s, fill):
-        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+def shard_spike_factors(mask, a, b, c, d):
+    """SPIKE factorization of one contiguous piece of a larger chained
+    system (a shard of a sequence-sharded grid, or a block of a single
+    grid): the piece's two boundary couplings — its first cell's link to
+    the previous cell and its last cell's link to the next — are moved to
+    extra right-hand sides, and the local system is solved for all three.
 
-    def shift_l(x, s, fill):
-        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-        return jnp.concatenate([x[..., s:], pad], axis=-1)
+    Returns ``(xp, vl, vr)``, each an ``(u, w)`` pair, composing as::
+
+        X = xp + vl * e_prev + vr * f_next
+
+    where ``e_prev`` is the true ``u`` at the previous piece's last cell
+    and ``f_next`` the true ``w`` at the next piece's first cell (solve the
+    tiny interface system with :func:`reduced_interface_solve`).
+    """
+    al, b11, b21, cg, cw, d1 = _encode(mask, a, b, c, d)
+    zero = jnp.zeros_like(d1)
+    first = jnp.zeros_like(d1).at[..., 0].set(1.0)
+    last = jnp.zeros_like(d1).at[..., -1].set(1.0)
+    l1 = first * (-al)
+    r1 = last * (-cg)
+    r2 = last * (-cw)
+    al = al * (1.0 - first)
+    cg = cg * (1.0 - last)
+    cw = cw * (1.0 - last)
+    return _pcr_core(
+        al, b11, b21, cg, cw,
+        [(d1, zero), (l1, zero), (r1, r2)],
+    )
+
+
+def reduced_interface_solve(a11, a21, c12, c22, d1, d2):
+    """Solve the SPIKE interface system over pieces: per piece p, unknowns
+    ``X_p = (e_p, f_p)`` (the true ``u`` at its last cell, ``w`` at its
+    first) with ``A_p X_{p-1} + X_p + C_p X_{p+1} = D_p`` where A has only
+    column 1 (both rows read ``e_{p-1}``) and C only column 2
+    (``f_{p+1}``).  From :func:`shard_spike_factors` outputs::
+
+        a11 = -vl_u[..., -1]   a21 = -vl_w[..., 0]
+        c12 = -vr_u[..., -1]   c22 = -vr_w[..., 0]
+        d1  =  xp_u[..., -1]   d2  =  xp_w[..., 0]
+
+    All inputs (..., P); returns ``(e, f)`` of the same shape."""
+    nblk = a11.shape[-1]
+    one = jnp.ones_like(a11)
+    zero = jnp.zeros_like(a11)
+    b11, b12, b21, b22 = one, zero, zero, one
 
     s = 1
-    while s < n:
-        # neighbors at distance s; out-of-range -> identity row, zero rhs
-        b11m, b12m, b21m = (shift_r(b11, s, 1.0), shift_r(b12, s, 0.0),
-                            shift_r(b21, s, 0.0))
-        alm = shift_r(al, s, 0.0)
-        cgm, cwm = shift_r(cg, s, 0.0), shift_r(cw, s, 0.0)
-        d1m, d2m = shift_r(d1, s, 0.0), shift_r(d2, s, 0.0)
+    while s < nblk:
+        b11m, b12m = _shift_r(b11, s, 1.0), _shift_r(b12, s, 0.0)
+        b21m, b22m = _shift_r(b21, s, 0.0), _shift_r(b22, s, 1.0)
+        a11m, a21m = _shift_r(a11, s, 0.0), _shift_r(a21, s, 0.0)
+        c12m, c22m = _shift_r(c12, s, 0.0), _shift_r(c22, s, 0.0)
+        d1m, d2m = _shift_r(d1, s, 0.0), _shift_r(d2, s, 0.0)
+        b11p, b12p = _shift_l(b11, s, 1.0), _shift_l(b12, s, 0.0)
+        b21p, b22p = _shift_l(b21, s, 0.0), _shift_l(b22, s, 1.0)
+        a11p, a21p = _shift_l(a11, s, 0.0), _shift_l(a21, s, 0.0)
+        c12p, c22p = _shift_l(c12, s, 0.0), _shift_l(c22, s, 0.0)
+        d1p, d2p = _shift_l(d1, s, 0.0), _shift_l(d2, s, 0.0)
 
-        b11p, b12p, b21p = (shift_l(b11, s, 1.0), shift_l(b12, s, 0.0),
-                            shift_l(b21, s, 0.0))
-        alp = shift_l(al, s, 0.0)
-        cgp, cwp = shift_l(cg, s, 0.0), shift_l(cw, s, 0.0)
-        d1p, d2p = shift_l(d1, s, 0.0), shift_l(d2, s, 0.0)
+        idetm = _safe_inv(b11m * b22m - b12m * b21m)
+        e11 = -(a11 * b22m) * idetm
+        e12 = (a11 * b12m) * idetm
+        e21 = -(a21 * b22m) * idetm
+        e22 = (a21 * b12m) * idetm
+        idetp = _safe_inv(b11p * b22p - b12p * b21p)
+        f11 = (c12 * b21p) * idetp
+        f12 = -(c12 * b11p) * idetp
+        f21 = (c22 * b21p) * idetp
+        f22 = -(c22 * b11p) * idetp
 
-        # E = -A·inv(B_m): row 2 is zero because A's is.
-        idetm = _safe_inv(b11m - b12m * b21m)
-        e11 = -al * idetm
-        e12 = al * b12m * idetm
-        # F = -C·inv(B_p): full 2x2.
-        idetp = _safe_inv(b11p - b12p * b21p)
-        f11 = cg * b21p * idetp
-        f12 = -cg * b11p * idetp
-        f21 = cw * b21p * idetp
-        f22 = -cw * b11p * idetp
-
-        b11 = b11 + f11 * alp
-        b12 = b12 + e11 * cgm + e12 * cwm
-        b21 = b21 + f21 * alp
-        d1 = d1 + e11 * d1m + e12 * d2m + f11 * d1p + f12 * d2p
-        d2 = d2 + f21 * d1p + f22 * d2p
-        al = e11 * alm
-        cg = f11 * cgp + f12 * cwp
-        cw = f21 * cgp + f22 * cwp
+        b11 = b11 + f11 * a11p + f12 * a21p
+        b12 = b12 + e11 * c12m + e12 * c22m
+        b21 = b21 + f21 * a11p + f22 * a21p
+        b22 = b22 + e21 * c12m + e22 * c22m
+        d1n = d1 + e11 * d1m + e12 * d2m + f11 * d1p + f12 * d2p
+        d2n = d2 + e21 * d1m + e22 * d2m + f21 * d1p + f22 * d2p
+        d1, d2 = d1n, d2n
+        a11n = e11 * a11m + e12 * a21m
+        a21n = e21 * a11m + e22 * a21m
+        a11, a21 = a11n, a21n
+        c12n = f11 * c12p + f12 * c22p
+        c22n = f21 * c12p + f22 * c22p
+        c12, c22 = c12n, c22n
         s <<= 1
 
-    idet = _safe_inv(b11 - b12 * b21)
-    u = (d1 - b12 * d2) * idet
-    w = (b11 * d2 - b21 * d1) * idet
-    return u, w
+    idet = _safe_inv(b11 * b22 - b12 * b21)
+    e = (b22 * d1 - b12 * d2) * idet
+    f = (b11 * d2 - b21 * d1) * idet
+    return e, f

@@ -34,6 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .chained_pcr import reduced_interface_solve
+
 __all__ = ["chained_block_spike", "SPIKE_BLK"]
 
 SPIKE_BLK = 8192
@@ -163,73 +165,6 @@ def _spike_local_kernel(m_ref, a_ref, b_ref, c_ref, d_ref,
     vr2_ref[0] = (b11 * r2 - b21 * r1) * idet
 
 
-# ---------------------------------------------------------------------------
-# reduced interface system: dense-2x2 block tridiagonal PCR (tiny arrays)
-# ---------------------------------------------------------------------------
-
-
-def _reduced_solve(a11, a21, c12, c22, d1, d2):
-    """Solve the per-block interface system with X_p = (e_p, f_p):
-    ``A_p X_{p-1} + X_p + C_p X_{p+1} = D_p`` where A has only column 1
-    (both couplings read e_{p-1}) and C only column 2 (f_{p+1})."""
-    nblk = a11.shape[-1]
-    one = jnp.ones_like(a11)
-    zero = jnp.zeros_like(a11)
-    b11, b12, b21, b22 = one, zero, zero, one
-
-    def shift_r(x, s, fill):
-        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
-
-    def shift_l(x, s, fill):
-        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-        return jnp.concatenate([x[..., s:], pad], axis=-1)
-
-    s = 1
-    while s < nblk:
-        b11m, b12m = shift_r(b11, s, 1.0), shift_r(b12, s, 0.0)
-        b21m, b22m = shift_r(b21, s, 0.0), shift_r(b22, s, 1.0)
-        a11m, a21m = shift_r(a11, s, 0.0), shift_r(a21, s, 0.0)
-        c12m, c22m = shift_r(c12, s, 0.0), shift_r(c22, s, 0.0)
-        d1m, d2m = shift_r(d1, s, 0.0), shift_r(d2, s, 0.0)
-        b11p, b12p = shift_l(b11, s, 1.0), shift_l(b12, s, 0.0)
-        b21p, b22p = shift_l(b21, s, 0.0), shift_l(b22, s, 1.0)
-        a11p, a21p = shift_l(a11, s, 0.0), shift_l(a21, s, 0.0)
-        c12p, c22p = shift_l(c12, s, 0.0), shift_l(c22, s, 0.0)
-        d1p, d2p = shift_l(d1, s, 0.0), shift_l(d2, s, 0.0)
-
-        idetm = _safe_inv(b11m * b22m - b12m * b21m)
-        e11 = -(a11 * b22m) * idetm
-        e12 = (a11 * b12m) * idetm
-        e21 = -(a21 * b22m) * idetm
-        e22 = (a21 * b12m) * idetm
-        idetp = _safe_inv(b11p * b22p - b12p * b21p)
-        f11 = (c12 * b21p) * idetp
-        f12 = -(c12 * b11p) * idetp
-        f21 = (c22 * b21p) * idetp
-        f22 = -(c22 * b11p) * idetp
-
-        b11 = b11 + f11 * a11p + f12 * a21p
-        b12 = b12 + e11 * c12m + e12 * c22m
-        b21 = b21 + f21 * a11p + f22 * a21p
-        b22 = b22 + e21 * c12m + e22 * c22m
-        d1n = d1 + e11 * d1m + e12 * d2m + f11 * d1p + f12 * d2p
-        d2n = d2 + e21 * d1m + e22 * d2m + f21 * d1p + f22 * d2p
-        d1, d2 = d1n, d2n
-        a11n = e11 * a11m + e12 * a21m
-        a21n = e21 * a11m + e22 * a21m
-        a11, a21 = a11n, a21n
-        c12n = f11 * c12p + f12 * c22p
-        c22n = f21 * c12p + f22 * c22p
-        c12, c22 = c12n, c22n
-        s <<= 1
-
-    idet = _safe_inv(b11 * b22 - b12 * b21)
-    e = (b22 * d1 - b12 * d2) * idet
-    f = (b11 * d2 - b21 * d1) * idet
-    return e, f
-
-
 @partial(jax.jit, static_argnames=("interpret",))
 def chained_block_spike(mask, a, b, c, d, *, interpret: bool = False):
     """Drop-in twin of :func:`..chained_pcr.chained_block_pcr` (2-D inputs,
@@ -266,7 +201,7 @@ def chained_block_spike(mask, a, b, c, d, *, interpret: bool = False):
         o.reshape(rows, nblk, SPIKE_BLK) for o in outs
     )
 
-    e, f = _reduced_solve(
+    e, f = reduced_interface_solve(
         -vl1[..., -1], -vl2[..., 0],
         -vr1[..., -1], -vr2[..., 0],
         xp1[..., -1], xp2[..., 0],

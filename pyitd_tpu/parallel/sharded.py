@@ -375,6 +375,166 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     return x - baseline, baseline, nex
 
 
+# ---------------------------------------------------------------------------
+# distributed-SPIKE cubic tier: every shard factorizes its local piece of
+# the grid-resident chained moment system (ops/chained_pcr.py) with its two
+# boundary couplings moved to spike right-hand sides; only TWO scalars per
+# shard cross the mesh (u at the shard's last cell, w at its first), so the
+# interface all_gather is O(shards), not O(knots) — per-shard work is
+# O(n_loc log n_loc) regardless of knot density, unlike the gather method
+# whose replicated solve is O(total knots) per shard
+# ---------------------------------------------------------------------------
+
+
+def _cubic_local_spike(x, axis_name, n_global, min_extrema):
+    from ..ops.chained_pcr import (
+        shard_spike_factors, reduced_interface_solve)
+
+    dtype = x.dtype
+    n_loc = x.shape[-1]
+    rank = lax.axis_index(axis_name)
+    size = lax.axis_size(axis_name)
+    gpos = rank * n_loc + lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    gposf = gpos.astype(dtype)
+    zf = jnp.zeros((), dtype)
+    fb = jnp.asarray(False)
+
+    def sdiv(num, den):
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
+    # interior extrema mask via 1-sample halo exchange
+    big = jnp.asarray(jnp.inf, dtype)
+    x_m1 = _shift_right(x, axis_name, big)
+    x_p1 = _shift_left(x, axis_name, big)
+    dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
+    dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
+    interior = (gpos > 0) & (gpos < n_global - 1)
+    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
+    nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
+    knots = mask | (gpos == 0) | (gpos == n_global - 1)
+
+    # exclusive prev/next knot (position, raw value) -> Frei-Osorio values
+    km1 = _shift_right(knots, axis_name, fb)
+    prev_pos, prev_x = _ffill(
+        (_shift_right(gposf, axis_name, zf), _shift_right(x, axis_name, zf)),
+        km1, axis_name, (zf, zf))
+    kp1 = _shift_left(knots, axis_name, fb)
+    next_pos, next_x = _bfill(
+        (_shift_left(gposf, axis_name, zf), _shift_left(x, axis_name, zf)),
+        kp1, axis_name, (zf, zf))
+
+    span = next_pos - prev_pos
+    wfrac = sdiv(gposf - prev_pos, span)
+    k_site = 0.5 * (prev_x + wfrac * (next_x - prev_x)) + 0.5 * x
+    first2 = lax.all_gather(x[..., :2], axis_name)[0]
+    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
+    b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
+    k_site = jnp.where(gpos == 0, b_first[..., None], k_site)
+    k_site = jnp.where(gpos == n_global - 1, b_last[..., None], k_site)
+
+    # exclusive prev/next knot k_site values
+    (kv_prev,) = _ffill((_shift_right(k_site, axis_name, zf),), km1,
+                        axis_name, (zf,))
+    (kv_next,) = _bfill((_shift_left(k_site, axis_name, zf),), kp1,
+                        axis_name, (zf,))
+
+    # not-a-knot tridiagonal rows at interior knots (ops.cubic_baseline
+    # _chained_moments formulas, with global boundary conditions)
+    hl_ = gposf - prev_pos
+    hr_ = next_pos - gposf
+    a = hl_
+    b = 2.0 * (hl_ + hr_)
+    c = hr_
+    d = 6.0 * (sdiv(kv_next - k_site, hr_) - sdiv(k_site - kv_prev, hl_))
+    firstrow = prev_pos == 0
+    lastrow = next_pos == n_global - 1
+    b1 = jnp.where(firstrow, b + a * sdiv(hl_ + hr_, hr_), b)
+    c1 = jnp.where(firstrow, c - a * sdiv(hl_, hr_), c)
+    a1 = jnp.where(firstrow, jnp.zeros_like(a), a)
+    b2 = jnp.where(lastrow, b1 + c1 * sdiv(hr_ + hl_, hl_), b1)
+    a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr_, hl_), a1)
+    c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
+
+    # local SPIKE factorization + O(shards) interface solve
+    (xp_u, xp_w), (vl_u, vl_w), (vr_u, vr_w) = shard_spike_factors(
+        mask, a2, b2, c2, d)
+
+    def gat(v):
+        return jnp.moveaxis(lax.all_gather(v, axis_name), 0, -1)
+
+    e, f = reduced_interface_solve(
+        gat(-vl_u[..., -1]), gat(-vl_w[..., 0]),
+        gat(-vr_u[..., -1]), gat(-vr_w[..., 0]),
+        gat(xp_u[..., -1]), gat(xp_w[..., 0]),
+    )
+    e_prev = jnp.where(
+        rank == 0, zf,
+        jnp.take_along_axis(
+            e, jnp.full(e.shape[:-1] + (1,), jnp.maximum(rank - 1, 0)),
+            axis=-1)[..., 0],
+    )
+    f_next = jnp.where(
+        rank == size - 1, zf,
+        jnp.take_along_axis(
+            f, jnp.full(f.shape[:-1] + (1,), jnp.minimum(rank + 1, size - 1)),
+            axis=-1)[..., 0],
+    )
+    u = xp_u + vl_u * e_prev[..., None] + vr_u * f_next[..., None]
+    w_sol = xp_w + vl_w * e_prev[..., None] + vr_w * f_next[..., None]
+    m_j = u
+    m_j1 = _shift_left(w_sol, axis_name, zf)
+
+    # not-a-knot end moments from the global first/last two interior knots
+    nn = jnp.asarray(n_global, jnp.int32)
+    loc_first = jnp.min(jnp.where(mask, gpos, nn), axis=-1)
+    i1 = lax.pmin(loc_first, axis_name)
+    i2 = lax.pmin(
+        jnp.min(jnp.where(mask & (gpos > i1[..., None]), gpos, nn), axis=-1),
+        axis_name)
+    il1 = lax.pmax(jnp.max(jnp.where(mask, gpos, -1), axis=-1), axis_name)
+    il2 = lax.pmax(
+        jnp.max(jnp.where(mask & (gpos < il1[..., None]), gpos, -1), axis=-1),
+        axis_name)
+
+    def pick(i):
+        return lax.psum(
+            jnp.sum(jnp.where(gpos == i[..., None], u, 0.0), axis=-1),
+            axis_name)
+
+    m1, m2, ml1, ml2 = pick(i1), pick(i2), pick(il1), pick(il2)
+    h0 = i1.astype(dtype)
+    h1 = (i2 - i1).astype(dtype)
+    hl = (n_global - 1 - il1).astype(dtype)
+    hl2 = (il1 - il2).astype(dtype)
+    m0 = m1 + sdiv(h0, h1) * (m1 - m2)
+    m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
+
+    # inclusive j-side fill for evaluation
+    p1_pos, k_j = _ffill((gposf, k_site), knots, axis_name, (zf, zf))
+
+    m_j = jnp.where(p1_pos == 0, m0[..., None], m_j)
+    m_j1 = jnp.where(next_pos == n_global - 1, m_last[..., None], m_j1)
+
+    is_glast = gpos == n_global - 1
+    pos_j = jnp.where(is_glast, prev_pos, p1_pos)
+    k_j = jnp.where(is_glast, kv_prev, k_j)
+    k_j1 = jnp.where(is_glast, b_last[..., None], kv_next)
+    m_j1 = jnp.where(is_glast, m_last[..., None], m_j1)
+    right_pos = jnp.where(is_glast, gposf, next_pos)
+
+    h_j = right_pos - pos_j
+    s = sdiv(gposf - pos_j, h_j)
+    omt = 1.0 - s
+    baseline = (
+        omt * k_j + s * k_j1
+        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
+    )
+    passthrough = (nex < min_extrema)[..., None]
+    baseline = jnp.where(passthrough, x, baseline)
+    return x - baseline, baseline, nex
+
+
 @partial(jax.jit, static_argnames=("seq",))
 def _max_knots_per_shard(x, seq: int):
     """Exact max over (batch, shards) of per-shard knot-buffer occupancy.
@@ -397,34 +557,44 @@ def _max_knots_per_shard(x, seq: int):
 
 
 def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = None,
-                           min_extrema: int = 10):
+                           min_extrema: int = 10, method: str = "spike"):
     """Sequence-parallel MEITD-tier cubic baseline over a (data, seq) mesh.
 
-    Matches ``ops.cubic_baseline.cubic_baseline_extract`` on a single device;
-    cross-shard cost is one small all_gather of per-shard knot buffers.
+    Matches ``ops.cubic_baseline.cubic_baseline_extract`` on a single device.
 
-    The gathered buffer is ``seq * capacity_per_shard`` wide, so the
-    capacity sets the replicated-solve cost.  When not given, it is
-    measured: a cheap jitted counting pass finds the exact max per-shard
-    knot occupancy and the capacity is that count rounded up (×1 — the
-    count is exact, rounding only stabilizes recompiles).  At realistic
-    extrema densities this keeps the gather O(#knots), not O(n_global).
-    Callers wanting one stable compiled shape across many signals should
-    pass ``capacity_per_shard`` explicitly (e.g. from a worst-case density).
+    ``method="spike"`` (default): every shard SPIKE-factorizes its piece of
+    the grid-resident chained moment system; the only cross-shard traffic
+    beyond the fills' boundary summaries is an all_gather of SIX scalars
+    per shard (the interface system) — per-shard work stays
+    O(n_loc log n_loc) at any knot density.
+
+    ``method="gather"``: each shard compacts its knots and one all_gather
+    replicates all knot buffers for a redundant solve — simpler, but the
+    replicated solve is O(total knots) per shard, which defeats sequence
+    parallelism at noise-level knot densities.  ``capacity_per_shard``
+    (gather method only) sets the per-shard buffer; when not given it is
+    measured exactly by a cheap jitted counting pass.
 
     Returns (rotation, baseline, num_extrema)."""
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
     n_loc = n_global // seq
-    if capacity_per_shard is None:
-        measured = int(_max_knots_per_shard(jnp.asarray(x), seq))
-        # round up to a multiple of 8 (sublane alignment, fewer recompiles)
-        cap = min(max(-(-(measured) // 8) * 8, 8), n_loc + 2)
+    if method == "spike":
+        local = partial(_cubic_local_spike, axis_name="seq",
+                        n_global=n_global, min_extrema=min_extrema)
+    elif method == "gather":
+        if capacity_per_shard is None:
+            measured = int(_max_knots_per_shard(jnp.asarray(x), seq))
+            # round up to a multiple of 8 (sublane alignment, fewer recompiles)
+            cap = min(max(-(-(measured) // 8) * 8, 8), n_loc + 2)
+        else:
+            cap = capacity_per_shard
+        local = partial(_cubic_local, axis_name="seq", n_global=n_global,
+                        cap=cap, min_extrema=min_extrema)
     else:
-        cap = capacity_per_shard
+        raise ValueError(f"unknown method: {method!r}")
     fn = shard_map(
-        partial(_cubic_local, axis_name="seq", n_global=n_global, cap=cap,
-                min_extrema=min_extrema),
+        local,
         mesh=mesh,
         in_specs=P("data", "seq"),
         out_specs=(P("data", "seq"), P("data", "seq"), P("data")),

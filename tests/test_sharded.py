@@ -55,13 +55,18 @@ def test_sharded_reconstruction():
 
 
 @pytest.mark.slow
-def test_sharded_cubic_matches_single_device():
+@pytest.mark.parametrize("method", ["spike", "gather"])
+def test_sharded_cubic_matches_single_device(method):
+    """Both distributed solvers — the SPIKE substructuring (O(shards)
+    interface collective) and the knot-gather replicated solve — match the
+    single-device cubic tier."""
     from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
     from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
 
     x = bank(batch=2, n=1024)
     mesh = make_mesh(8, seq=4)
-    rot_s, base_s, nex_s = sharded_cubic_baseline(jnp.asarray(x), mesh)
+    rot_s, base_s, nex_s = sharded_cubic_baseline(jnp.asarray(x), mesh,
+                                                  method=method)
     ref = cubic_baseline_extract(jnp.asarray(x), capacity=1026)
     np.testing.assert_array_equal(np.asarray(nex_s), np.asarray(ref.num_extrema))
     np.testing.assert_allclose(np.asarray(base_s), np.asarray(ref.baseline), atol=1e-9)
