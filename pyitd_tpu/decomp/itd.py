@@ -225,7 +225,16 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
     prev_base = jnp.zeros_like(x2)
     comp = jnp.zeros_like(x2)
 
-    def body(i, carry):
+    def cond(state):
+        i, carry = state
+        done = carry[5]
+        # early exit once every batch row has stopped: the remaining
+        # trips would only write zero rows (rows are zero-gated after
+        # stopping), so skipping them is output-identical
+        return (i < levels) & ~jnp.all(done)
+
+    def body(state):
+        i, carry = state
         (rotation, baseline, prev_base, out_rot, out_base, done, reason,
          ncomp, pending_err, comp) = carry
         (new_base, new_rot, new_err, row, comp, nex, stop_a, stop_b,
@@ -246,12 +255,12 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
             stop_a, STOP_FLAT, jnp.where(stop_b, STOP_BUDGET, reason)
         )
         done = done | stopping
-        return (new_rot, new_base, baseline, out_rot, out_base, done,
-                reason, ncomp, new_err, comp)
+        return (i + 1, (new_rot, new_base, baseline, out_rot, out_base,
+                        done, reason, ncomp, new_err, comp))
 
     carry = (rotation, baseline, prev_base, out_rot, out_base, done, reason,
              ncomp, pending_err, comp)
-    carry = lax.fori_loop(0, levels, body, carry)
+    _, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
     out_rot, out_base, reason, ncomp, comp = (
         carry[3], carry[4], carry[6], carry[7], carry[9]
     )

@@ -447,7 +447,14 @@ def cubic_baseline_extract(
     platform).  Numerically identical up to f32 roundoff on the fills
     paths."""
     if eval_backend == "auto":
-        eval_backend = "gather" if jax.default_backend() == "cpu" else "fills"
+        if jax.default_backend() == "cpu":
+            eval_backend = "gather"
+        elif x.shape[-1] >= 4096:
+            eval_backend = "fills"
+        else:
+            # small rows (e.g. 2-D image lines) would pad to a whole
+            # 8192-sample kernel block; the masked-fill scans win there
+            eval_backend = "scan"
     if eval_backend in ("fills", "fills_compact"):
         solver = "chained" if eval_backend == "fills" else "compact"
         baseline, nex = _eval_fills(x, capacity, min_extrema, solver=solver)

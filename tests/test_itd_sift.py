@@ -143,3 +143,15 @@ def test_sift_emit_backend_matches_xla():
         np.asarray(a.stop_reason), np.asarray(b.stop_reason))
     np.testing.assert_array_equal(
         np.asarray(a.correction), np.asarray(b.correction))
+
+    # all-rows-stop-early batch (monotone rows go FLAT on trip 0): the
+    # emit path's while_loop exits before the level budget, which must be
+    # output-identical to running out the remaining (zero-row) trips
+    xs = jnp.asarray(np.stack([t, t**2]).astype(np.float32))
+    c = itd_sift(xs, 8, backend="xla")
+    d = itd_sift(xs, 8, backend="pallas_emit")
+    np.testing.assert_array_equal(np.asarray(c.rotations), np.asarray(d.rotations))
+    np.testing.assert_array_equal(
+        np.asarray(c.num_components), np.asarray(d.num_components))
+    np.testing.assert_array_equal(
+        np.asarray(c.stop_reason), np.asarray(d.stop_reason))
