@@ -79,7 +79,8 @@ def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iteration", "endpoint_mode", "store_baselines", "backend"))
+    "max_iteration", "endpoint_mode", "store_baselines", "backend",
+    "early_exit"))
 def itd_sift(
     x: jax.Array,
     max_iteration: int = 11,
@@ -87,6 +88,7 @@ def itd_sift(
     endpoint_mode: str = "reference",
     store_baselines: bool = True,
     backend: str = "auto",
+    early_exit: bool = False,
 ) -> SiftResult:
     """Full canonical sift of ``x`` (last axis = time; leading axes = batch).
 
@@ -107,7 +109,7 @@ def itd_sift(
         raise ValueError(f"unknown backend: {backend!r}")
     if use_emit:
         return _itd_sift_emit(x, max_iteration, endpoint_mode,
-                              store_baselines)
+                              store_baselines, early_exit)
     levels = max_iteration + 2
     extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
 
@@ -198,13 +200,16 @@ def itd_sift(
     )
 
 
-def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
+def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
+                   early_exit=False):
     """TPU fast path: identical loop semantics to the XLA body above, but
-    each trip is one fused Pallas level (``linear_level_emit_pallas``) that
-    also materializes the output row and compensation update in-register —
-    the XLA row/residual/compensation selects and the extrema-count
-    reduction cost ~1 ms per trip at 8x1M on v5e."""
-    from ..ops.pallas_fill import linear_level_emit_pallas
+    each trip is one fused Pallas level (``sift_level_emit_padded``) that
+    also materializes the output row and compensation update in-register,
+    and every big array stays in the kernels' padded 3-D layout across
+    trips — the XLA row/residual/compensation selects, the extrema-count
+    reduction, and the per-trip pad/crop/edge-slice copies together cost
+    ~1.7 ms per trip at 8x1M on v5e."""
+    from ..ops.pallas_fill import _pad_edges, sift_level_emit_padded
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -213,17 +218,30 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
     rows = x2.shape[0]
     interp = jax.default_backend() != "tpu"
 
-    first = linear_baseline_extract(x2, endpoint_mode=endpoint_mode)
-    rotation, baseline = first.rotation, first.baseline
-    pending_err = first.sub_err
-    out_rot = jnp.zeros((levels, rows, n), jnp.float32)
+    x3, pe, ne, npad, nblk = _pad_edges(x2)
+    bf = 0.5 * (x2[:, 0] + x2[:, 1])
+    bl = 0.5 * (x2[:, n - 2] + x2[:, n - 1])
+    zero3 = jnp.zeros_like(x3)
+    fdone = jnp.ones((rows,), bool)  # all flags off -> pure extraction
+
+    # initial extraction (the pre-loop extract of the XLA path): flags all
+    # false, so the row/compensation outputs are inert
+    (base3, rot3, err3, _row, _comp, _nex, _sa, _sb, _ct,
+     pe, ne, bf, bl) = sift_level_emit_padded(
+        x3, pe, ne, bf, bl, zero3, zero3, zero3, zero3, fdone,
+        jnp.asarray(False), n, endpoint_mode=endpoint_mode,
+        interpret=interp,
+    )
+
+    out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32)
     base_levels = levels if store_baselines else 1
-    out_base = jnp.zeros((base_levels, rows, n), jnp.float32)
+    out_base = jnp.zeros((base_levels,) + x3.shape, jnp.float32)
     done = jnp.zeros((rows,), bool)
     reason = jnp.zeros((rows,), jnp.int32)
     ncomp = jnp.zeros((rows,), jnp.int32)
-    prev_base = jnp.zeros_like(x2)
-    comp = jnp.zeros_like(x2)
+    prev_base = zero3
+    comp = zero3
+    pending_err = err3
 
     def cond(state):
         i, carry = state
@@ -236,16 +254,16 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
     def body(state):
         i, carry = state
         (rotation, baseline, prev_base, out_rot, out_base, done, reason,
-         ncomp, pending_err, comp) = carry
+         ncomp, pending_err, comp, pe, ne, bf, bl) = carry
         (new_base, new_rot, new_err, row, comp, nex, stop_a, stop_b,
-         cont) = linear_level_emit_pallas(
-            baseline, rotation, prev_base, pending_err, comp, done,
-            i > max_iteration, endpoint_mode=endpoint_mode,
-            interpret=interp,
+         cont, pe, ne, bf, bl) = sift_level_emit_padded(
+            baseline, pe, ne, bf, bl, rotation, prev_base, pending_err,
+            comp, done, i > max_iteration, n,
+            endpoint_mode=endpoint_mode, interpret=interp,
         )
         out_rot = out_rot.at[i].set(row)
         if store_baselines:
-            base_row = jnp.where(cont[:, None], baseline,
+            base_row = jnp.where(cont[:, None, None], baseline,
                                  jnp.zeros_like(baseline))
             out_base = out_base.at[i].set(base_row)
 
@@ -256,20 +274,43 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines):
         )
         done = done | stopping
         return (i + 1, (new_rot, new_base, baseline, out_rot, out_base,
-                        done, reason, ncomp, new_err, comp))
+                        done, reason, ncomp, new_err, comp, pe, ne, bf, bl))
 
-    carry = (rotation, baseline, prev_base, out_rot, out_base, done, reason,
-             ncomp, pending_err, comp)
-    _, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
+    carry = (rot3, base3, prev_base, out_rot, out_base, done, reason,
+             ncomp, pending_err, comp, pe, ne, bf, bl)
+    if early_exit:
+        # dynamic-cond loop: skips trips once every row stopped, but the
+        # data-dependent bound costs ~1 ms/trip of lost dispatch
+        # pipelining at 8x1M — worth it only when signals stop well
+        # before the budget
+        _, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        # static trip count (<= max_iteration + 2, typically ~13): unroll
+        # in Python.  A lax loop assigns each carry a fixed state buffer,
+        # and this body ROTATES its big arrays through the carry slots
+        # (new rotation lands in prev_base's donated buffer, the baseline
+        # in a fill channel's, ...), so every trip pays a full set of
+        # state copies — measured ~3.5 ms/trip at 8x1M on v5e vs 0.55 ms
+        # for the same level straight-line.  Unrolling gives XLA's buffer
+        # assigner the whole chain at once.
+        for i in range(levels):
+            _, carry = body((jnp.int32(i), carry))
     out_rot, out_base, reason, ncomp, comp = (
         carry[3], carry[4], carry[6], carry[7], carry[9]
     )
+
+    def crop(a, lead):
+        return a.reshape((lead, rows, npad))[..., :n]
+
     return SiftResult(
-        rotations=out_rot.reshape((levels,) + batch_shape + (n,)),
-        baselines=out_base.reshape((base_levels,) + batch_shape + (n,)),
+        rotations=crop(out_rot, levels).reshape(
+            (levels,) + batch_shape + (n,)),
+        baselines=crop(out_base, base_levels).reshape(
+            (base_levels,) + batch_shape + (n,)),
         num_components=ncomp.reshape(batch_shape),
         stop_reason=reason.reshape(batch_shape),
-        correction=comp.reshape(batch_shape + (n,)).astype(x.dtype),
+        correction=crop(comp[None], 1)[0].reshape(
+            batch_shape + (n,)).astype(x.dtype),
     )
 
 

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas",
-    "linear_level_pallas", "linear_level_emit_pallas", "BLK",
+    "linear_level_pallas", "sift_level_emit_padded", "BLK",
 ]
 
 BLK = 8192
@@ -296,36 +296,6 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
         )
         carry_in = tuple(carry[i] for i in range(4))
         state, carry_out = _block_scan(state, reverse, carry_in, sub)
-        for i in range(4):
-            carry[i] = carry_out[i]
-
-        outs = _mask_outputs(state)
-        p1p_ref[0], p1x_ref[0], p2p_ref[0], p2x_ref[0] = outs
-
-    return kernel
-
-
-def _make_linear_fill2_counts_kernel(n_real: int, nblk: int):
-    """Forward ITD fill2 that also emits each block's knot-mark count, so
-    the sift's stop logic needs no full-array pass over the channels."""
-    sub = BLK // _LANES
-
-    def kernel(xprev_ref, xnext_ref, x_ref, p1p_ref, p1x_ref, p2p_ref,
-               p2x_ref, cnt_ref, carry):
-        r = pl.program_id(0)
-        g = pl.program_id(1)
-
-        @pl.when(g == 0)
-        def _():
-            _init_carry(carry)
-
-        _, _, _, m, state = _knot_state(
-            x_ref[0], g, n_real, xprev_ref[r, g], xnext_ref[r, g]
-        )
-        # whole-array SMEM output: each grid step stores its block's count
-        cnt_ref[r, g] = jnp.sum(m.astype(jnp.float32))
-        carry_in = tuple(carry[i] for i in range(4))
-        state, carry_out = _block_scan(state, False, carry_in, sub)
         for i in range(4):
             carry[i] = carry_out[i]
 
@@ -673,60 +643,44 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
-def linear_level_emit_pallas(x, rot_prev, prev_base, pending_err, comp,
-                             done, over_budget, *,
-                             endpoint_mode: str = "reference",
-                             interpret: bool = False):
-    """One sift trip, fully in-kernel (see ``decomp/itd.py`` for the loop
-    semantics): runs the forward fill (emitting per-block knot counts), the
-    stop-flag logic on the tiny count vector, and the fused reverse kernel
-    that interpolates the next level AND materializes this trip's output
-    row + compensation update while everything is in registers.
+def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
+                           rot3, pbase3, perr3, comp3, done, over_budget,
+                           n: int, *, endpoint_mode: str = "reference",
+                           interpret: bool = False):
+    """One sift trip, fully in-kernel and **padded-resident** (see
+    ``decomp/itd.py`` for the loop semantics): the stop-flag logic runs on
+    a fused count of the forward channels, and the fused reverse kernel
+    interpolates the next level AND materializes this trip's output row +
+    compensation update in-register.
 
-    ``x``..``comp``: (rows, n) f32.  ``done``: (rows,) bool; ``over_budget``:
-    scalar bool (trip index > max_iteration).
+    All big arrays stay in the kernels' padded 3-D layout
+    ``(rows, npad//128, 128)`` between trips — no pad/crop copies — and the
+    next trip's block-edge scalars come from tiny strided slices of the
+    padded baseline.  (SMEM whole-array outputs were measured to roughly
+    double a kernel's wall time — the fwd fill ran 1.9 ms with an SMEM
+    counts output vs 0.8 ms without — so both kernels emit only VMEM
+    tiles and the scalar plumbing stays in XLA.)
 
-    Returns ``(baseline, rotation, sub_err, row, comp_out, nex,
-    stop_a, stop_b, cont)``.
+    Returns ``(base3, rot3, err3, row3, comp3, nex, stop_a, stop_b, cont,
+    prev_edge', next_edge', b_first', b_last')`` where the primed values
+    describe the returned baseline (the next trip's input).
     """
-    rows, n = x.shape
-    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
     sub = BLK // _LANES
 
-    spec = pl.BlockSpec((1, sub, _LANES), lambda r, b, *_refs: (r, b, 0),
-                        memory_space=pltpu.VMEM)
-    cnt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(rows, nblk),
-        in_specs=[spec],
-        out_specs=[spec] * 4 + [cnt_spec],
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
-    )
-    *fwd3, counts = pl.pallas_call(
-        _make_linear_fill2_counts_kernel(n, nblk),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 4
-        + [jax.ShapeDtypeStruct((rows, nblk), jnp.float32)],
-        interpret=interpret,
-    )(prev_edge, next_edge, x3)
+    fwd3 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
+                                reverse=False, interpret=interpret)
 
-    nex = jnp.sum(counts, axis=-1).astype(jnp.int32) - 2
+    # interior extrema count: a sample is a knot iff it is its own most
+    # recent knot; one fused elementwise+reduce pass (~0.05 ms at 8x1M)
+    iota = lax.broadcasted_iota(jnp.float32, x3.shape, 1) * _LANES + \
+        lax.broadcasted_iota(jnp.float32, x3.shape, 2)
+    nex = jnp.sum(fwd3[0] == iota, axis=(-2, -1)).astype(jnp.int32) - 2
     stop_a = (~done) & (nex < 2)
     stop_b = (~done) & (~stop_a) & over_budget
     cont = (~done) & (~stop_a) & (~stop_b)
-
-    def prep(a):
-        a = a.astype(jnp.float32)
-        pad = npad - n
-        if pad:
-            a = jnp.concatenate([a, jnp.zeros((rows, pad), jnp.float32)],
-                                axis=-1)
-        return a.reshape(x3.shape)
-
-    b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
-    b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
 
     main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
@@ -741,17 +695,30 @@ def linear_level_emit_pallas(x, rot_prev, prev_base, pending_err, comp,
         _make_linear_emit_kernel(n, nblk, endpoint_mode),
         grid_spec=rgrid,
         out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 5,
+        # donate every input buffer that dies at this call (indices count
+        # the 7 scalar-prefetch operands first): f1p->base, rot->row,
+        # prev_base->rot, pending_err->err, comp->comp_out, so the sift
+        # loop's carries stay in place across trips.
+        input_output_aliases={8: 0, 12: 3, 13: 1, 14: 2, 15: 4},
         interpret=interpret,
     )(
         prev_edge, next_edge, b_first, b_last,
         stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
         cont.astype(jnp.float32),
-        x3, *fwd3, prep(rot_prev), prep(prev_base), prep(pending_err),
-        prep(comp),
+        x3, *fwd3, rot3, pbase3, perr3, comp3,
     )
+    base3, rot_out, err3, row3, comp_out = outs
 
-    def crop(a):
-        return a.reshape(rows, npad)[..., :n]
-
-    base, rot, err, row, comp_out = (crop(o) for o in outs)
-    return base, rot, err, row, comp_out, nex, stop_a, stop_b, cont
+    # next trip's edge/end scalars: tiny strided slices of the padded
+    # baseline.  prev_edge'[b] = B[b*BLK - 1] (b=0: B[0]);
+    # next_edge'[b] = B[(b+1)*BLK] (last block: don't-care, stays finite).
+    b4 = base3.reshape(rows, nblk, sub, _LANES)
+    ef = b4[:, :, 0, 0]
+    el = b4[:, :, sub - 1, _LANES - 1]
+    pe2 = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
+    ne2 = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+    flat = base3.reshape(rows, npad)
+    bf2 = 0.5 * (flat[:, 0] + flat[:, 1])
+    bl2 = 0.5 * (flat[:, n - 2] + flat[:, n - 1])
+    return (base3, rot_out, err3, row3, comp_out, nex, stop_a, stop_b,
+            cont, pe2, ne2, bf2, bl2)
