@@ -251,17 +251,22 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
         # stopping), so skipping them is output-identical
         return (i < levels) & ~jnp.all(done)
 
-    def body(state):
+    def body(state, static_i=None):
         i, carry = state
         (rotation, baseline, prev_base, out_rot, out_base, done, reason,
          ncomp, pending_err, comp, pe, ne, bf, bl) = carry
+        # unrolled trips write the output row straight into out_rot[i]
+        # inside the kernel (aliased 4-D output) — no 32 MB copy per trip
+        in_place = static_i is not None
         (new_base, new_rot, new_err, row, comp, nex, stop_a, stop_b,
          cont, pe, ne, bf, bl) = sift_level_emit_padded(
             baseline, pe, ne, bf, bl, rotation, prev_base, pending_err,
             comp, done, i > max_iteration, n,
             endpoint_mode=endpoint_mode, interpret=interp,
+            out_levels=out_rot if in_place else None,
+            level_idx=static_i,
         )
-        out_rot = out_rot.at[i].set(row)
+        out_rot = row if in_place else out_rot.at[i].set(row)
         if store_baselines:
             base_row = jnp.where(cont[:, None, None], baseline,
                                  jnp.zeros_like(baseline))
@@ -294,7 +299,7 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
         # for the same level straight-line.  Unrolling gives XLA's buffer
         # assigner the whole chain at once.
         for i in range(levels):
-            _, carry = body((jnp.int32(i), carry))
+            _, carry = body((jnp.int32(i), carry), static_i=i)
     out_rot, out_base, reason, ncomp, comp = (
         carry[3], carry[4], carry[6], carry[7], carry[9]
     )

@@ -556,14 +556,20 @@ def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
 # ---------------------------------------------------------------------------
 
 
-def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str):
+def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
+                             row_4d: bool = False):
     sub = BLK // _LANES
     nm1 = float(n_real - 1)
 
     def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, fa_ref, fb_ref,
                fc_ref, x_ref, f1p_ref, f1x_ref, f2p_ref, f2x_ref, rotp_ref,
-               pbase_ref, perr_ref, comp_ref,
-               base_ref, rot_ref, err_ref, row_ref, compo_ref, carry):
+               pbase_ref, perr_ref, comp_ref, *rest):
+        if row_4d:
+            # rest = (orot_hbm_ref(unused), base, rot, err, row, comp, carry)
+            (_orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
+             carry) = rest
+        else:
+            base_ref, rot_ref, err_ref, row_ref, compo_ref, carry = rest
         r = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -630,9 +636,13 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str):
 
         zero = jnp.zeros_like(x)
         residual = jnp.where(stop_a, pbase_ref[0], res_sum)
-        row_ref[0] = jnp.where(
+        row_val = jnp.where(
             stop_a | stop_b, residual, jnp.where(cont, rotp, zero)
         )
+        if row_4d:
+            row_ref[0, 0] = row_val
+        else:
+            row_ref[0] = row_val
         perr = perr_ref[0]
         compo_ref[0] = (
             comp_ref[0]
@@ -646,7 +656,8 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str):
 def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
                            rot3, pbase3, perr3, comp3, done, over_budget,
                            n: int, *, endpoint_mode: str = "reference",
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           out_levels=None, level_idx: int | None = None):
     """One sift trip, fully in-kernel and **padded-resident** (see
     ``decomp/itd.py`` for the loop semantics): the stop-flag logic runs on
     a fused count of the forward channels, and the fused reverse kernel
@@ -684,29 +695,55 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
 
     main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
-    rgrid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(rows, nblk),
-        in_specs=[rspec] * 9,
-        out_specs=[rspec] * 5,
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
-    )
-    outs = pl.pallas_call(
-        _make_linear_emit_kernel(n, nblk, endpoint_mode),
-        grid_spec=rgrid,
-        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 5,
-        # donate every input buffer that dies at this call (indices count
-        # the 7 scalar-prefetch operands first): f1p->base, rot->row,
-        # prev_base->rot, pending_err->err, comp->comp_out, so the sift
-        # loop's carries stay in place across trips.
-        input_output_aliases={8: 0, 12: 3, 13: 1, 14: 2, 15: 4},
-        interpret=interpret,
-    )(
+    row_into_levels = out_levels is not None
+    operands = [
         prev_edge, next_edge, b_first, b_last,
         stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
         cont.astype(jnp.float32),
         x3, *fwd3, rot3, pbase3, perr3, comp3,
+    ]
+    in_specs = [rspec] * 9
+    # donate every input buffer that dies at this call (indices count the
+    # 7 scalar-prefetch operands first): f1p->base, rot->row (or the
+    # whole levels buffer when writing in place), prev_base->rot,
+    # pending_err->err, comp->comp_out — the unrolled sift's buffers then
+    # stay in place across trips.
+    if row_into_levels:
+        # the sift's output buffer rides along unpiped (ANY memory
+        # space); the row output writes only level `level_idx`'s blocks
+        # in place, everything else passes through via the alias
+        operands.append(out_levels)
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        li = level_idx
+        row_spec = pl.BlockSpec(
+            (1, 1, sub, _LANES),
+            lambda r, b, *_refs: (li, r, nblk - 1 - b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        row_shape = jax.ShapeDtypeStruct(out_levels.shape, jnp.float32)
+        aliases = {8: 0, 16: 3, 13: 1, 14: 2, 15: 4}
+        # rot3 (input 12) still dies here but its shape no longer matches
+        # the row output; leave it undonated.
+    else:
+        row_spec = rspec
+        row_shape = jax.ShapeDtypeStruct(x3.shape, jnp.float32)
+        aliases = {8: 0, 12: 3, 13: 1, 14: 2, 15: 4}
+    rgrid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(rows, nblk),
+        in_specs=in_specs,
+        out_specs=[rspec, rspec, rspec, row_spec, rspec],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
+    outs = pl.pallas_call(
+        _make_linear_emit_kernel(n, nblk, endpoint_mode,
+                                 row_4d=row_into_levels),
+        grid_spec=rgrid,
+        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 3
+        + [row_shape, jax.ShapeDtypeStruct(x3.shape, jnp.float32)],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*operands)
     base3, rot_out, err3, row3, comp_out = outs
 
     # next trip's edge/end scalars: tiny strided slices of the padded
