@@ -122,17 +122,23 @@ def main():
         return statistical_component(a, key2d, 20)
 
     f2d = jax.jit(lambda a, salt: jnp.sum(run2d(a + salt)[..., :8]))
-    float(f2d(img, 0.0))
+    # fresh salts per run: constant salts replay identical executions into
+    # the relay cache and the reading becomes a cache-lookup time
+    salt0 = (time.time() % 1000.0) * 1e-7
+    float(f2d(img, salt0))
     best = np.inf
     for r in range(3):
-        t0 = time.time(); float(f2d(img, 1.0 + r)); best = min(best, time.time() - t0)
+        t0 = time.time()
+        float(f2d(img, salt0 + 1e-6 * (r + 1)))
+        best = min(best, time.time() - t0)
     el2d = 256 * 256
     print(
         f"{'2-D ensemble (20-iter, 256^2)':36s} {best*1e3:8.2f} ms  "
         f"{el2d/best/1e6:9.1f} Msamp/s (one call, incl dispatch)",
         file=sys.stderr,
     )
-    stages_extra = [("2d ensemble 256^2", best, el2d / best / 1e6, 0, 0)]
+    stages_extra = [("2d ensemble 256^2 (one-call)", best,
+                     el2d / best / 1e6, 0, 0)]
 
     rows = []
     for name, fn, ops_est, bytes_est in stages:

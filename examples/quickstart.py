@@ -7,10 +7,16 @@ runs; on TPU the same calls dispatch the Pallas fast paths.
 
     python examples/quickstart.py
 """
+import os
+import sys
+
 import numpy as np
 import jax.numpy as jnp
 
-from pyitd_tpu import ITD, itd_sift, neumaier_sum
+# allow running from a source checkout without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyitd_tpu import ITD, itd_sift, neumaier_sum  # noqa: E402
 
 
 def demo_itd():

@@ -96,6 +96,9 @@ def itd_sift(
     f32 inputs (per-trip bookkeeping — output row, residual selects,
     compensation, extrema count — happens inside the level kernel) and the
     portable XLA carry loop elsewhere; "xla" / "pallas_emit" force one.
+    The emit path is differentiable: its Pallas kernels have no JVP rule,
+    so a custom VJP recomputes the backward pass through the XLA loop
+    (numerically matching; costs one extra XLA-path forward on grad).
     """
     if backend == "auto":
         use_emit = (
@@ -108,8 +111,36 @@ def itd_sift(
     else:
         raise ValueError(f"unknown backend: {backend!r}")
     if use_emit:
-        return _itd_sift_emit(x, max_iteration, endpoint_mode,
-                              store_baselines, early_exit)
+        if x.dtype != jnp.float32:
+            raise ValueError(
+                "the pallas_emit sift backend is f32-only; cast the input "
+                "or use backend='xla' to keep the input dtype"
+            )
+
+        def emit_fn(xx):
+            return _itd_sift_emit(xx, max_iteration, endpoint_mode,
+                                  store_baselines, early_exit)
+
+        def xla_fn(xx):
+            return _itd_sift_xla(xx, max_iteration, endpoint_mode,
+                                 store_baselines)
+
+        f = jax.custom_vjp(emit_fn)
+
+        def fwd(xx):
+            return emit_fn(xx), xx
+
+        def bwd(xx, g):
+            return (jax.vjp(xla_fn, xx)[1](g)[0],)
+
+        f.defvjp(fwd, bwd)
+        return f(x)
+    return _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines)
+
+
+def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
+    """Portable XLA carry-loop sift (every backend, every dtype,
+    reverse-mode differentiable)."""
     levels = max_iteration + 2
     extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
 
@@ -118,15 +149,19 @@ def itd_sift(
     # pending_err: exact rounding residual of the not-yet-emitted rotation
     # (rotation = fl(input - baseline); err = (input - baseline) - rotation)
     pending_err = first.sub_err
-    zero = jnp.zeros_like(x)
-    out_rot = jnp.zeros((levels,) + x.shape, dtype=x.dtype)
+    # derive every constant carry from x so it inherits x's varying-mesh
+    # axes — under shard_map (e.g. parallel.batch.pjit_itd_sift) plain
+    # zeros would type-mismatch the loop body's varying outputs
+    zero = x * 0
+    out_rot = jnp.zeros((levels,) + x.shape, dtype=x.dtype) + zero
     base_levels = levels if store_baselines else 1
-    out_base = jnp.zeros((base_levels,) + x.shape, dtype=x.dtype)
+    out_base = jnp.zeros((base_levels,) + x.shape, dtype=x.dtype) + zero
 
+    izero = zero[..., 0].astype(jnp.int32)
     batch_shape = x.shape[:-1]
-    done = jnp.zeros(batch_shape, dtype=bool)
-    reason = jnp.zeros(batch_shape, dtype=jnp.int32)
-    ncomp = jnp.zeros(batch_shape, dtype=jnp.int32)
+    done = izero != 0
+    reason = izero
+    ncomp = izero
     prev_base = zero  # mirrors the reference's zero-filled container read
     comp = zero       # accumulated correction (see SiftResult.correction)
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["chained_block_pcr", "shard_spike_factors",
-           "reduced_interface_solve"]
+           "reduced_interface_solve", "notaknot_rows"]
 
 
 def _safe_inv(x):
@@ -58,6 +58,35 @@ def _shift_r(x, s, fill):
 def _shift_l(x, s, fill):
     pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
     return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def notaknot_rows(hl, hr, v_prev, v_mid, v_next, firstrow, lastrow):
+    """Not-a-knot tridiagonal row of each interior knot, built elementwise
+    on whatever grid the inputs live on (single-device signal grid or a
+    shard of one).
+
+    ``hl``/``hr``: distances to the previous/next knot (endpoints
+    included); ``v_*``: the Frei-Osorio knot values there;
+    ``firstrow``/``lastrow``: masks for the knots adjacent to the global
+    endpoints.  Applies the boundary substitutions in the same order as
+    ``tridiag.spline_moments`` (row 1 first; the last row uses the updated
+    upper coefficient — matters when a single interior knot gets both).
+    Returns ``(a, b, c, d)`` with the boundary couplings zeroed.
+    """
+    def sdiv(num, den):
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
+    a = hl
+    b = 2.0 * (hl + hr)
+    c = hr
+    d = 6.0 * (sdiv(v_next - v_mid, hr) - sdiv(v_mid - v_prev, hl))
+    b1 = jnp.where(firstrow, b + a * sdiv(hl + hr, hr), b)
+    c1 = jnp.where(firstrow, c - a * sdiv(hl, hr), c)
+    a1 = jnp.where(firstrow, jnp.zeros_like(a), a)
+    b2 = jnp.where(lastrow, b1 + c1 * sdiv(hr + hl, hl), b1)
+    a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr, hl), a1)
+    c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
+    return a2, b2, c2, d
 
 
 def _encode(mask, a, b, c, d):

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .chained_pcr import chained_block_pcr
+from .chained_pcr import chained_block_pcr, notaknot_rows
 from .extrema import extrema_mask, compact_indices
 from .fill import take_last_axis, forward_fill_scan, backward_fill_scan
 from .tridiag import reference_spline_moments, spline_moments
@@ -217,22 +217,11 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     def sdiv(num, den):
         return num / jnp.where(den == 0, jnp.ones_like(den), den)
 
-    a = hl_
-    b = 2.0 * (hl_ + hr_)
-    c = hr_
-    d = 6.0 * (sdiv(k_j1 - k_site, hr_) - sdiv(k_site - k_jm1, hl_))
-
-    # not-a-knot boundary substitutions, in the same order as
-    # tridiag.spline_moments (row 1 first; the last row uses the updated
-    # upper coefficient — matters when a single interior knot gets both)
-    firstrow = p2p == 0          # previous knot is the left endpoint
-    lastrow = n1p == n - 1       # next knot is the right endpoint
-    b1 = jnp.where(firstrow, b + a * sdiv(hl_ + hr_, hr_), b)
-    c1 = jnp.where(firstrow, c - a * sdiv(hl_, hr_), c)
-    a1 = jnp.where(firstrow, jnp.zeros_like(a), a)
-    b2 = jnp.where(lastrow, b1 + c1 * sdiv(hr_ + hl_, hl_), b1)
-    a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr_, hl_), a1)
-    c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
+    a2, b2, c2, d = notaknot_rows(
+        hl_, hr_, k_jm1, k_site, k_j1,
+        firstrow=p2p == 0,       # previous knot is the left endpoint
+        lastrow=n1p == n - 1,    # next knot is the right endpoint
+    )
 
     if use_spike:
         from .pallas_spike import chained_block_spike

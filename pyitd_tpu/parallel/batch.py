@@ -30,21 +30,33 @@ def shard_bank(x, mesh: Mesh):
 
 
 def pjit_itd_sift(mesh: Mesh, max_iteration: int = 11, **kwargs):
-    """A compiled batched sift with explicit data-parallel shardings."""
+    """A compiled batched sift with explicit data-parallel shardings.
+
+    The sift runs under ``shard_map`` over the 'data' axis — each shard
+    sifts its local rows independently (the sift has no cross-batch
+    coupling), which both makes the zero-collective guarantee structural
+    and keeps the TPU Pallas fast path usable: ``pallas_call`` has no
+    GSPMD partitioning rule, so tracing it into a plain sharded ``jit``
+    would replicate or fail on multi-device meshes.
+    """
     sharding = NamedSharding(mesh, P("data", None))
-    out_rot = NamedSharding(mesh, P(None, "data", None))
-    out_scalar = NamedSharding(mesh, P("data"))
 
-    @partial(
-        jax.jit,
-        in_shardings=(sharding,),
-        out_shardings=(out_rot, out_rot, out_scalar, out_scalar),
+    local = lambda x: itd_sift(x, max_iteration, **kwargs)
+    fn = shard_map(
+        lambda x: tuple(local(x)),
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(None, "data", None), P(None, "data", None),
+                   P("data"), P("data"), P("data", None)),
     )
-    def fn(x):
-        res = itd_sift(x, max_iteration, **kwargs)
-        return res.rotations, res.baselines, res.num_components, res.stop_reason
 
-    return fn
+    @jax.jit
+    def wrapped(x):
+        xs = jax.device_put(x, sharding)
+        rot, base, ncomp, reason, _corr = fn(xs)
+        return rot, base, ncomp, reason
+
+    return wrapped
 
 
 def sharded_streaming_itd(mesh: Mesh, hop: int, *, iq: bool = False):

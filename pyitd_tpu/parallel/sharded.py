@@ -439,22 +439,14 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     (kv_next,) = _bfill((_shift_left(k_site, axis_name, zf),), kp1,
                         axis_name, (zf,))
 
-    # not-a-knot tridiagonal rows at interior knots (ops.cubic_baseline
-    # _chained_moments formulas, with global boundary conditions)
-    hl_ = gposf - prev_pos
-    hr_ = next_pos - gposf
-    a = hl_
-    b = 2.0 * (hl_ + hr_)
-    c = hr_
-    d = 6.0 * (sdiv(kv_next - k_site, hr_) - sdiv(k_site - kv_prev, hl_))
-    firstrow = prev_pos == 0
-    lastrow = next_pos == n_global - 1
-    b1 = jnp.where(firstrow, b + a * sdiv(hl_ + hr_, hr_), b)
-    c1 = jnp.where(firstrow, c - a * sdiv(hl_, hr_), c)
-    a1 = jnp.where(firstrow, jnp.zeros_like(a), a)
-    b2 = jnp.where(lastrow, b1 + c1 * sdiv(hr_ + hl_, hl_), b1)
-    a2 = jnp.where(lastrow, a1 - c1 * sdiv(hr_, hl_), a1)
-    c2 = jnp.where(lastrow, jnp.zeros_like(c1), c1)
+    # not-a-knot tridiagonal rows at interior knots (shared with the
+    # single-device tier, with global boundary conditions)
+    from ..ops.chained_pcr import notaknot_rows
+
+    a2, b2, c2, d = notaknot_rows(
+        gposf - prev_pos, next_pos - gposf, kv_prev, k_site, kv_next,
+        firstrow=prev_pos == 0, lastrow=next_pos == n_global - 1,
+    )
 
     # local SPIKE factorization + O(shards) interface solve
     (xp_u, xp_w), (vl_u, vl_w), (vr_u, vr_w) = shard_spike_factors(

@@ -144,14 +144,35 @@ def test_sift_emit_backend_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(a.correction), np.asarray(b.correction))
 
-    # all-rows-stop-early batch (monotone rows go FLAT on trip 0): the
-    # emit path's while_loop exits before the level budget, which must be
-    # output-identical to running out the remaining (zero-row) trips
+    # all-rows-stop-early batch (monotone rows go FLAT on trip 0): both
+    # the unrolled emit loop and the opt-in early-exit while_loop (which
+    # skips the remaining trips) must be output-identical to the XLA loop
     xs = jnp.asarray(np.stack([t, t**2]).astype(np.float32))
     c = itd_sift(xs, 8, backend="xla")
-    d = itd_sift(xs, 8, backend="pallas_emit")
-    np.testing.assert_array_equal(np.asarray(c.rotations), np.asarray(d.rotations))
-    np.testing.assert_array_equal(
-        np.asarray(c.num_components), np.asarray(d.num_components))
-    np.testing.assert_array_equal(
-        np.asarray(c.stop_reason), np.asarray(d.stop_reason))
+    for ee in (False, True):
+        d = itd_sift(xs, 8, backend="pallas_emit", early_exit=ee)
+        np.testing.assert_array_equal(
+            np.asarray(c.rotations), np.asarray(d.rotations))
+        np.testing.assert_array_equal(
+            np.asarray(c.num_components), np.asarray(d.num_components))
+        np.testing.assert_array_equal(
+            np.asarray(c.stop_reason), np.asarray(d.stop_reason))
+
+
+def test_grad_through_emit_backend():
+    """jax.grad works on the Pallas emit backend: its kernels have no JVP
+    rule, so a custom VJP recomputes the backward pass through the XLA
+    loop (gradients match the XLA backend)."""
+    s = jnp.asarray(demo_chirp(256).astype(np.float32))
+
+    def loss(backend):
+        def f(x):
+            r = itd_sift(x, 3, store_baselines=False, backend=backend)
+            return jnp.sum(r.rotations[0] ** 2)
+        return f
+
+    g_emit = jax.grad(loss("pallas_emit"))(s)
+    g_xla = jax.grad(loss("xla"))(s)
+    np.testing.assert_allclose(np.asarray(g_emit), np.asarray(g_xla),
+                               rtol=0, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(g_emit)))
