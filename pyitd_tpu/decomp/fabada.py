@@ -201,7 +201,7 @@ def pfabada(data: jax.Array, sigma, max_iterations: int = 1000) -> jax.Array:
         bm = c["bayes_m"] + mw * post_mean
 
         done = ((chi2 > 1.0) & (ev_deriv < 0) & (chi2_snd < tol)) | (
-            c["iterations"] > max_iterations
+            c["iterations"] >= max_iterations + 1
         )
         return {
             "post_mean": post_mean,

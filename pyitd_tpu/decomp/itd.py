@@ -176,7 +176,7 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
         nex = new.num_extrema
 
         stop_a = (~done) & (nex < 2)
-        stop_b = (~done) & (~stop_a) & (i > max_iteration)
+        stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b
 
@@ -296,7 +296,7 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
         (new_base, new_rot, new_err, row, comp, nex, stop_a, stop_b,
          cont, pe, ne, bf, bl) = sift_level_emit_padded(
             baseline, pe, ne, bf, bl, rotation, prev_base, pending_err,
-            comp, done, i > max_iteration, n,
+            comp, done, i >= max_iteration + 1, n,
             endpoint_mode=endpoint_mode, interpret=interp,
             out_levels=out_rot if in_place else None,
             level_idx=static_i,

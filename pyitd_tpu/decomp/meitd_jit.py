@@ -75,7 +75,7 @@ def _retrieve(rot_in, wpemax, capacity):
     def go(_):
         def cond(c):
             rot, base, nex, done, it = c
-            return (~done) & (nex > 5) & (it < _RETRIEVE_CAP)
+            return (~done) & (nex >= 6) & (it < _RETRIEVE_CAP)
 
         def body(c):
             _, base, nex, done, it = c
@@ -126,7 +126,7 @@ def meitd_jit(data, wpemax: float = 0.6, *, capacity: int | None = None) -> Meit
     )
 
     def cond(c):
-        return (c.nex > 5) & (c.highc + c.lowc <= 20)
+        return (c.nex >= 6) & (c.highc + c.lowc <= 20)
 
     def body(c):
         # retrieve when the current rotation is improper

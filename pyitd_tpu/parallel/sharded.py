@@ -205,7 +205,7 @@ def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
         rotation, baseline, prev_base, out, done, reason, ncomp = carry
         new_rot, new_base, nex = _level(baseline, axis_name, n_global, endpoint_mode)
         stop_a = (~done) & (nex < 2)
-        stop_b = (~done) & (~stop_a) & (i > max_iteration)
+        stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b
         residual = jnp.where(stop_a[..., None], prev_base, rotation + baseline)
