@@ -64,7 +64,7 @@ def test_svmd_scalar_coupling_matches_reference_oracle():
 
     lo, hi, sig = two_tone(256)
 
-    for stopc in (4, 2):
+    for stopc in (4, 2, 3):
         u_r, _, om_r = svmd_ref(sig, stopc=stopc)
         u_j, _, om_j = svmd(sig, stopc=stopc, coupling="scalar")
         assert u_j.shape == u_r.shape, (stopc, u_j.shape, u_r.shape)
