@@ -109,7 +109,8 @@ def test_spike_matches_grid_pcr_interpret():
     from pyitd_tpu.ops.pallas_spike import chained_block_spike, SPIKE_BLK
 
     rng = np.random.default_rng(11)
-    for n in (SPIKE_BLK * 2 + 1777, 3000):  # multi-block + sub-block
+    # multi-block + sub-block + exact block multiple (no padding branch)
+    for n in (SPIKE_BLK * 2 + 1777, 3000, SPIKE_BLK):
         mask, a, b, c, d = _random_system(rng, 2, n, 0.3)
         f32 = lambda x: jnp.asarray(x, jnp.float32)
         u0, w0 = chained_block_pcr(jnp.asarray(mask), f32(a), f32(b),

@@ -176,3 +176,31 @@ def test_grad_through_emit_backend():
     np.testing.assert_allclose(np.asarray(g_emit), np.asarray(g_xla),
                                rtol=0, atol=1e-5)
     assert np.all(np.isfinite(np.asarray(g_emit)))
+
+
+@pytest.mark.slow
+def test_sift_emit_boundary_shapes():
+    """Emit-vs-XLA bit parity at shape boundaries the main parity test
+    misses: exact kernel-block multiples (no padding branch), one lane
+    over, tiny n, and a constant signal (flat from trip 0)."""
+    rng = np.random.default_rng(5)
+    for n, batch in [(8192, 2), (8192 + 128, 1), (130, 2)]:
+        t = np.linspace(0, 2 * np.pi, n)
+        x = jnp.asarray(
+            (np.sin(7 * t)[None] + 0.4 * rng.normal(size=(batch, n))
+             ).astype(np.float32))
+        a = itd_sift(x, 3, backend="xla")
+        b = itd_sift(x, 3, backend="pallas_emit")
+        np.testing.assert_array_equal(
+            np.asarray(a.rotations), np.asarray(b.rotations))
+        np.testing.assert_array_equal(
+            np.asarray(a.num_components), np.asarray(b.num_components))
+        np.testing.assert_array_equal(
+            np.asarray(a.correction), np.asarray(b.correction))
+
+    xc = jnp.ones((2, 8192), jnp.float32)
+    a = itd_sift(xc, 3, backend="xla")
+    b = itd_sift(xc, 3, backend="pallas_emit")
+    np.testing.assert_array_equal(
+        np.asarray(a.rotations), np.asarray(b.rotations))
+    assert int(a.num_components[0]) == int(b.num_components[0]) == 1
