@@ -713,7 +713,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         # space); the row output writes only level `level_idx`'s blocks
         # in place, everything else passes through via the alias
         operands.append(out_levels)
-        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         li = level_idx
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),

@@ -191,7 +191,11 @@ def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
     def vary(a, axes):
         have = jax.typeof(a).vma
         need = tuple(ax for ax in axes if ax not in have)
-        return lax.pvary(a, need) if need else a
+        if not need:
+            return a
+        if hasattr(lax, "pcast"):
+            return lax.pcast(a, need, to="varying")
+        return lax.pvary(a, need)
 
     both = ("data", axis_name)
     out = vary(jnp.zeros((levels,) + x.shape, x.dtype), both)

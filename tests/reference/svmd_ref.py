@@ -52,7 +52,10 @@ def _extract_mode_ref(f1, omega_freqs, h_sum, u_sum, max_alpha, tau, tol):
                 + u_sum
             )
             du = u_new - u
-            udiff = abs(eps + (np.vdot(du, du) / T) / ((np.vdot(u, u) / T)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # first pass divides by |u|^2 = 0 -> inf; the reference
+                # relies on that to CONTINUE (see decomp/svmd.py)
+                udiff = abs(eps + (np.vdot(du, du) / T) / ((np.vdot(u, u) / T)))
             u = u_new
             n += 1
 
