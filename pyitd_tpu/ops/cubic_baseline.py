@@ -441,8 +441,13 @@ def cubic_baseline_extract(
         elif x.shape[-1] >= 4096:
             eval_backend = "fills"
         else:
-            # small rows (e.g. 2-D image lines) would pad to a whole
-            # 8192-sample kernel block; the masked-fill scans win there
+            # small rows: measured EQUAL to "fills" on-chip at the 2-D
+            # ensemble's (5120 x 256) shape (~350 ms either way — both
+            # are bound by per-row grid-step/op overhead, scatters and
+            # solves are immaterial at this size); scan keeps memory
+            # tight where fills would pad every row to an 8192 block.
+            # A row-packed / segmented-fill kernel is the real small-n
+            # lever (NOTES_ROUND2.md).
             eval_backend = "scan"
     if eval_backend in ("fills", "fills_compact"):
         solver = "chained" if eval_backend == "fills" else "compact"

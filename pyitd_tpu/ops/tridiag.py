@@ -34,8 +34,16 @@ __all__ = ["reference_spline_moments", "thomas_solve", "pcr_solve",
            "spline_moments"]
 
 # above this capacity the sequential Thomas scan (O(cap) dependent steps)
-# loses to log-depth parallel cyclic reduction on full vectors
+# loses to log-depth parallel cyclic reduction on full vectors on CPU.
+# On TPU a compiled scan still serializes cap dependent steps while PCR
+# is log-depth full-vector work, so PCR is preferred at ANY capacity
+# there (measured neutral at tiny caps — other per-row overheads
+# dominate — and strictly better from mid-size caps up).
 _PCR_MIN_CAP = 1024
+
+
+def _prefer_pcr(cap: int) -> bool:
+    return cap >= _PCR_MIN_CAP or jax.default_backend() == "tpu"
 
 
 def _arange_like(x: jax.Array) -> jax.Array:
@@ -266,7 +274,7 @@ def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
         # kill the couplings that reach M[0]/M[count-1]
         lower_s = jnp.where(idx == 1, jnp.zeros_like(lower_s), lower_s)
         upper_s = jnp.where(idx == cnt - 2, jnp.zeros_like(upper_s), upper_s)
-        solve = pcr_solve if diag.shape[-1] >= _PCR_MIN_CAP else thomas_solve
+        solve = pcr_solve if _prefer_pcr(diag.shape[-1]) else thomas_solve
         m = solve(lower_s, diag_s, upper_s, rhs_s)
         return jnp.where(interior, m, jnp.zeros_like(m))
 
@@ -292,7 +300,7 @@ def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
     diag_s = jnp.where(interior, diag_s, jnp.ones_like(diag_s))
     upper_s = jnp.where(interior, upper_s, jnp.zeros_like(upper_s))
     rhs_s = jnp.where(interior, rhs, jnp.zeros_like(rhs))
-    solve = pcr_solve if diag.shape[-1] >= _PCR_MIN_CAP else thomas_solve
+    solve = pcr_solve if _prefer_pcr(diag.shape[-1]) else thomas_solve
     m = solve(lower_s, diag_s, upper_s, rhs_s)
     m = jnp.where(interior, m, jnp.zeros_like(m))
 
