@@ -194,7 +194,7 @@ def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
 
 
 def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
-                     k_j1, shift_l, use_spike=False):
+                     k_j1, shift_l, use_spike=False, n_real=None):
     """Per-sample previous/next-knot spline moments via the grid-resident
     chained block PCR (no compact buffers; see :mod:`.chained_pcr`).
 
@@ -209,8 +209,9 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     sample, of the knot strictly after, and the end moment (the caller
     patches the final sample with it).
     """
-    n = x2.shape[-1]
-    mask_int = mask & (it > 0) & (it < n - 1)
+    n = x2.shape[-1]          # buffer width (may include per-row padding)
+    n_real = n if n_real is None else n_real  # true row length
+    mask_int = mask & (it > 0) & (it < n_real - 1)
     hl_ = iota_f - p2p   # distance to the previous knot (endpoint included)
     hr_ = n1p - iota_f   # distance to the next knot (endpoint included)
 
@@ -219,8 +220,8 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
 
     a2, b2, c2, d = notaknot_rows(
         hl_, hr_, k_jm1, k_site, k_j1,
-        firstrow=p2p == 0,       # previous knot is the left endpoint
-        lastrow=n1p == n - 1,    # next knot is the right endpoint
+        firstrow=p2p == 0,            # previous knot is the left endpoint
+        lastrow=n1p == n_real - 1,    # next knot is the right endpoint
     )
 
     if use_spike:
@@ -248,14 +249,118 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     ml1, ml2 = at(u, il1), at(u, il2)
     h0 = i1[..., None].astype(x2.dtype)
     h1 = (i2 - i1)[..., None].astype(x2.dtype)
-    hl = (n - 1 - il1)[..., None].astype(x2.dtype)
+    hl = (n_real - 1 - il1)[..., None].astype(x2.dtype)
     hl2 = (il1 - il2)[..., None].astype(x2.dtype)
     m0 = m1 + sdiv(h0, h1) * (m1 - m2)
     m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
 
     m_j = jnp.where(p1p == 0, m0, m_j)        # first-interval samples
-    m_j1 = jnp.where(n1p == n - 1, m_last, m_j1)  # last-interval samples
+    m_j1 = jnp.where(n1p == n_real - 1, m_last, m_j1)  # last-interval samples
     return m_j, m_j1, m_last
+
+
+def _eval_fills_small(x, min_extrema):
+    """Packed fills for SHORT rows: many rows share one kernel block.
+
+    At (batch x n) shapes like the 2-D ensemble's (5120 x 256), the
+    per-row fills path costs one kernel grid step per row — per-step
+    overhead dominates (~350 ms for the 20-iteration ensemble).  Here P =
+    BLK // n_pad rows are concatenated into each kernel row, cutting grid
+    steps ~P-fold.  Correctness under packing needs NO kernel changes:
+    positions are row-LOCAL and every row's endpoints are marked knots,
+    so the depth-2 fills never propagate across a row boundary into any
+    slot the evaluation reads (cross-boundary values land only in the
+    p2/n2 channels of endpoint knots, whose values are overridden, and in
+    strictly-after channels of row-end samples, which are patched).  The
+    moment solve and all elementwise glue run on the UNPACKED (rows,
+    n_pad) view, where rows are fully independent.
+    """
+    from .pallas_fill import fill2_pallas, BLK
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    rows = x2.shape[0]
+    n_pad = -(-n // 128) * 128
+    pack_rows = max(1, BLK // n_pad)
+    rpad = -(-rows // pack_rows) * pack_rows
+    interp = jax.default_backend() != "tpu"
+
+    xp = jnp.zeros((rpad, n_pad), jnp.float32).at[:rows, :n].set(x2)
+    it = lax.broadcasted_iota(jnp.int32, xp.shape, 1)
+    iota_f = it.astype(jnp.float32)
+
+    em = jnp.zeros((rpad, n_pad), bool).at[:rows, :n].set(extrema_mask(x2))
+    knotmask = (em & (it > 0) & (it < n - 1)) | (it == 0) | (it == n - 1)
+
+    def pk(a):
+        return a.reshape(rpad // pack_rows, pack_rows * n_pad)
+
+    def upk(a):
+        return a.reshape(rpad, n_pad)
+
+    def shl_packed(a, fill=0.0):
+        ap = pk(a)
+        out = jnp.concatenate([ap[:, 1:], jnp.full_like(ap[:, :1], fill)],
+                              axis=-1)
+        return upk(out)
+
+    def fills(val, mask, reverse=False):
+        outs = fill2_pallas(pk(iota_f), pk(val), pk(mask), reverse=reverse,
+                            interpret=interp)
+        return tuple(upk(o) for o in outs)
+
+    p1p, p1x, p2p, p2x = fills(xp, knotmask)
+    i1p, i1x, _, _ = fills(xp, knotmask, reverse=True)
+    n1p = shl_packed(i1p)
+    n1x = shl_packed(i1x)
+    mask = (p1p == iota_f) & (it < n)
+    nex = jnp.sum(mask, axis=-1).astype(jnp.int32) - 2
+
+    span = n1p - p2p
+    w = (iota_f - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
+    k_site = 0.5 * (p2x + w * (n1x - p2x)) + 0.5 * xp
+    b_first = 0.5 * (3.0 * xp[..., 0] - xp[..., 1])
+    b_last = 0.5 * (3.0 * xp[..., n - 1] - xp[..., n - 2])
+    k_site = jnp.where(it == 0, b_first[..., None], k_site)
+    k_site = jnp.where(it == n - 1, b_last[..., None], k_site)
+
+    f2 = fills(k_site, mask)
+    r2 = fills(k_site, mask, reverse=True)
+    k_j, k_jm1 = f2[1], f2[3]
+    k_j1 = shl_packed(r2[1])
+    is_last = it == n - 1
+
+    # moment solve + patches on the UNPACKED view: rows fully independent
+    def shl_unpacked(a, fill=0.0):
+        return jnp.concatenate([a[..., 1:], jnp.full_like(a[..., :1], fill)],
+                               axis=-1)
+
+    m_j, m_j1, m_last2d = _chained_moments(
+        xp, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1, k_j1,
+        shl_unpacked, use_spike=False, n_real=n,
+    )
+    m_j1 = jnp.where(is_last, m_last2d, m_j1)
+
+    pos_j = jnp.where(is_last, p2p, p1p)
+    k_j = jnp.where(is_last, k_jm1, k_j)
+    k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
+    right_pos = jnp.where(is_last, iota_f, n1p)
+
+    h_j = right_pos - pos_j
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (iota_f - pos_j) / h_safe
+    omt = 1.0 - s
+    baseline = (
+        omt * k_j + s * k_j1
+        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
+    )
+
+    passthrough = (nex < min_extrema)[..., None]
+    baseline = jnp.where(passthrough, xp, baseline)
+    baseline = baseline[:rows, :n].reshape(lead + (n,)).astype(x.dtype)
+    nex = nex[:rows].reshape(lead)
+    return baseline, nex
 
 
 def _eval_fills(x, capacity, min_extrema, solver="chained"):
@@ -441,14 +546,16 @@ def cubic_baseline_extract(
         elif x.shape[-1] >= 4096:
             eval_backend = "fills"
         else:
-            # small rows: measured EQUAL to "fills" on-chip at the 2-D
-            # ensemble's (5120 x 256) shape (~350 ms either way — both
-            # are bound by per-row grid-step/op overhead, scatters and
-            # solves are immaterial at this size); scan keeps memory
-            # tight where fills would pad every row to an 8192 block.
-            # A row-packed / segmented-fill kernel is the real small-n
-            # lever (NOTES_ROUND2.md).
-            eval_backend = "scan"
+            # short rows: pack many rows per kernel block — the per-row
+            # fills path is grid-step-overhead-bound there (the 2-D
+            # ensemble's (5120 x 256) shape spent ~350 ms on overhead
+            # with every unpacked backend)
+            eval_backend = "fills_packed"
+    if eval_backend == "fills_packed":
+        baseline, nex = _eval_fills_small(x, min_extrema)
+        return CubicBaselineResult(
+            rotation=x - baseline, baseline=baseline, num_extrema=nex
+        )
     if eval_backend in ("fills", "fills_compact"):
         solver = "chained" if eval_backend == "fills" else "compact"
         baseline, nex = _eval_fills(x, capacity, min_extrema, solver=solver)

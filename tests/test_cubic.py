@@ -199,3 +199,26 @@ def test_cubic_eval_fills_matches_scan():
         g = cubic_baseline_extract(xs, capacity=64, eval_backend=backend,
                                    min_extrema=10)
         np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
+
+
+def test_cubic_eval_fills_packed_matches_scan():
+    """The row-packed fills path (batched short rows share one kernel
+    block) matches the scan evaluation to f32 roundoff, including
+    non-lane-multiple row lengths and the passthrough guard."""
+    rng = np.random.default_rng(23)
+    for rows, n in [(4, 256), (3, 200)]:
+        x = jnp.asarray(
+            (np.sin(np.linspace(0, 9, n))[None]
+             + 0.5 * rng.normal(size=(rows, n))).astype(np.float32))
+        a = cubic_baseline_extract(x, capacity=n, eval_backend="scan")
+        b = cubic_baseline_extract(x, capacity=n, eval_backend="fills_packed")
+        np.testing.assert_array_equal(
+            np.asarray(a.num_extrema), np.asarray(b.num_extrema))
+        scale = float(jnp.max(jnp.abs(a.baseline)))
+        err = float(jnp.max(jnp.abs(a.baseline - b.baseline))) / scale
+        assert err < 2e-6, (rows, n, err)
+
+    xs = jnp.asarray(np.sin(np.linspace(0, 6, 128))[None].astype(np.float32))
+    g = cubic_baseline_extract(xs, capacity=128, eval_backend="fills_packed",
+                               min_extrema=10)
+    np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
