@@ -92,8 +92,11 @@ def fabada(data: jax.Array, data_variance, max_iter: int = 3000) -> jax.Array:
         bm = c["bayes_m"] + mw * post_mean
         chi2_min = jnp.where(it == 1, chi2_data, c["chi2_min"])
 
+        # it >= max_iter + 1, not it > max_iter: integer scalar strict >
+        # in lax loops miscompiles as >= on the attached TPU backend
+        # (COVERAGE.md known platform issue)
         converged = ((chi2_data > size) & (chi2_pdf_snd >= 0) & (ev_deriv < 0)) | (
-            it > max_iter
+            it >= max_iter + 1
         )
         # iteration-zero term folds in at convergence
         mw0 = ev0 * chi2_min

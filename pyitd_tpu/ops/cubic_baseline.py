@@ -259,6 +259,44 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     return m_j, m_j1, m_last
 
 
+def _fo_knot_values(xv, it, iota_f, p2p, p2x, n1p, n1x, n_real):
+    """Frei-Osorio knot values at knot sites with odd-reflect end values
+    (MEITD tier), from the round-1 fill channels.  Returns
+    ``(k_site, b_last)`` (``b_first`` only feeds ``k_site``)."""
+    span = n1p - p2p
+    w = (iota_f - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
+    k_site = 0.5 * (p2x + w * (n1x - p2x)) + 0.5 * xv
+    b_first = 0.5 * (3.0 * xv[..., 0] - xv[..., 1])
+    b_last = 0.5 * (3.0 * xv[..., n_real - 1] - xv[..., n_real - 2])
+    k_site = jnp.where(it == 0, b_first[..., None], k_site)
+    k_site = jnp.where(it == n_real - 1, b_last[..., None], k_site)
+    return k_site, b_last
+
+
+def _segment_eval(xv, it, iota_f, p1p, p2p, n1p, k_j, k_jm1, k_j1,
+                  m_j, m_j1, m_last, b_last, nex, min_extrema, n_real):
+    """Closed-form moment-spline evaluation from per-sample channels,
+    with the final-sample patches (its j-side is the second-to-last knot,
+    its (j+1)-side the last) and the pass-through guard.  Shared by the
+    big-row and packed fills paths."""
+    is_last = it == n_real - 1
+    m_j1 = jnp.where(is_last, m_last, m_j1)
+    pos_j = jnp.where(is_last, p2p, p1p)
+    k_j = jnp.where(is_last, k_jm1, k_j)
+    k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
+    right_pos = jnp.where(is_last, iota_f, n1p)
+
+    h_j = right_pos - pos_j
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    t = (iota_f - pos_j) / h_safe
+    omt = 1.0 - t
+    baseline = (
+        omt * k_j + t * k_j1
+        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (t**3 - t) * m_j1)
+    )
+    return jnp.where((nex < min_extrema)[..., None], xv, baseline)
+
+
 def _eval_fills_small(x, min_extrema):
     """Packed fills for SHORT rows: many rows share one kernel block.
 
@@ -317,19 +355,12 @@ def _eval_fills_small(x, min_extrema):
     mask = (p1p == iota_f) & (it < n)
     nex = jnp.sum(mask, axis=-1).astype(jnp.int32) - 2
 
-    span = n1p - p2p
-    w = (iota_f - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
-    k_site = 0.5 * (p2x + w * (n1x - p2x)) + 0.5 * xp
-    b_first = 0.5 * (3.0 * xp[..., 0] - xp[..., 1])
-    b_last = 0.5 * (3.0 * xp[..., n - 1] - xp[..., n - 2])
-    k_site = jnp.where(it == 0, b_first[..., None], k_site)
-    k_site = jnp.where(it == n - 1, b_last[..., None], k_site)
+    k_site, b_last = _fo_knot_values(xp, it, iota_f, p2p, p2x, n1p, n1x, n)
 
     f2 = fills(k_site, mask)
     r2 = fills(k_site, mask, reverse=True)
     k_j, k_jm1 = f2[1], f2[3]
     k_j1 = shl_packed(r2[1])
-    is_last = it == n - 1
 
     # moment solve + patches on the UNPACKED view: rows fully independent
     def shl_unpacked(a, fill=0.0):
@@ -340,24 +371,10 @@ def _eval_fills_small(x, min_extrema):
         xp, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1, k_j1,
         shl_unpacked, use_spike=False, n_real=n,
     )
-    m_j1 = jnp.where(is_last, m_last2d, m_j1)
 
-    pos_j = jnp.where(is_last, p2p, p1p)
-    k_j = jnp.where(is_last, k_jm1, k_j)
-    k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
-    right_pos = jnp.where(is_last, iota_f, n1p)
-
-    h_j = right_pos - pos_j
-    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
-    s = (iota_f - pos_j) / h_safe
-    omt = 1.0 - s
-    baseline = (
-        omt * k_j + s * k_j1
-        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
-    )
-
-    passthrough = (nex < min_extrema)[..., None]
-    baseline = jnp.where(passthrough, xp, baseline)
+    baseline = _segment_eval(xp, it, iota_f, p1p, p2p, n1p, k_j, k_jm1,
+                             k_j1, m_j, m_j1, m_last2d, b_last, nex,
+                             min_extrema, n)
     baseline = baseline[:rows, :n].reshape(lead + (n,)).astype(x.dtype)
     nex = nex[:rows].reshape(lead)
     return baseline, nex
@@ -408,13 +425,7 @@ def _eval_fills(x, capacity, min_extrema, solver="chained"):
 
     # knot values at knot sites (Frei-Osorio over this knot's neighbors,
     # odd-reflect end values — MEITD tier semantics)
-    span = n1p - p2p
-    w = (iota_f - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
-    k_site = 0.5 * (p2x + w * (n1x - p2x)) + 0.5 * x2
-    b_first = 0.5 * (3.0 * x2[..., 0] - x2[..., 1])
-    b_last = 0.5 * (3.0 * x2[..., n - 1] - x2[..., n - 2])
-    k_site = jnp.where(it == 0, b_first[..., None], k_site)
-    k_site = jnp.where(it == n - 1, b_last[..., None], k_site)
+    k_site, b_last = _fo_knot_values(x2, it, iota_f, p2p, p2x, n1p, n1x, n)
 
     # round 2: neighbor knot values per sample
     f2 = fill2_pallas(iota_f, k_site, mask, interpret=interp)
@@ -426,11 +437,10 @@ def _eval_fills(x, capacity, min_extrema, solver="chained"):
     if solver == "chained":
         # the Pallas SPIKE solver replaces ~65 ms of full-grid PCR rounds
         # on-chip; the XLA PCR stays for CPU (interpret-mode kernels crawl)
-        m_j, m_j1, m_last2d = _chained_moments(
+        m_j, m_j1, m_last = _chained_moments(
             x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1, k_j1,
             shift_l, use_spike=not interp,
         )
-        m_j1 = jnp.where(is_last, m_last2d, m_j1)
     else:
         # compact solve: gather positions + knot values, not-a-knot PCR
         pos_c, kcount = compact_indices(mask, capacity)
@@ -449,27 +459,10 @@ def _eval_fills(x, capacity, min_extrema, solver="chained"):
         last_idx = jnp.maximum(cnt - 1, 0)
         m_last = jnp.take_along_axis(moments, last_idx, axis=-1)
         m_j = jnp.where(is_last, f3[3], m_j)
-        m_j1 = jnp.where(is_last, m_last, m_j1)
 
-    # the final sample belongs to the last interval: its j-side is the
-    # second-to-last knot (fill2's second channel), its (j+1)-side the
-    # last knot itself
-    pos_j = jnp.where(is_last, p2p, p1p)
-    k_j = jnp.where(is_last, k_jm1, k_j)
-    k_j1 = jnp.where(is_last, b_last[..., None], k_j1)
-    right_pos = jnp.where(is_last, iota_f, n1p)
-
-    h_j = right_pos - pos_j
-    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
-    s = (iota_f - pos_j) / h_safe
-    omt = 1.0 - s
-    baseline = (
-        omt * k_j + s * k_j1
-        + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
-    )
-
-    passthrough = (nex < min_extrema)[..., None]
-    baseline = jnp.where(passthrough, x2, baseline)
+    baseline = _segment_eval(x2, it, iota_f, p1p, p2p, n1p, k_j, k_jm1,
+                             k_j1, m_j, m_j1, m_last, b_last, nex,
+                             min_extrema, n)
     baseline = baseline.reshape(lead + (n,)).astype(x.dtype)
     nex = nex.reshape(lead)
     return baseline, nex
@@ -536,10 +529,18 @@ def cubic_baseline_extract(
     ``eval_backend``: "gather" (per-sample gathers — fast on CPU), "scan"
     (scatter + masked fill scans), "fills" (Pallas fill kernels + the
     grid-resident chained-PCR moment solve — the dense-knot TPU shape,
-    f32), "fills_compact" (fill kernels + compact-knot-space PCR with
-    scatter/gather movement — kept for A/B verification), or "auto" (by
-    platform).  Numerically identical up to f32 roundoff on the fills
-    paths."""
+    f32), "fills_packed" (short rows packed many-per-kernel-block — the
+    batched small-n TPU shape, f32), "fills_compact" (fill kernels +
+    compact-knot-space PCR with scatter/gather movement — kept for A/B
+    verification), or "auto" (gather on CPU; on TPU "fills" at
+    n >= 4096 and "fills_packed" below).  Numerically identical up to
+    f32 roundoff on the fills paths.
+
+    ``capacity`` bounds the compact knot buffers of the gather / scan /
+    fills_compact backends (knots beyond it are dropped); the chained
+    fills backends have no compact buffers and ignore it — pass a
+    capacity covering the worst case (interior extrema + 2) when
+    cross-backend agreement matters."""
     if eval_backend == "auto":
         if jax.default_backend() == "cpu":
             eval_backend = "gather"
