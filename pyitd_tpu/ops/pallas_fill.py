@@ -21,7 +21,7 @@ block end restores the scan backend's zero-defaults exactly).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -278,6 +278,7 @@ def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
     return pos, row, lane, m, state
 
 
+@lru_cache(maxsize=None)
 def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
     sub = BLK // _LANES
 
@@ -376,6 +377,7 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
 def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
     sub = BLK // _LANES
     nm1 = float(n_real - 1)
@@ -556,20 +558,26 @@ def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
 def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
                              row_4d: bool = False):
     sub = BLK // _LANES
     nm1 = float(n_real - 1)
 
     def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, fa_ref, fb_ref,
-               fc_ref, x_ref, f1p_ref, f1x_ref, f2p_ref, f2x_ref, rotp_ref,
-               pbase_ref, perr_ref, comp_ref, *rest):
+               fc_ref, *rest):
         if row_4d:
-            # rest = (orot_hbm_ref(unused), base, rot, err, row, comp, carry)
-            (_orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
-             carry) = rest
+            # the level index rides as one more scalar-prefetch operand so
+            # every unrolled sift trip lowers the SAME Mosaic module (a
+            # static index map baked a distinct module per trip — 13 extra
+            # kernel compiles that dominated cold-compile time)
+            (_li_ref, x_ref, f1p_ref, f1x_ref, f2p_ref, f2x_ref, rotp_ref,
+             pbase_ref, perr_ref, comp_ref, _orot, base_ref, rot_ref,
+             err_ref, row_ref, compo_ref, carry) = rest
         else:
-            base_ref, rot_ref, err_ref, row_ref, compo_ref, carry = rest
+            (x_ref, f1p_ref, f1x_ref, f2p_ref, f2x_ref, rotp_ref,
+             pbase_ref, perr_ref, comp_ref, base_ref, rot_ref, err_ref,
+             row_ref, compo_ref, carry) = rest
         r = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -700,36 +708,41 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         prev_edge, next_edge, b_first, b_last,
         stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
         cont.astype(jnp.float32),
-        x3, *fwd3, rot3, pbase3, perr3, comp3,
     ]
-    in_specs = [rspec] * 9
-    # donate every input buffer that dies at this call (indices count the
-    # 7 scalar-prefetch operands first): f1p->base, rot->row (or the
-    # whole levels buffer when writing in place), prev_base->rot,
+    tensor_operands = [x3, *fwd3, rot3, pbase3, perr3, comp3]
+    # donate every input buffer that dies at this call (alias indices count
+    # every operand, scalar-prefetch ones first): f1p->base, rot->row (or
+    # the whole levels buffer when writing in place), prev_base->rot,
     # pending_err->err, comp->comp_out — the unrolled sift's buffers then
     # stay in place across trips.
     if row_into_levels:
         # the sift's output buffer rides along unpiped (ANY memory
         # space); the row output writes only level `level_idx`'s blocks
-        # in place, everything else passes through via the alias
-        operands.append(out_levels)
-        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
-        li = level_idx
+        # in place, everything else passes through via the alias.  The
+        # level index is a DYNAMIC scalar-prefetch operand read by the
+        # row index map, so all trips share one kernel module.
+        num_prefetch = 8
+        operands.append(jnp.asarray(level_idx, jnp.int32).reshape(1))
+        operands += tensor_operands + [out_levels]
+        in_specs = [rspec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *_refs: (li, r, nblk - 1 - b, 0),
+            lambda r, b, *refs: (refs[7][0], r, nblk - 1 - b, 0),
             memory_space=pltpu.VMEM,
         )
         row_shape = jax.ShapeDtypeStruct(out_levels.shape, jnp.float32)
-        aliases = {8: 0, 16: 3, 13: 1, 14: 2, 15: 4}
-        # rot3 (input 12) still dies here but its shape no longer matches
+        aliases = {9: 0, 17: 3, 14: 1, 15: 2, 16: 4}
+        # rot3 (input 13) still dies here but its shape no longer matches
         # the row output; leave it undonated.
     else:
+        num_prefetch = 7
+        operands += tensor_operands
+        in_specs = [rspec] * 9
         row_spec = rspec
         row_shape = jax.ShapeDtypeStruct(x3.shape, jnp.float32)
         aliases = {8: 0, 12: 3, 13: 1, 14: 2, 15: 4}
     rgrid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
         in_specs=in_specs,
         out_specs=[rspec, rspec, rspec, row_spec, rspec],
