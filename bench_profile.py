@@ -140,6 +140,23 @@ def main():
     stages_extra = [("2d ensemble 256^2 (one-call)", best,
                      el2d / best / 1e6, 0, 0)]
 
+    # shard_map demonstrations on a 1x1 (data, seq) mesh: prove the Pallas
+    # fast paths actually engage under shard_map on the real chip — timing
+    # parity with the plain sift is the witness (the XLA fills are ~5-10x
+    # slower per level).  VERDICT r2 items 1 & 4.
+    if on_tpu:
+        from pyitd_tpu.parallel.batch import pjit_itd_sift
+        from pyitd_tpu.parallel.sharded import make_mesh, sharded_itd_sift
+
+        mesh1 = make_mesh(1, seq=1)
+        fdp = pjit_itd_sift(mesh1, 8, store_baselines=False)
+        stages.append(
+            ("full sift under shard_map(data)",
+             lambda a: fdp(a)[0][0], 7600, 120))
+        stages.append(
+            ("sharded sift 1x1 mesh (pallas)",
+             lambda a: sharded_itd_sift(a, mesh1, 8)[0][0], 7600, 120))
+
     rows = []
     for name, fn, ops_est, bytes_est in stages:
         dt = stage_time(fn)

@@ -63,20 +63,24 @@ def retrieve_proper_rotation(x, wpemax: float):
     """Re-sift ``x`` until its first proper rotation emerges.
 
     Returns ``(rotation, flag)`` with flag 1 on success, else ``(x, 0)``
-    (``MEITD.py:344-368`` semantics)."""
+    (``MEITD.py:344-368`` semantics).
+
+    Observational short-circuit: the reference evaluates the entropy gate
+    once on the *input* (``MEITD.py:345-346``), so its re-sift loop either
+    returns the FIRST extraction's rotation (gate holds — the loop exits on
+    iteration one) or burns extractions until the running baseline flattens
+    and returns the input unchanged (gate fails — nothing from the burn is
+    observable).  Both outcomes are computed here without the loop,
+    removing MEITD's deepest dependent-extraction chain."""
     x = jnp.asarray(x, jnp.float64)
     cap = _cap(x.shape[-1])
-    ok = bool(0.2 <= float(_wpe(x)) < wpemax)
-    baseline = x
-    nex = int(_count(baseline))
-    if nex < 5:
+    nex = int(_count(x))
+    if nex <= 5:  # reference: nex<5 bails before the loop; nex==5 skips it
         return x, 0
-    while nex > 5:
-        rotation, baseline = _extract(baseline, cap)
-        nex = int(_count(baseline))
-        if ok:
-            return rotation, 1
-    return x, 0
+    if not bool(0.2 <= float(_wpe(x)) < wpemax):
+        return x, 0
+    rotation, _ = _extract(x, cap)
+    return rotation, 1
 
 
 def first_rotation_is_proper(x, wpemax: float):

@@ -27,7 +27,6 @@ __all__ = ["meitd_jit", "meitd_jit_bank", "MeitdResult"]
 
 _MAX_ROWS = 44
 _SOFT_CAP = 64     # bound on the reference's unbounded soft_reset digging
-_RETRIEVE_CAP = 256  # bound on the retrieve re-sift loop
 
 
 class MeitdResult(NamedTuple):
@@ -64,8 +63,11 @@ def _first_proper(sig, wpemax, capacity):
 
 
 def _retrieve(rot_in, wpemax, capacity):
-    """(rotation, proper) — MEITD.py:344-368: constant gate, re-sift until
-    the baseline drops to <= 5 extrema."""
+    """(rotation, proper) — MEITD.py:344-368 with the gate-constant
+    short-circuit (see ``decomp.meitd.retrieve_proper_rotation``): the
+    reference's re-sift loop returns either the first extraction (gate
+    holds on the input) or the input unchanged (gate fails; the burned
+    extractions are unobservable), so no loop is needed."""
     ok = _gate(rot_in, wpemax)
     nex0 = count_extrema(rot_in)
 
@@ -73,24 +75,10 @@ def _retrieve(rot_in, wpemax, capacity):
         return rot_in, jnp.int32(0)
 
     def go(_):
-        def cond(c):
-            rot, base, nex, done, it = c
-            return (~done) & (nex >= 6) & (it < _RETRIEVE_CAP)
+        rot, _ = _extract(rot_in, capacity)
+        return rot, jnp.int32(1)
 
-        def body(c):
-            _, base, nex, done, it = c
-            rot, base = _extract(base, capacity)
-            nex = count_extrema(base)
-            return rot, base, nex, ok, it + 1  # gate constant: done iff ok
-
-        rot, base, nex, done, _ = lax.while_loop(
-            cond, body, (rot_in, rot_in, nex0, jnp.asarray(False), jnp.int32(0))
-        )
-        flag = jnp.where(done, 1, 0).astype(jnp.int32)
-        out = jnp.where(done, rot, rot_in)
-        return out, flag
-
-    return lax.cond(nex0 < 5, low, go, None)
+    return lax.cond((nex0 <= 5) | ~ok, low, go, None)
 
 
 @partial(jax.jit, static_argnames=("capacity",))

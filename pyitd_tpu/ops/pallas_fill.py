@@ -40,6 +40,22 @@ _LANES = 128
 _NONE = -1.0  # "no mark yet" sentinel in the position channels
 
 
+def _out_struct(shape, dtype, *operands):
+    """Output aval for a ``pallas_call`` that may run inside ``shard_map``:
+    under ``check_vma`` the outputs must declare their varying mesh axes,
+    which for these kernels is simply the union of the operands' (each
+    output is elementwise-aligned with the big inputs)."""
+    vma = frozenset()
+    for o in operands:
+        try:
+            vma = vma | jax.typeof(o).vma
+        except AttributeError:  # pragma: no cover - older jax
+            return jax.ShapeDtypeStruct(shape, dtype)
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _combine(a, b):
     """fill2 combine on sign-encoded (p1, x1, p2, x2) tuples.
 
@@ -215,7 +231,7 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
         in_specs=[spec, spec, spec],
         out_specs=[spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
+            _out_struct((rows, npad // _LANES, _LANES), jnp.float32, p, v, m)
         ] * 4,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
         interpret=interpret,
@@ -348,7 +364,7 @@ def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
     return pl.pallas_call(
         _make_linear_fill2_kernel(reverse, n, nblk),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 4,
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3)] * 4,
         interpret=interpret,
     )(prev_edge, next_edge, x3)
 
@@ -471,7 +487,7 @@ def _linear_baseline_padded(x3, fwd3, prev_edge, next_edge, b_first, b_last,
     return pl.pallas_call(
         _make_linear_baseline_kernel(n, nblk, endpoint_mode),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 3,
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3,
         interpret=interpret,
     )(prev_edge, next_edge, b_first, b_last, x3, *fwd3)
 
@@ -739,7 +755,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         operands += tensor_operands
         in_specs = [rspec] * 9
         row_spec = rspec
-        row_shape = jax.ShapeDtypeStruct(x3.shape, jnp.float32)
+        row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
         aliases = {8: 0, 12: 3, 13: 1, 14: 2, 15: 4}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
@@ -752,8 +768,8 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         _make_linear_emit_kernel(n, nblk, endpoint_mode,
                                  row_4d=row_into_levels),
         grid_spec=rgrid,
-        out_shape=[jax.ShapeDtypeStruct(x3.shape, jnp.float32)] * 3
-        + [row_shape, jax.ShapeDtypeStruct(x3.shape, jnp.float32)],
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3
+        + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)

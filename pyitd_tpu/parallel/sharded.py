@@ -179,74 +179,330 @@ def _level(x, axis_name, n_global, endpoint_mode):
     return x - baseline, baseline, nex
 
 
+def _vary(a, axes):
+    """Promote ``a``'s varying-mesh-axes set to include ``axes``.
+
+    Initial loop carries / freshly created constants must carry the vma
+    their updates will have (fori_loop needs carry-in == carry-out), and
+    elementwise ops under ``check_vma`` require operands with equal vma.
+    """
+    have = jax.typeof(a).vma
+    need = tuple(ax for ax in axes if ax not in have)
+    if not need:
+        return a
+    if hasattr(lax, "pcast"):
+        return lax.pcast(a, need, to="varying")
+    return lax.pvary(a, need)
+
+
+def _two_sum_err(a, b, s):
+    """Exact rounding residual of ``s = fl(a + b)`` (Knuth, branchless)."""
+    bb = s - a
+    return (a - (s - bb)) + (b - bb)
+
+
 def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
     levels = max_iteration + 2
     rotation, baseline, _ = _level(x, axis_name, n_global, endpoint_mode)
-
-    # Initial carries must carry the vma their loop-body updates will have
-    # (fori_loop needs carry-in == carry-out): per-sample arrays vary over
-    # both mesh axes; the per-batch scalars derive only from psum'd
-    # quantities, so they stay seq-invariant — which is what lets the
-    # caller emit them as P('data') under check_vma.
-    def vary(a, axes):
-        have = jax.typeof(a).vma
-        need = tuple(ax for ax in axes if ax not in have)
-        if not need:
-            return a
-        if hasattr(lax, "pcast"):
-            return lax.pcast(a, need, to="varying")
-        return lax.pvary(a, need)
+    # pending_err/comp: the compensated-reconstruction channel, same
+    # telescoping two-sum accumulation as decomp/itd.py's XLA body
+    pending_err = _two_sum_err(x, -baseline, rotation)
 
     both = ("data", axis_name)
-    out = vary(jnp.zeros((levels,) + x.shape, x.dtype), both)
+    out = _vary(jnp.zeros((levels,) + x.shape, x.dtype), both)
     batch = x.shape[:-1]
-    done = vary(jnp.zeros(batch, bool), ("data",))
-    reason = vary(jnp.zeros(batch, jnp.int32), ("data",))
-    ncomp = vary(jnp.zeros(batch, jnp.int32), ("data",))
-    prev_base = vary(jnp.zeros_like(x), both)
+    done = _vary(jnp.zeros(batch, bool), ("data",))
+    reason = _vary(jnp.zeros(batch, jnp.int32), ("data",))
+    ncomp = _vary(jnp.zeros(batch, jnp.int32), ("data",))
+    prev_base = _vary(jnp.zeros_like(x), both)
+    comp = _vary(jnp.zeros_like(x), both)
 
     def body(i, carry):
-        rotation, baseline, prev_base, out, done, reason, ncomp = carry
+        (rotation, baseline, prev_base, out, done, reason, ncomp,
+         pending_err, comp) = carry
         new_rot, new_base, nex = _level(baseline, axis_name, n_global, endpoint_mode)
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b
-        residual = jnp.where(stop_a[..., None], prev_base, rotation + baseline)
+        res_sum = rotation + baseline
+        residual = jnp.where(stop_a[..., None], prev_base, res_sum)
         row = jnp.where(stopping[..., None], residual,
                         jnp.where(cont[..., None], rotation, 0.0))
         out = out.at[i].set(row)
+        # compensation: pending subtraction error enters when the rotation
+        # is emitted (cont) or folded into the stop-B residual (which
+        # rounds once more); stop A discards the pending extraction
+        res_err = _two_sum_err(rotation, baseline, res_sum)
+        emit = (cont | stop_b)[..., None]
+        comp = comp + jnp.where(emit, pending_err, 0.0) + jnp.where(
+            stop_b[..., None], res_err, 0.0
+        )
         # unconditional carry updates: stopped elements' carries are never
         # read again (see decomp/itd.py body for the argument)
         rotation = new_rot
+        pending_err = _two_sum_err(baseline, -new_base, new_rot)
         prev_base = baseline
         baseline = new_base
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))
         done = done | stopping
-        return rotation, baseline, prev_base, out, done, reason, ncomp
+        return (rotation, baseline, prev_base, out, done, reason, ncomp,
+                pending_err, comp)
 
-    carry = (rotation, baseline, prev_base, out, done, reason, ncomp)
+    carry = (rotation, baseline, prev_base, out, done, reason, ncomp,
+             pending_err, comp)
     carry = lax.fori_loop(0, levels, body, carry)
-    _, _, _, out, done, reason, ncomp = carry
-    return out, ncomp, reason
+    out, done, reason, ncomp, comp = (
+        carry[3], carry[4], carry[5], carry[6], carry[8]
+    )
+    return out, ncomp, reason, comp
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed sequence-parallel sift: each trip runs the single-chip fused
+# fill/emit kernels shard-locally; the only cross-shard traffic is one halo
+# ppermute, two all_gathers of 4-scalar-per-row knot summaries (the fill
+# carry interfaces), and tiny psums — O(shards) per trip, like the SPIKE
+# cubic's 6-scalar interface (ops/chained_pcr.py)
+# ---------------------------------------------------------------------------
+
+
+def _shard_halos(flat, axis_name, rank, size, both):
+    """1-sample halo exchange: (left neighbor's last, right neighbor's
+    first) samples; the global edges use the shard's own edge sample,
+    matching the single-chip kernels' self-neighbor convention."""
+    edge_l = lax.ppermute(flat[:, -1], axis_name,
+                          [(i, i + 1) for i in range(size - 1)])
+    halo_l = jnp.where(_vary(rank == 0, both), flat[:, 0], edge_l)
+    edge_r = lax.ppermute(flat[:, 0], axis_name,
+                          [(i + 1, i) for i in range(size - 1)])
+    halo_r = jnp.where(_vary(rank == size - 1, both), flat[:, -1], edge_r)
+    return halo_l, halo_r
+
+
+def _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global):
+    """Shard-local ITD knot mask — must stay formula-identical to
+    ``ops.pallas_fill_sharded._knot_state_sharded`` (the kernels re-derive
+    it in-register; this XLA copy feeds the summaries and extrema count)."""
+    xm1 = jnp.concatenate([halo_l[:, None], flat[:, :-1]], axis=-1)
+    xp1 = jnp.concatenate([flat[:, 1:], halo_r[:, None]], axis=-1)
+    dxb = jnp.where(jnp.isnan(flat - xm1), jnp.inf, flat - xm1)
+    dxf = jnp.where(jnp.isnan(xp1 - flat), jnp.inf, xp1 - flat)
+    near_nan = jnp.isnan(flat) | jnp.isnan(xm1) | jnp.isnan(xp1)
+    interior = (gpos > 0) & (gpos < n_global - 1)
+    is_min = (dxb <= 0) & (dxf > 0)
+    is_max = (dxb >= 0) & (dxf < 0)
+    return ((is_min | is_max) & interior & ~near_nan) | (gpos == 0) | (
+        gpos == n_global - 1
+    )
+
+
+def _shard_summaries(flat, mask, gposf, n_global):
+    """Sign-encoded per-shard fill interface states: the last two and
+    first two knots of this shard as (p1, x1, p2, x2) scalars per row
+    (position ``-1`` = fewer knots than slots)."""
+    none = jnp.float32(-1.0)
+    l1 = jnp.max(jnp.where(mask, gposf, none), axis=-1)
+    v1 = jnp.sum(jnp.where(mask & (gposf == l1[:, None]), flat, 0.0), axis=-1)
+    l2 = jnp.max(jnp.where(mask & (gposf < l1[:, None]), gposf, none), axis=-1)
+    v2 = jnp.sum(jnp.where(mask & (gposf == l2[:, None]), flat, 0.0), axis=-1)
+    big = jnp.float32(n_global + 1)
+    f1 = jnp.min(jnp.where(mask, gposf, big), axis=-1)
+    f1 = jnp.where(f1 >= big, none, f1)
+    w1 = jnp.sum(jnp.where(mask & (gposf == f1[:, None]), flat, 0.0), axis=-1)
+    f2 = jnp.min(jnp.where(mask & (gposf > f1[:, None]) & (f1[:, None] >= 0),
+                           gposf, big), axis=-1)
+    f2 = jnp.where(f2 >= big, none, f2)
+    w2 = jnp.sum(jnp.where(mask & (gposf == f2[:, None]), flat, 0.0), axis=-1)
+    return (l1, v1, l2, v2), (f1, w1, f2, w2)
+
+
+def _fold_states(summary, rank, size, axis_name, both, reverse):
+    """Cross-shard exclusive fill-state prefix (forward) / suffix
+    (reverse): all_gather the 4-scalar summaries and fold the fill2
+    combine over the shards strictly before (after) this one, nearest
+    shard last so its knots win."""
+    from ..ops.pallas_fill import _combine
+
+    gathered = [_vary(lax.all_gather(c, axis_name), both) for c in summary]
+    rows = summary[0].shape[0]
+    none = jnp.full((rows,), -1.0, jnp.float32)
+    zero = jnp.zeros((rows,), jnp.float32)
+    acc = tuple(_vary(a, both) for a in (none, zero, none, zero))
+    order = range(size) if not reverse else range(size - 1, -1, -1)
+    for s in order:
+        st = tuple(g[s] for g in gathered)
+        new = _combine(acc, st)
+        use = _vary(rank > s if not reverse else rank < s, both)
+        acc = tuple(jnp.where(use, n, a) for n, a in zip(new, acc))
+    return jnp.stack(acc, axis=-1)  # (rows, 4)
+
+
+def _block_edges(base3, rows, nblk, sub, lanes):
+    """Per-block edge-neighbor scalars from a padded 3-D baseline."""
+    b4 = base3.reshape(rows, nblk, sub, lanes)
+    ef = b4[:, :, 0, 0]
+    el = b4[:, :, sub - 1, lanes - 1]
+    pe = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
+    ne = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+    return pe, ne
+
+
+def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
+                       interpret):
+    """Sequence-parallel sift trip loop on the Pallas level kernels.
+
+    Same loop semantics as ``_sift_local`` / ``decomp.itd._itd_sift_emit``;
+    big arrays stay in the kernels' padded 3-D layout across trips and the
+    output row is written in place (aliased 4-D output, dynamic level
+    index)."""
+    from ..ops.pallas_fill import BLK, _LANES, _pad_edges
+    from ..ops.pallas_fill_sharded import (
+        sharded_fill2_fwd, sharded_sift_level_emit)
+
+    levels = max_iteration + 2
+    batch_shape = x.shape[:-1]
+    n_loc = x.shape[-1]
+    x2 = x.reshape(-1, n_loc).astype(jnp.float32)
+    rows = x2.shape[0]
+    rank = lax.axis_index(axis_name)
+    size = lax.axis_size(axis_name)
+    both = ("data", axis_name)
+    off = _vary((rank * n_loc).astype(jnp.int32).reshape(1), both)
+
+    x3, pe, ne, npad, nblk = _pad_edges(x2)
+    sub = BLK // _LANES
+    x3 = _vary(x3, both)
+
+    def pre(base3):
+        """Per-trip cross-shard interface: halos, fill prefix/suffix,
+        global end-knot values, global interior extrema count."""
+        flat = base3.reshape(rows, npad)[:, :n_loc]
+        halo_l, halo_r = _shard_halos(flat, axis_name, rank, size, both)
+        gpos = _vary(
+            lax.broadcasted_iota(jnp.int32, flat.shape, 1), both
+        ) + off[0]
+        mask = _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global)
+        nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32),
+                       axis_name) - 2
+        fwd_sum, rev_sum = _shard_summaries(flat, mask, gpos.astype(
+            jnp.float32), n_global)
+        fwd_prefix = _fold_states(fwd_sum, rank, size, axis_name, both,
+                                  reverse=False)
+        rev_suffix = _fold_states(rev_sum, rank, size, axis_name, both,
+                                  reverse=True)
+        bf = lax.psum(jnp.where(_vary(rank == 0, both),
+                                0.5 * (flat[:, 0] + flat[:, 1]), 0.0),
+                      axis_name)
+        bl = lax.psum(jnp.where(_vary(rank == size - 1, both),
+                                0.5 * (flat[:, -2] + flat[:, -1]), 0.0),
+                      axis_name)
+        return (halo_l, halo_r, fwd_prefix, rev_suffix,
+                _vary(bf, both), _vary(bl, both), nex)
+
+    def level(base3, pe, ne, halos_etc, flags, rot3, pbase3, perr3, comp3,
+              out_rot, static_i):
+        halo_l, halo_r, fwd_prefix, rev_suffix, bf, bl = halos_etc
+        stop_a, stop_b, cont = (_vary(f, both) for f in flags)
+        fwd3 = sharded_fill2_fwd(base3, pe, ne, off, halo_l, halo_r,
+                                 fwd_prefix, n_loc, n_global,
+                                 interpret=interpret)
+        return sharded_sift_level_emit(
+            base3, fwd3, pe, ne, off, halo_l, halo_r, rev_suffix, bf, bl,
+            stop_a, stop_b, cont, rot3, pbase3, perr3, comp3, n_loc,
+            n_global, endpoint_mode=endpoint_mode, interpret=interpret,
+            out_levels=out_rot, level_idx=static_i)
+
+    # initial extraction: flags all false -> row/compensation outputs inert
+    zero3 = _vary(jnp.zeros_like(x3), both)
+    fzero = _vary(jnp.zeros((rows,), bool), both)
+    h = pre(x3)
+    base3, rot3, perr3, _row, _c = level(
+        x3, pe, ne, h[:6], (fzero, fzero, fzero), zero3, zero3, zero3,
+        zero3, None, None)
+
+    out_rot = _vary(jnp.zeros((levels,) + x3.shape, jnp.float32), both)
+    done = _vary(jnp.zeros((rows,), bool), ("data",))
+    reason = _vary(jnp.zeros((rows,), jnp.int32), ("data",))
+    ncomp = _vary(jnp.zeros((rows,), jnp.int32), ("data",))
+    prev_base3 = zero3
+    comp3 = zero3
+
+    for i in range(levels):
+        h = pre(base3)
+        nex = h[6]
+        stop_a = (~done) & (nex < 2)
+        stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
+        cont = (~done) & (~stop_a) & (~stop_b)
+        pe, ne = _block_edges(base3, rows, nblk, sub, _LANES)
+        new_base, new_rot, new_err, out_rot, comp3 = level(
+            base3, pe, ne, h[:6], (stop_a, stop_b, cont), rot3, prev_base3,
+            perr3, comp3, out_rot, i)
+        stopping = stop_a | stop_b
+        ncomp = jnp.where(stopping, i + 1, ncomp)
+        reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))
+        done = done | stopping
+        rot3, prev_base3, base3, perr3 = new_rot, base3, new_base, new_err
+
+    def crop(a, lead):
+        return a.reshape((lead, rows, npad))[..., :n_loc]
+
+    out = crop(out_rot, levels).reshape((levels,) + batch_shape + (n_loc,))
+    correction = crop(comp3[None], 1)[0].reshape(batch_shape + (n_loc,))
+    return (out.astype(x.dtype), ncomp.reshape(batch_shape),
+            reason.reshape(batch_shape), correction.astype(x.dtype))
 
 
 def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
-                     endpoint_mode: str = "reference"):
+                     endpoint_mode: str = "reference", backend: str = "auto"):
     """Batched canonical sift with (data, seq) sharding.
 
     ``x``: (batch, n); batch must divide the 'data' axis, n the 'seq' axis.
-    Returns (rotations[levels, batch, n], num_components, stop_reason) with
-    the same input sharding on the trailing axes.
+    Returns ``(rotations[levels, batch, n], num_components, stop_reason,
+    correction)`` with the same input sharding on the trailing axes;
+    ``correction`` is the compensated-reconstruction channel
+    (``decomp.itd.SiftResult.correction`` semantics).
+
+    ``backend``: "auto" picks the shard-local Pallas fill/emit kernels on
+    TPU for f32 inputs (cross-shard fill state rides as 4 scalars per row
+    per direction — see ``ops/pallas_fill_sharded.py``) and the portable
+    XLA fills elsewhere; "xla" / "pallas" force one ("pallas" off-TPU runs
+    the kernels in interpret mode, for parity tests).
     """
     n_global = x.shape[-1]
+    seq = mesh.shape["seq"]
+    if n_global % seq:
+        raise ValueError(f"n={n_global} must divide the seq axis ({seq})")
+    if backend == "auto":
+        use_pallas = (jax.default_backend() == "tpu"
+                      and x.dtype == jnp.float32)
+    elif backend in ("xla", "pallas"):
+        use_pallas = backend == "pallas"
+    else:
+        raise ValueError(f"unknown backend: {backend!r}")
+    extra = {}
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        local = partial(
+            _sift_local_pallas, axis_name="seq", n_global=n_global,
+            max_iteration=max_iteration, endpoint_mode=endpoint_mode,
+            interpret=interpret)
+        if interpret:
+            # the Pallas HLO interpreter cannot thread vma through its
+            # internal loops; compiled TPU runs keep full vma checking
+            extra["check_vma"] = False
+    else:
+        local = partial(_sift_local, axis_name="seq", n_global=n_global,
+                        max_iteration=max_iteration,
+                        endpoint_mode=endpoint_mode)
     fn = shard_map(
-        partial(_sift_local, axis_name="seq", n_global=n_global,
-                max_iteration=max_iteration, endpoint_mode=endpoint_mode),
+        local,
         mesh=mesh,
         in_specs=P("data", "seq"),
-        out_specs=(P(None, "data", "seq"), P("data"), P("data")),
+        out_specs=(P(None, "data", "seq"), P("data"), P("data"),
+                   P("data", "seq")),
+        **extra,
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     return jax.jit(fn)(xs)

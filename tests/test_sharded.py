@@ -26,7 +26,7 @@ def bank(batch=4, n=1024):
 def test_sharded_matches_single_device():
     x = bank()
     mesh = make_mesh(8, seq=4)  # 2 data x 4 seq
-    rot_s, ncomp_s, reason_s = sharded_itd_sift(jnp.asarray(x), mesh, 6)
+    rot_s, ncomp_s, reason_s, _ = sharded_itd_sift(jnp.asarray(x), mesh, 6)
     ref = itd_sift(jnp.asarray(x), 6)
     np.testing.assert_array_equal(np.asarray(ncomp_s), np.asarray(ref.num_components))
     np.testing.assert_array_equal(np.asarray(reason_s), np.asarray(ref.stop_reason))
@@ -39,7 +39,7 @@ def test_sharded_seq_only_mesh():
     x = bank(batch=2, n=512)
     mesh = make_mesh(8, seq=8)
     # batch=2 doesn't divide data=1... data axis is 1 here, fine
-    rot_s, ncomp_s, _ = sharded_itd_sift(jnp.asarray(x), mesh, 4)
+    rot_s, ncomp_s, _, _ = sharded_itd_sift(jnp.asarray(x), mesh, 4)
     ref = itd_sift(jnp.asarray(x), 4)
     np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotations), atol=1e-10)
 
@@ -47,11 +47,47 @@ def test_sharded_seq_only_mesh():
 def test_sharded_reconstruction():
     x = bank(batch=2, n=2048)
     mesh = make_mesh(8, seq=4)
-    rot, ncomp, _ = sharded_itd_sift(jnp.asarray(x), mesh, 8)
+    rot, ncomp, _, _ = sharded_itd_sift(jnp.asarray(x), mesh, 8)
     rn = np.asarray(rot)
     for b in range(x.shape[0]):
         comps = rn[: int(ncomp[b]), b]
         np.testing.assert_allclose(comps.sum(0), x[b], atol=1e-9)
+
+
+def test_sharded_compensated_reconstruction_f32():
+    """The sequence-parallel sift carries the same two-sum correction
+    channel as the single-chip path (decomp.itd.SiftResult.correction):
+    summing the valid rotation rows in f64 and adding the correction must
+    recover the f32 input exactly (the sift telescopes, so the correction
+    holds every rounding residual)."""
+    x = bank(batch=2, n=2048).astype(np.float32)
+    mesh = make_mesh(8, seq=4)
+    rot, ncomp, _, corr = sharded_itd_sift(jnp.asarray(x), mesh, 8)
+    ref = itd_sift(jnp.asarray(x), 8)
+    np.testing.assert_array_equal(np.asarray(corr), np.asarray(ref.correction))
+    rn = np.asarray(rot, np.float64)
+    cn = np.asarray(corr, np.float64)
+    for b in range(x.shape[0]):
+        comps = rn[: int(ncomp[b]), b]
+        err = np.abs(comps.sum(0) + cn[b] - x[b].astype(np.float64)).max()
+        assert err <= 1e-10, err
+
+
+def test_sharded_pallas_backend_matches_xla():
+    """The shard-local Pallas fill/emit path (interpret mode off-TPU) is
+    bit-identical to the sharded XLA fills and to the single-chip sift."""
+    x = bank(batch=2, n=1024).astype(np.float32)
+    mesh = make_mesh(8, seq=4)
+    rot_p, ncomp_p, reason_p, corr_p = sharded_itd_sift(
+        jnp.asarray(x), mesh, 6, backend="pallas")
+    ref = itd_sift(jnp.asarray(x), 6)
+    np.testing.assert_array_equal(np.asarray(ncomp_p),
+                                  np.asarray(ref.num_components))
+    np.testing.assert_array_equal(np.asarray(reason_p),
+                                  np.asarray(ref.stop_reason))
+    np.testing.assert_array_equal(np.asarray(rot_p), np.asarray(ref.rotations))
+    np.testing.assert_array_equal(np.asarray(corr_p),
+                                  np.asarray(ref.correction))
 
 
 @pytest.mark.slow
@@ -113,3 +149,20 @@ def test_pjit_batch_wrapper():
     ref = itd_sift(jnp.asarray(x), 5)
     np.testing.assert_allclose(np.asarray(rot), np.asarray(ref.rotations), atol=1e-12)
     np.testing.assert_array_equal(np.asarray(ncomp), np.asarray(ref.num_components))
+
+
+@pytest.mark.slow
+def test_sharded_pallas_nan_and_budget_stop():
+    """Sharded Pallas path: NaN quarantine crossing a shard boundary and
+    the stop-B (budget) residual both match the single-chip sift bitwise."""
+    x = bank(batch=2, n=1024).astype(np.float32)
+    x[0, 511:513] = np.nan  # straddles the shard boundary at 512 (seq=4)
+    mesh = make_mesh(8, seq=4)
+    rot_p, ncomp_p, reason_p, corr_p = sharded_itd_sift(
+        jnp.asarray(x), mesh, 2, backend="pallas")  # tiny budget -> stop B
+    ref = itd_sift(jnp.asarray(x), 2)
+    np.testing.assert_array_equal(np.asarray(reason_p),
+                                  np.asarray(ref.stop_reason))
+    np.testing.assert_array_equal(np.asarray(rot_p), np.asarray(ref.rotations))
+    np.testing.assert_array_equal(np.asarray(corr_p),
+                                  np.asarray(ref.correction))

@@ -97,3 +97,41 @@ def test_xitd_sorted_by_entropy():
     ents = [float(wpe(rows[i], 3, normalize=True)) for i in range(rows.shape[0])]
     assert ents == sorted(ents)
     np.testing.assert_allclose(np.asarray(rows).sum(0), s, atol=1e-9)
+
+
+def test_retrieve_short_circuit_matches_literal_loop():
+    """The gate-constant short-circuit in retrieve_proper_rotation is
+    output-identical to the literal reference loop (MEITD.py:344-368),
+    on both a gate-holding and a gate-failing input and at the nex==5
+    edge (loop skipped)."""
+    import jax.numpy as jnp
+    from pyitd_tpu.decomp.meitd import (
+        _cap, _count, _extract, _wpe, retrieve_proper_rotation)
+
+    def literal(x, wpemax):
+        x = jnp.asarray(x, jnp.float64)
+        cap = _cap(x.shape[-1])
+        ok = bool(0.2 <= float(_wpe(x)) < wpemax)
+        baseline = x
+        nex = int(_count(baseline))
+        if nex < 5:
+            return x, 0
+        while nex > 5:
+            rotation, baseline = _extract(baseline, cap)
+            nex = int(_count(baseline))
+            if ok:
+                return rotation, 1
+        return x, 0
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 2 * np.pi, 512)
+    cases = [
+        np.sin(24 * t) + 0.3 * rng.normal(size=t.size),  # noisy: gate holds
+        np.sin(2 * t) + 0.02 * t,                        # smooth: gate fails
+        np.sin(2.6 * t),                                 # few extrema
+    ]
+    for x in cases:
+        ref_rot, ref_flag = literal(x, 0.6)
+        got_rot, got_flag = retrieve_proper_rotation(x, 0.6)
+        assert got_flag == ref_flag
+        np.testing.assert_array_equal(np.asarray(got_rot), np.asarray(ref_rot))
