@@ -256,8 +256,8 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
     x3, pe, ne, npad, nblk = _pad_edges(x2)
     bf = 0.5 * (x2[:, 0] + x2[:, 1])
     bl = 0.5 * (x2[:, n - 2] + x2[:, n - 1])
-    zero3 = jnp.zeros_like(x3)
-    fdone = jnp.ones((rows,), bool)  # all flags off -> pure extraction
+    zero3 = x3 * 0  # derived from x3: inherits varying-mesh axes
+    fdone = (x3[:, 0, 0] * 0) == 0  # all flags off -> pure extraction
 
     # initial extraction (the pre-loop extract of the XLA path): flags all
     # false, so the row/compensation outputs are inert
@@ -268,12 +268,17 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
         interpret=interp,
     )
 
-    out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32)
+    # derive the zero carries from x3 so they inherit its varying-mesh
+    # axes: under shard_map (parallel.batch.pjit_itd_sift) plain zeros
+    # would type-mismatch the early-exit while_loop's varying outputs
+    # (same derivation as the XLA path, itd.py:152-156)
+    rzero = x3[:, 0, 0] * 0
+    out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32) + zero3
     base_levels = levels if store_baselines else 1
-    out_base = jnp.zeros((base_levels,) + x3.shape, jnp.float32)
-    done = jnp.zeros((rows,), bool)
-    reason = jnp.zeros((rows,), jnp.int32)
-    ncomp = jnp.zeros((rows,), jnp.int32)
+    out_base = jnp.zeros((base_levels,) + x3.shape, jnp.float32) + zero3
+    done = rzero.astype(jnp.int32) != 0
+    reason = rzero.astype(jnp.int32)
+    ncomp = rzero.astype(jnp.int32)
     prev_base = zero3
     comp = zero3
     pending_err = err3

@@ -66,13 +66,26 @@ def crossways_baseline(img: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("iterations",))
-def statistical_component(img: jax.Array, key: jax.Array, iterations: int = 20) -> jax.Array:
-    """Noise-assisted ensemble lowpass component (must be even iterations)."""
+def statistical_component(img: jax.Array, key: jax.Array,
+                          iterations: int = 20, *,
+                          noise: jax.Array | None = None) -> jax.Array:
+    """Noise-assisted ensemble lowpass component (must be even iterations).
+
+    ``noise`` (optional, ``(iterations//2, h, w)``) overrides the random
+    draw with caller-provided realizations — the deterministic injection
+    point that makes exact cross-implementation parity possible (the
+    reference draws from numpy's global RNG inside numba, siftED2D cell 1
+    ``retrieve_statistical_image_component``)."""
     if iterations % 2 != 0:
         raise ValueError("iterations must be even")
-    m = mad(img)
     half = iterations // 2
-    v = jax.random.normal(key, (half,) + img.shape, dtype=img.dtype) * m
+    if noise is None:
+        m = mad(img)
+        v = jax.random.normal(key, (half,) + img.shape, dtype=img.dtype) * m
+    else:
+        v = jnp.asarray(noise, img.dtype)
+        if v.shape != (half,) + img.shape:
+            raise ValueError(f"noise must be {(half,) + img.shape}")
     plus = img[None] + v
     minus = img[None] - v
     stacked = jnp.concatenate([plus, minus], axis=0)

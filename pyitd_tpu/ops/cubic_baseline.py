@@ -380,6 +380,131 @@ def _eval_fills_small(x, min_extrema):
     return baseline, nex
 
 
+def _eval_fills_fused(x, min_extrema, *, interpret=False):
+    """Padded-resident TPU cubic tier: Pallas fill kernels + SPIKE factor
+    kernel + the fused back-substitution/evaluation kernel
+    (:func:`..pallas_spike.spike_backsub_eval`).
+
+    Same math as ``_eval_fills(solver="chained")`` with every big array
+    kept in the kernels' padded 3-D layout (no per-stage pad/crop copies),
+    the XLA back-substitution + ``m_j1`` shift + segment-evaluation passes
+    fused into one kernel, and the end-moment indices found with flip-free
+    masked reductions.  Returns ``(baseline, rotation, nex)`` (rotation in
+    f32 from the kernel).
+    """
+    from .pallas_fill import (
+        _LANES, _linear_fill2_padded, _pad_edges, fill2_padded)
+    from .pallas_spike import (
+        SPIKE_BLK, spike_backsub_eval, spike_factors_padded)
+    from .chained_pcr import reduced_interface_solve
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    rows = x2.shape[0]
+    x3, prev_edge, next_edge, npad, nblk = _pad_edges(x2)
+    xf = x3.reshape(rows, npad)
+    it = lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+    iota_f = it.astype(jnp.float32)
+
+    def sdiv(num, den):
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
+    def shift_l(a, fill=0.0):
+        return jnp.concatenate(
+            [a[..., 1:], jnp.full_like(a[..., :1], fill)], axis=-1
+        )
+
+    def flat(a3):
+        return a3.reshape(rows, npad)
+
+    def to3(a):
+        return a.reshape(rows, npad // _LANES, _LANES).astype(jnp.float32)
+
+    # round 1: knot-neighbor channels (in-kernel mask; padding unmarked)
+    f1 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
+                              reverse=False, interpret=interpret)
+    r1 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
+                              reverse=True, interpret=interpret)
+    p1p, _, p2p, p2x = (flat(a) for a in f1)
+    n1p = shift_l(flat(r1[0]))
+    n1x = shift_l(flat(r1[1]))
+    mask = p1p == iota_f  # padded samples never match (knots are < n)
+    nex = jnp.sum(mask, axis=-1).astype(jnp.int32) - 2
+
+    k_site, b_last = _fo_knot_values(xf, it, iota_f, p2p, p2x, n1p, n1x, n)
+
+    # round 2: neighbor knot values per sample
+    m3 = to3(mask)
+    i3 = to3(iota_f)
+    ks3 = to3(k_site)
+    f2 = fill2_padded(i3, ks3, m3, interpret=interpret)
+    r2 = fill2_padded(i3, ks3, m3, reverse=True, interpret=interpret)
+    k_j, k_jm1 = flat(f2[1]), flat(f2[3])
+    k_j1 = shift_l(flat(r2[1]))
+
+    # not-a-knot rows at interior knots (XLA elementwise, one fused pass)
+    mask_int = mask & (it > 0) & (it < n - 1)
+    a2, b2, c2, d = notaknot_rows(
+        iota_f - p2p, n1p - iota_f, k_jm1, k_site, k_j1,
+        firstrow=p2p == 0, lastrow=n1p == n - 1,
+    )
+    factors = spike_factors_padded(to3(mask_int), to3(a2), to3(b2), to3(c2),
+                                   to3(d), interpret=interpret)
+
+    # O(blocks) interface solve + per-block scalars for the fused kernel
+    def blkv(a3):
+        return flat(a3).reshape(rows, nblk, SPIKE_BLK)
+
+    xp1, xp2, vl1, vl2, vr1, vr2 = factors
+    e, f = reduced_interface_solve(
+        -blkv(vl1)[..., -1], -blkv(vl2)[..., 0],
+        -blkv(vr1)[..., -1], -blkv(vr2)[..., 0],
+        blkv(xp1)[..., -1], blkv(xp2)[..., 0],
+    )
+    zeros1 = jnp.zeros_like(e[..., :1])
+    e_prev = jnp.concatenate([zeros1, e[..., :-1]], -1)
+    f_next = jnp.concatenate([f[..., 1:], zeros1], -1)
+    w_first = (blkv(xp2)[..., 0] + blkv(vl2)[..., 0] * e_prev
+               + blkv(vr2)[..., 0] * f_next)
+    w_first_next = jnp.concatenate([w_first[..., 1:], zeros1], -1)
+
+    # end moments from the first/last two interior knots (flip-free masked
+    # index reductions; u recovered pointwise from the factors)
+    nn = jnp.int32(npad)
+    i1 = jnp.min(jnp.where(mask_int, it, nn), axis=-1)
+    i2 = jnp.min(jnp.where(mask_int & (it > i1[..., None]), it, nn), axis=-1)
+    il1 = jnp.max(jnp.where(mask_int, it, -1), axis=-1)
+    il2 = jnp.max(jnp.where(mask_int & (it < il1[..., None]), it, -1),
+                  axis=-1)
+
+    def u_at(idx):
+        idxc = jnp.clip(idx, 0, npad - 1)[..., None]
+        g = lambda a3: jnp.take_along_axis(flat(a3), idxc, axis=-1)[..., 0]
+        bof = idxc // SPIKE_BLK
+        ge = jnp.take_along_axis(e_prev, bof, axis=-1)[..., 0]
+        gf = jnp.take_along_axis(f_next, bof, axis=-1)[..., 0]
+        return g(xp1) + g(vl1) * ge + g(vr1) * gf
+
+    m1, m2, ml1, ml2 = u_at(i1), u_at(i2), u_at(il1), u_at(il2)
+    fdt = jnp.float32
+    h0 = i1.astype(fdt)
+    h1 = (i2 - i1).astype(fdt)
+    hl = (n - 1 - il1).astype(fdt)
+    hl2 = (il1 - il2).astype(fdt)
+    m0 = m1 + sdiv(h0, h1) * (m1 - m2)
+    m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
+
+    base3, rot3 = spike_backsub_eval(
+        factors, e_prev, f_next, w_first_next, m0, m_last, b_last,
+        nex < min_extrema, to3(p1p), to3(p2p), to3(n1p), to3(k_j),
+        to3(k_jm1), to3(k_j1), x3, n, interpret=interpret,
+    )
+    baseline = flat(base3)[:, :n].reshape(lead + (n,))
+    rotation = flat(rot3)[:, :n].reshape(lead + (n,))
+    return baseline, rotation, nex.reshape(lead)
+
+
 def _eval_fills(x, capacity, min_extrema, solver="chained"):
     """Fill-kernel MEITD-tier cubic level — the dense-knot TPU shape.
 
@@ -557,8 +682,37 @@ def cubic_baseline_extract(
         return CubicBaselineResult(
             rotation=x - baseline, baseline=baseline, num_extrema=nex
         )
-    if eval_backend in ("fills", "fills_compact"):
-        solver = "chained" if eval_backend == "fills" else "compact"
+    if eval_backend in ("fills", "fills_fused", "fills_unfused",
+                        "fills_compact"):
+        if (eval_backend != "fills_compact"
+                and capacity < x.shape[-1] + 2):
+            # the chained backends have no compact buffers and ignore
+            # capacity entirely, while gather/scan/fills_compact truncate
+            # knots beyond it — a deliberately small capacity silently
+            # diverges across backends, so flag it at trace time
+            import warnings
+
+            warnings.warn(
+                f"cubic_baseline_extract: capacity={capacity} < worst-case "
+                f"knot count ({x.shape[-1] + 2}); the chained fills "
+                "backends ignore capacity, so results may differ from the "
+                "truncating gather/scan/fills_compact backends",
+                stacklevel=2,
+            )
+        if eval_backend == "fills_fused" or (
+                eval_backend == "fills" and jax.default_backend() == "tpu"):
+            # padded-resident route with the fused SPIKE backsub+eval
+            # kernel; "fills_fused" forces it (interpret mode off-TPU,
+            # for parity tests)
+            baseline, rot, nex = _eval_fills_fused(
+                x, min_extrema, interpret=jax.default_backend() != "tpu")
+            baseline = baseline.astype(x.dtype)
+            rotation = (rot if x.dtype == jnp.float32 else x - baseline)
+            return CubicBaselineResult(
+                rotation=rotation, baseline=baseline, num_extrema=nex
+            )
+        solver = ("compact" if eval_backend == "fills_compact" else
+                  "chained")  # "fills" (CPU) and "fills_unfused" (A/B)
         baseline, nex = _eval_fills(x, capacity, min_extrema, solver=solver)
         return CubicBaselineResult(
             rotation=x - baseline, baseline=baseline, num_extrema=nex

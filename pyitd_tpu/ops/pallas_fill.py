@@ -31,8 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fill2_pallas", "linear_fill2_pallas", "linear_baseline_pallas",
-    "linear_level_pallas", "sift_level_emit_padded", "BLK",
+    "fill2_pallas", "fill2_padded", "linear_fill2_pallas",
+    "linear_baseline_pallas", "linear_level_pallas",
+    "sift_level_emit_padded", "BLK",
 ]
 
 BLK = 8192
@@ -42,7 +43,8 @@ _NONE = -1.0  # "no mark yet" sentinel in the position channels
 
 def _out_struct(shape, dtype, *operands):
     """Output aval for a ``pallas_call`` that may run inside ``shard_map``:
-    under ``check_vma`` the outputs must declare their varying mesh axes,
+    under ``check_vma`` the outputs must declare their varying mesh axes
+    (an explicit — possibly empty — set; ``None`` is rejected there),
     which for these kernels is simply the union of the operands' (each
     output is elementwise-aligned with the big inputs)."""
     vma = frozenset()
@@ -51,9 +53,10 @@ def _out_struct(shape, dtype, *operands):
             vma = vma | jax.typeof(o).vma
         except AttributeError:  # pragma: no cover - older jax
             return jax.ShapeDtypeStruct(shape, dtype)
-    if not vma:
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except TypeError:  # pragma: no cover - older jax without vma kwarg
         return jax.ShapeDtypeStruct(shape, dtype)
-    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _combine(a, b):
@@ -215,6 +218,19 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
     v = prep(x, 0.0, jnp.float32)
     m = prep(mask, False, jnp.float32)  # float mask: != 0 in kernel
 
+    outs = fill2_padded(p, v, m, reverse=reverse, interpret=interpret)
+    outs = tuple(o.reshape(rows, npad) for o in outs)
+    if pad:
+        outs = tuple(o[..., :n] for o in outs)
+    return outs
+
+
+def fill2_padded(p3, v3, m3, *, reverse: bool = False,
+                 interpret: bool = False):
+    """:func:`fill2_pallas` on already-padded 3-D ``(rows, npad//128, 128)``
+    inputs, outputs kept padded (padding must be unmarked)."""
+    rows = p3.shape[0]
+    npad = p3.shape[1] * _LANES
     sub = BLK // _LANES
     nblk = npad // BLK
     if reverse:
@@ -225,21 +241,15 @@ def fill2_pallas(pos: jax.Array, x: jax.Array, mask: jax.Array, *,
         index_map = lambda r, b: (r, b, 0)
         kernel = _fill2_fwd
     spec = pl.BlockSpec((1, sub, _LANES), index_map, memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(rows, nblk),
         in_specs=[spec, spec, spec],
         out_specs=[spec] * 4,
-        out_shape=[
-            _out_struct((rows, npad // _LANES, _LANES), jnp.float32, p, v, m)
-        ] * 4,
+        out_shape=[_out_struct(p3.shape, jnp.float32, p3, v3, m3)] * 4,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
         interpret=interpret,
-    )(p, v, m)
-    outs = tuple(o.reshape(rows, npad) for o in outs)
-    if pad:
-        outs = tuple(o[..., :n] for o in outs)
-    return outs
+    )(p3, v3, m3)
 
 
 # ---------------------------------------------------------------------------
@@ -746,7 +756,8 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
             lambda r, b, *refs: (refs[7][0], r, nblk - 1 - b, 0),
             memory_space=pltpu.VMEM,
         )
-        row_shape = jax.ShapeDtypeStruct(out_levels.shape, jnp.float32)
+        row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
+                                x3)
         aliases = {9: 0, 17: 3, 14: 1, 15: 2, 16: 4}
         # rot3 (input 13) still dies here but its shape no longer matches
         # the row output; leave it undonated.

@@ -35,8 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .chained_pcr import reduced_interface_solve
+from .pallas_fill import _out_struct as _pf_out_struct
 
-__all__ = ["chained_block_spike", "SPIKE_BLK"]
+__all__ = ["chained_block_spike", "spike_factors_padded",
+           "spike_backsub_eval", "SPIKE_BLK"]
 
 SPIKE_BLK = 8192
 _LANES = 128
@@ -165,6 +167,122 @@ def _spike_local_kernel(m_ref, a_ref, b_ref, c_ref, d_ref,
     vr2_ref[0] = (b11 * r2 - b21 * r1) * idet
 
 
+def spike_factors_padded(m3, a3, b3, c3, d3, *, interpret: bool = False):
+    """The SPIKE local kernel on already-padded 3-D channels
+    ``(rows, npad//128, 128)``; returns the six factor channels padded
+    (xp1, xp2, vl1, vl2, vr1, vr2).  Padding must be unmarked (chain
+    rows)."""
+    rows = m3.shape[0]
+    nblk = (m3.shape[1] * _LANES) // SPIKE_BLK
+    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p: (r, p, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _spike_local_kernel,
+        grid=(rows, nblk),
+        in_specs=[spec] * 5,
+        out_specs=[spec] * 6,
+        out_shape=[_pf_out_struct(m3.shape, jnp.float32, m3, d3)] * 6,
+        interpret=interpret,
+    )(m3, a3, b3, c3, d3)
+
+
+def _make_spike_eval_kernel(n_real: int, nblk: int):
+    """Fused SPIKE back-substitution + moment-spline segment evaluation.
+
+    Per sample: recover the previous/next-knot moments from the spike
+    factors (``u = xp1 + vl1 e_prev + vr1 f_next``; ``m_j1`` is the next
+    sample's ``w``), apply the end-moment and final-sample patches
+    (``cubic_baseline._chained_moments`` / ``_segment_eval`` semantics),
+    and evaluate the closed-form moment spline — one HBM read of the 13
+    channels and one write of baseline+rotation, replacing the XLA
+    back-substitution pass, the ``m_j1`` shift materialization, and the
+    separate evaluation pass (~2.7 ms of the 8x1M tier)."""
+    def kernel(ep_ref, fn_ref, wn_ref, m0_ref, ml_ref, bl_ref, pass_ref,
+               xp1_ref, xp2_ref, vl1_ref, vl2_ref, vr1_ref, vr2_ref,
+               p1p_ref, p2p_ref, n1p_ref, kj_ref, kjm1_ref, kj1_ref, x_ref,
+               base_ref, rot_ref):
+        r = pl.program_id(0)
+        blk = pl.program_id(1)
+        e_prev = ep_ref[r, blk]
+        f_next = fn_ref[r, blk]
+
+        u = xp1_ref[0] + vl1_ref[0] * e_prev + vr1_ref[0] * f_next
+        w = xp2_ref[0] + vl2_ref[0] * e_prev + vr2_ref[0] * f_next
+
+        row = lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        lane = lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        it = blk * SPIKE_BLK + row * _LANES + lane
+        iota_f = it.astype(jnp.float32)
+
+        # m_j1 = w at the NEXT sample; the block's last element takes the
+        # next block's first w (prefetch scalar)
+        from .pallas_fill import _roll_next
+
+        m_j1 = _roll_next(w, wn_ref[r, blk], row, lane)
+        m_j = u
+
+        p1p, p2p, n1p = p1p_ref[0], p2p_ref[0], n1p_ref[0]
+        k_j, k_jm1, k_j1 = kj_ref[0], kjm1_ref[0], kj1_ref[0]
+        x = x_ref[0]
+        m0 = m0_ref[r]
+        m_last = ml_ref[r]
+        b_last = bl_ref[r]
+
+        m_j = jnp.where(p1p == 0, m0, m_j)
+        m_j1 = jnp.where(n1p == n_real - 1, m_last, m_j1)
+
+        is_last = it == n_real - 1
+        m_j1 = jnp.where(is_last, m_last, m_j1)
+        pos_j = jnp.where(is_last, p2p, p1p)
+        k_j = jnp.where(is_last, k_jm1, k_j)
+        k_j1 = jnp.where(is_last, b_last, k_j1)
+        right_pos = jnp.where(is_last, iota_f, n1p)
+
+        h_j = right_pos - pos_j
+        h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+        t = (iota_f - pos_j) / h_safe
+        omt = 1.0 - t
+        baseline = (
+            omt * k_j + t * k_j1
+            + h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (t**3 - t) * m_j1)
+        )
+        baseline = jnp.where(pass_ref[r] != 0, x, baseline)
+        base_ref[0] = baseline
+        rot_ref[0] = x - baseline
+
+    return kernel
+
+
+def spike_backsub_eval(factors, e_prev, f_next, w_first_next, m0, m_last,
+                       b_last, passthrough, p1p3, p2p3, n1p3, kj3, kjm13,
+                       kj13, x3, n_real: int, *, interpret: bool = False):
+    """Run the fused back-substitution + evaluation kernel on padded 3-D
+    channels; returns padded ``(baseline, rotation)``.
+
+    ``factors``: the 6 outputs of :func:`spike_factors_padded`;
+    ``e_prev``/``f_next``/``w_first_next``: (rows, nblk) per-block interface
+    scalars; ``m0``/``m_last``/``b_last``/``passthrough``: (rows,) scalars.
+    """
+    rows = x3.shape[0]
+    nblk = (x3.shape[1] * _LANES) // SPIKE_BLK
+    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p, *_refs: (r, p, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(rows, nblk),
+        in_specs=[spec] * 13,
+        out_specs=[spec] * 2,
+    )
+    return pl.pallas_call(
+        _make_spike_eval_kernel(n_real, nblk),
+        grid_spec=grid_spec,
+        out_shape=[_pf_out_struct(x3.shape, jnp.float32, x3, factors[0])] * 2,
+        interpret=interpret,
+    )(e_prev, f_next, w_first_next, m0, m_last, b_last,
+      passthrough.astype(jnp.float32), *factors, p1p3, p2p3, n1p3, kj3,
+      kjm13, kj13, x3)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def chained_block_spike(mask, a, b, c, d, *, interpret: bool = False):
     """Drop-in twin of :func:`..chained_pcr.chained_block_pcr` (2-D inputs,
@@ -193,7 +311,8 @@ def chained_block_spike(mask, a, b, c, d, *, interpret: bool = False):
         in_specs=[spec] * 5,
         out_specs=[spec] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, npad // _LANES, _LANES), jnp.float32)
+            _pf_out_struct((rows, npad // _LANES, _LANES), jnp.float32,
+                           *ins)
         ] * 6,
         interpret=interpret,
     )(*ins)

@@ -375,23 +375,35 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     sub = BLK // _LANES
     x3 = _vary(x3, both)
 
+    # global-position iota over the PADDED layout, for the extrema count
+    # (knots are < n_global, padded positions are not, so no false hits)
+    gpos_pad = _vary(
+        lax.broadcasted_iota(jnp.float32, (rows, npad), 1), both
+    ) + off[0].astype(jnp.float32)
+    sentinel = _vary(
+        jnp.tile(jnp.asarray([-1.0, 0.0, -1.0, 0.0], jnp.float32),
+                 (rows, 1)), both)
+
     def pre(base3):
         """Per-trip cross-shard interface: halos, fill prefix/suffix,
-        global end-knot values, global interior extrema count."""
+        global end-knot values.  On a 1-shard mesh the prefix/suffix are
+        statically the sentinel state, so the whole XLA summary pass +
+        all_gather fold disappears and the flow matches single-chip."""
         flat = base3.reshape(rows, npad)[:, :n_loc]
         halo_l, halo_r = _shard_halos(flat, axis_name, rank, size, both)
-        gpos = _vary(
-            lax.broadcasted_iota(jnp.int32, flat.shape, 1), both
-        ) + off[0]
-        mask = _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global)
-        nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32),
-                       axis_name) - 2
-        fwd_sum, rev_sum = _shard_summaries(flat, mask, gpos.astype(
-            jnp.float32), n_global)
-        fwd_prefix = _fold_states(fwd_sum, rank, size, axis_name, both,
-                                  reverse=False)
-        rev_suffix = _fold_states(rev_sum, rank, size, axis_name, both,
-                                  reverse=True)
+        if size > 1:
+            gpos = _vary(
+                lax.broadcasted_iota(jnp.int32, flat.shape, 1), both
+            ) + off[0]
+            mask = _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global)
+            fwd_sum, rev_sum = _shard_summaries(flat, mask, gpos.astype(
+                jnp.float32), n_global)
+            fwd_prefix = _fold_states(fwd_sum, rank, size, axis_name, both,
+                                      reverse=False)
+            rev_suffix = _fold_states(rev_sum, rank, size, axis_name, both,
+                                      reverse=True)
+        else:
+            fwd_prefix = rev_suffix = sentinel
         bf = lax.psum(jnp.where(_vary(rank == 0, both),
                                 0.5 * (flat[:, 0] + flat[:, 1]), 0.0),
                       axis_name)
@@ -399,28 +411,38 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
                                 0.5 * (flat[:, -2] + flat[:, -1]), 0.0),
                       axis_name)
         return (halo_l, halo_r, fwd_prefix, rev_suffix,
-                _vary(bf, both), _vary(bl, both), nex)
+                _vary(bf, both), _vary(bl, both))
 
-    def level(base3, pe, ne, halos_etc, flags, rot3, pbase3, perr3, comp3,
-              out_rot, static_i):
+    def level(base3, pe, ne, halos_etc, rot3, pbase3, perr3, comp3,
+              out_rot, static_i, done, over_budget):
+        """One trip: forward fill, extrema count + stop flags from its
+        channels (one fused reduce, like the single-chip emit path), then
+        the fused emit kernel."""
         halo_l, halo_r, fwd_prefix, rev_suffix, bf, bl = halos_etc
-        stop_a, stop_b, cont = (_vary(f, both) for f in flags)
         fwd3 = sharded_fill2_fwd(base3, pe, ne, off, halo_l, halo_r,
                                  fwd_prefix, n_loc, n_global,
                                  interpret=interpret)
-        return sharded_sift_level_emit(
+        marks = jnp.sum(fwd3[0].reshape(rows, npad) == gpos_pad,
+                        axis=-1).astype(jnp.int32)
+        nex = lax.psum(marks, axis_name) - 2
+        stop_a = (~done) & (nex < 2)
+        stop_b = (~done) & (~stop_a) & over_budget
+        cont = (~done) & (~stop_a) & (~stop_b)
+        outs = sharded_sift_level_emit(
             base3, fwd3, pe, ne, off, halo_l, halo_r, rev_suffix, bf, bl,
-            stop_a, stop_b, cont, rot3, pbase3, perr3, comp3, n_loc,
-            n_global, endpoint_mode=endpoint_mode, interpret=interpret,
+            _vary(stop_a, both), _vary(stop_b, both), _vary(cont, both),
+            rot3, pbase3, perr3, comp3, n_loc, n_global,
+            endpoint_mode=endpoint_mode, interpret=interpret,
             out_levels=out_rot, level_idx=static_i)
+        return outs, (stop_a, stop_b)
 
     # initial extraction: flags all false -> row/compensation outputs inert
     zero3 = _vary(jnp.zeros_like(x3), both)
-    fzero = _vary(jnp.zeros((rows,), bool), both)
+    tdone = _vary(jnp.ones((rows,), bool), ("data",))
     h = pre(x3)
-    base3, rot3, perr3, _row, _c = level(
-        x3, pe, ne, h[:6], (fzero, fzero, fzero), zero3, zero3, zero3,
-        zero3, None, None)
+    (base3, rot3, perr3, _row, _c), _ = level(
+        x3, pe, ne, h, zero3, zero3, zero3, zero3, None, None,
+        tdone, jnp.asarray(False))
 
     out_rot = _vary(jnp.zeros((levels,) + x3.shape, jnp.float32), both)
     done = _vary(jnp.zeros((rows,), bool), ("data",))
@@ -431,14 +453,12 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
 
     for i in range(levels):
         h = pre(base3)
-        nex = h[6]
-        stop_a = (~done) & (nex < 2)
-        stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
-        cont = (~done) & (~stop_a) & (~stop_b)
         pe, ne = _block_edges(base3, rows, nblk, sub, _LANES)
-        new_base, new_rot, new_err, out_rot, comp3 = level(
-            base3, pe, ne, h[:6], (stop_a, stop_b, cont), rot3, prev_base3,
-            perr3, comp3, out_rot, i)
+        over = jnp.broadcast_to(jnp.asarray(i >= max_iteration + 1),
+                                done.shape)
+        (new_base, new_rot, new_err, out_rot, comp3), (stop_a, stop_b) = \
+            level(base3, pe, ne, h, rot3, prev_base3, perr3, comp3,
+                  out_rot, i, done, over)
         stopping = stop_a | stop_b
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))

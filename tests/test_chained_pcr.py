@@ -120,3 +120,30 @@ def test_spike_matches_grid_pcr_interpret():
         scale = float(jnp.max(jnp.abs(u0))) + 1e-30
         assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 5e-5
         assert float(jnp.max(jnp.abs(w1 - w0))) / scale < 5e-5
+
+
+def test_spike_zero_knot_block_interpret():
+    """A whole SPIKE block with no knots (possible at low extrema density
+    when n >> 8192): the interface solve must carry the chain straight
+    through the knot-free block (ADVICE r2 item 4)."""
+    from pyitd_tpu.ops.pallas_spike import chained_block_spike, SPIKE_BLK
+
+    rng = np.random.default_rng(13)
+    n = SPIKE_BLK * 3
+    mask, a, b, c, d = _random_system(rng, 2, n, 0.3)
+    # empty out the middle block entirely
+    mask[:, SPIKE_BLK : 2 * SPIKE_BLK] = False
+    # rebuild boundary-coupling zeros consistent with the new mask: the
+    # first/last marked rows must have no outward coupling
+    for r in range(mask.shape[0]):
+        idx = np.where(mask[r])[0]
+        a[r, idx[0]] = 0.0
+        c[r, idx[-1]] = 0.0
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    u0, w0 = chained_block_pcr(jnp.asarray(mask), f32(a), f32(b), f32(c),
+                               f32(d))
+    u1, w1 = chained_block_spike(jnp.asarray(mask), f32(a), f32(b), f32(c),
+                                 f32(d), interpret=True)
+    scale = float(jnp.max(jnp.abs(u0))) + 1e-30
+    assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 5e-5
+    assert float(jnp.max(jnp.abs(w1 - w0))) / scale < 5e-5

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.interpolate import splrep, splev
 
 from pyitd_tpu.ops.tridiag import thomas_solve, spline_moments
@@ -222,3 +223,36 @@ def test_cubic_eval_fills_packed_matches_scan():
     g = cubic_baseline_extract(xs, capacity=128, eval_backend="fills_packed",
                                min_extrema=10)
     np.testing.assert_array_equal(np.asarray(g.baseline), np.asarray(xs))
+
+
+@pytest.mark.slow
+def test_fills_fused_matches_chained_interpret():
+    """The padded-resident fused SPIKE backsub+eval route (TPU default)
+    matches the unfused chained route and the f64 gather oracle, including
+    at non-BLK-multiple n (padding) and under the passthrough guard."""
+    rng = np.random.default_rng(5)
+    n = 4500
+    t = np.linspace(0, 2 * np.pi, n)
+    x = np.stack([
+        np.sin(24 * t) + 0.3 * rng.normal(size=n),
+        np.cos(17 * t) + 0.1 * t + 0.2 * rng.normal(size=n),
+    ]).astype(np.float32)
+    xj = jnp.asarray(x)
+    ref = cubic_baseline_extract(xj, capacity=n + 2, min_extrema=0,
+                                 eval_backend="fills")
+    fus = cubic_baseline_extract(xj, capacity=n + 2, min_extrema=0,
+                                 eval_backend="fills_fused")
+    np.testing.assert_array_equal(np.asarray(ref.num_extrema),
+                                  np.asarray(fus.num_extrema))
+    np.testing.assert_allclose(np.asarray(fus.baseline),
+                               np.asarray(ref.baseline), atol=2e-6)
+    oracle = cubic_baseline_extract(jnp.asarray(x, jnp.float64),
+                                    capacity=n + 2, min_extrema=0,
+                                    eval_backend="gather")
+    np.testing.assert_allclose(np.asarray(fus.baseline, np.float64),
+                               np.asarray(oracle.baseline), atol=2e-6)
+
+    y = jnp.asarray(np.sin(2 * t)[None].astype(np.float32))
+    p = cubic_baseline_extract(y, capacity=n + 2, min_extrema=10,
+                               eval_backend="fills_fused")
+    assert bool(jnp.all(p.baseline == y)) and bool(jnp.all(p.rotation == 0))

@@ -154,3 +154,29 @@ def test_fingerprint_and_median_index():
     idx, completeness = sorted_median_index(vals)
     assert 0 <= int(idx) < 64
     assert -1.0 <= float(completeness) <= 1.0
+
+
+def test_2d_ensemble_fixed_noise_parity_with_reference():
+    """Exact same-noise parity: the JAX 2-D ensemble with injected noise
+    realizations vs an independent numpy/scipy port of siftED2D cell 1's
+    crossways + paired-noise loops (tests/reference/sifted2d_ref.py).
+    This replaces RNG-incompatible statistical comparisons with a
+    deterministic one (VERDICT r2 item 8)."""
+    import jax
+    from pyitd_tpu.decomp.itd2d import statistical_component
+    from reference.sifted2d_ref import (
+        statistical_component as ref_statistical_component)
+
+    rng = np.random.default_rng(7)
+    h = w = 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (np.sin(0.7 * xx) * np.cos(0.5 * yy)
+           + 0.3 * rng.normal(size=(h, w)) + 0.01 * (xx + yy))
+    noise = rng.normal(0, 0.2, size=(2, h, w))
+
+    want = ref_statistical_component(img, noise)
+    got = statistical_component(
+        jnp.asarray(img), jax.random.PRNGKey(0), 4,
+        noise=jnp.asarray(noise))
+    atol = 5e-8 if jax.config.jax_enable_x64 else 5e-3
+    np.testing.assert_allclose(np.asarray(got, np.float64), want, atol=atol)
