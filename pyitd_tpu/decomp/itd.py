@@ -101,13 +101,16 @@ def itd_sift(
     (numerically matching; costs one extra XLA-path forward on grad).
     """
     if backend == "auto":
-        use_emit = (
+        on_tpu = (
             jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
             and x.shape[-1] >= 4096
         )
-    elif backend in ("xla", "pallas_emit"):
-        use_emit = backend == "pallas_emit"
+        backend = "pallas_fused" if on_tpu else "xla"
+    if backend in ("pallas_emit", "pallas_fused"):
+        use_emit, fused = True, backend == "pallas_fused"
+    elif backend == "xla":
+        use_emit = False
     else:
         raise ValueError(f"unknown backend: {backend!r}")
     if use_emit:
@@ -119,7 +122,7 @@ def itd_sift(
 
         def emit_fn(xx):
             return _itd_sift_emit(xx, max_iteration, endpoint_mode,
-                                  store_baselines, early_exit)
+                                  store_baselines, early_exit, fused=fused)
 
         def xla_fn(xx):
             return _itd_sift_xla(xx, max_iteration, endpoint_mode,
@@ -236,7 +239,10 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
 
 
 def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
-                   early_exit=False):
+                   early_exit=False, fused=False):
+    if fused and not early_exit:
+        return _itd_sift_fused(x, max_iteration, endpoint_mode,
+                               store_baselines)
     """TPU fast path: identical loop semantics to the XLA body above, but
     each trip is one fused Pallas level (``sift_level_emit_padded``) that
     also materializes the output row and compensation update in-register,
@@ -355,6 +361,98 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
         num_components=ncomp.reshape(batch_shape),
         stop_reason=reason.reshape(batch_shape),
         correction=crop(comp[None], 1)[0].reshape(
+            batch_shape + (n,)).astype(x.dtype),
+    )
+
+
+def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
+    """TPU fast path v2: ONE block-parallel kernel per trip
+    (``sift_level_fused_padded``) — both direction scans seeded from an
+    XLA per-block fill-state fold, the 4 forward fill channels never
+    touch HBM, and there is no sequential cross-block carry.  Loop
+    semantics and outputs are bit-identical to the two-kernel emit path
+    (the fold is pure selects, so association order is irrelevant)."""
+    from ..ops.pallas_fill import (
+        _pad_edges, level_block_states, sift_level_fused_padded)
+
+    levels = max_iteration + 2
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n).astype(jnp.float32)
+    rows = x2.shape[0]
+    interp = jax.default_backend() != "tpu"
+
+    x3, pe, ne, npad, nblk = _pad_edges(x2)
+    nlanes = x3.shape[2]
+    sub = x3.shape[1] // nblk
+    zero3 = x3 * 0
+    rzero = x3[:, 0, 0] * 0
+    ffalse = rzero.astype(jnp.int32) != 0
+
+    def edges(base3):
+        b4 = base3.reshape(rows, nblk, sub, nlanes)
+        ef = b4[:, :, 0, 0]
+        el = b4[:, :, sub - 1, nlanes - 1]
+        pe = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
+        ne = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+        flat = base3.reshape(rows, npad)
+        bf = 0.5 * (flat[:, 0] + flat[:, 1])
+        bl = 0.5 * (flat[:, n - 2] + flat[:, n - 1])
+        return pe, ne, bf, bl
+
+    bf = 0.5 * (x2[:, 0] + x2[:, 1])
+    bl = 0.5 * (x2[:, n - 2] + x2[:, n - 1])
+
+    # initial extraction: all-off flags -> row/compensation outputs inert
+    _, fp0, rs0 = level_block_states(x3, n)
+    base3, rot3, perr3, _row, _c = sift_level_fused_padded(
+        x3, pe, ne, bf, bl, fp0, rs0, ffalse, ffalse, ffalse,
+        zero3, zero3, zero3, zero3, n, endpoint_mode=endpoint_mode,
+        interpret=interp)
+
+    out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32) + zero3
+    base_levels = levels if store_baselines else 1
+    out_base = jnp.zeros((base_levels,) + x3.shape, jnp.float32) + zero3
+    done = ffalse
+    reason = rzero.astype(jnp.int32)
+    ncomp = rzero.astype(jnp.int32)
+    prev_base3 = zero3
+    comp3 = zero3
+
+    for i in range(levels):
+        nex, fp, rs = level_block_states(base3, n)
+        stop_a = (~done) & (nex < 2)
+        stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
+        cont = (~done) & (~stop_a) & (~stop_b)
+        pe, ne, bf, bl = edges(base3)
+        new_base, new_rot, new_err, out_rot, comp3 = sift_level_fused_padded(
+            base3, pe, ne, bf, bl, fp, rs, stop_a, stop_b, cont,
+            rot3, prev_base3, perr3, comp3, n,
+            endpoint_mode=endpoint_mode, interpret=interp,
+            out_levels=out_rot, level_idx=i)
+        if store_baselines:
+            base_row = jnp.where(cont[:, None, None], base3,
+                                 jnp.zeros_like(base3))
+            out_base = out_base.at[i].set(base_row)
+        stopping = stop_a | stop_b
+        ncomp = jnp.where(stopping, i + 1, ncomp)
+        reason = jnp.where(
+            stop_a, STOP_FLAT, jnp.where(stop_b, STOP_BUDGET, reason)
+        )
+        done = done | stopping
+        rot3, prev_base3, base3, perr3 = new_rot, base3, new_base, new_err
+
+    def crop(a, lead):
+        return a.reshape((lead, rows, npad))[..., :n]
+
+    return SiftResult(
+        rotations=crop(out_rot, levels).reshape(
+            (levels,) + batch_shape + (n,)),
+        baselines=crop(out_base, base_levels).reshape(
+            (base_levels,) + batch_shape + (n,)),
+        num_components=ncomp.reshape(batch_shape),
+        stop_reason=reason.reshape(batch_shape),
+        correction=crop(comp3[None], 1)[0].reshape(
             batch_shape + (n,)).astype(x.dtype),
     )
 

@@ -687,6 +687,237 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
     return kernel
 
 
+def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
+                             row_4d: bool = False):
+    """ONE kernel per sift level: both direction scans + epilogue + emit.
+
+    The cross-block fill states arrive PRE-FOLDED per block via scalar
+    prefetch (``fwd_prefix``/``rev_suffix``, (rows, nblk, 4)), so there is
+    no SMEM carry and no sequential grid dependency: the knot state is
+    derived once, the forward scan is seeded with the block's exclusive
+    prefix, the reverse scan with its exclusive suffix, and the
+    interpolation + sift bookkeeping run in-register.  Vs the two-kernel
+    level this removes the 4-channel forward-fill HBM round trip (32 B per
+    sample), one knot-state derivation, and one kernel launch."""
+    sub = BLK // _LANES
+    nm1 = float(n_real - 1)
+
+    def kernel(fp_ref, rs_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
+               fa_ref, fb_ref, fc_ref, *rest):
+        if row_4d:
+            (_li_ref, x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
+             _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+        else:
+            (x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
+             base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+        r = pl.program_id(0)
+        blk = pl.program_id(1)
+
+        x = x_ref[0]
+        pos, row, lane, _, state0 = _knot_state(
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+        )
+        fwd_in = tuple(fp_ref[r, blk, i] for i in range(4))
+        fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
+                                rows=sub)
+        f1p, f1x, f2p, f2x = _mask_outputs(fstate)
+
+        rev_in = tuple(rs_ref[r, blk, i] for i in range(4))
+        rstate, _ = _block_scan(state0, reverse=True, carry_in=rev_in,
+                                rows=sub)
+        shifted = tuple(
+            _roll_next(s, c, row, lane) for s, c in zip(rstate, rev_in)
+        )
+        n1p, n1x, n2p, n2x = _mask_outputs(shifted)
+
+        b_first = bfirst_ref[r]
+        b_last = blast_ref[r]
+
+        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+            span = rpos - lpos
+            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
+            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+            return jnp.where(is_first, end_val, formula)
+
+        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+        b_l = jnp.where(f1p == nm1, b_last, b_l)
+        b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
+
+        den = n1x - f1x
+        slope = jnp.where(
+            den == 0,
+            jnp.zeros_like(den),
+            (b_r - b_l) / jnp.where(den == 0, jnp.ones_like(den), den),
+        )
+        baseline = b_l + slope * (x - f1x)
+        if endpoint_mode == "reference":
+            baseline = jnp.where(pos == n_real - 1,
+                                 jnp.zeros_like(baseline), baseline)
+        base_ref[0] = baseline
+
+        rot = x - baseline
+        bb = rot - x
+        err = (x - (rot - bb)) + ((-baseline) - bb)
+        rot_ref[0] = rot
+        err_ref[0] = err
+
+        # --- sift bookkeeping for the PREVIOUS extraction's outputs ---
+        stop_a = fa_ref[r] != 0
+        stop_b = fb_ref[r] != 0
+        cont = fc_ref[r] != 0
+        rotp = rotp_ref[0]
+        res_sum = rotp + x
+        rbb = res_sum - rotp
+        res_err = (rotp - (res_sum - rbb)) + (x - rbb)
+
+        zero = jnp.zeros_like(x)
+        residual = jnp.where(stop_a, pbase_ref[0], res_sum)
+        row_val = jnp.where(
+            stop_a | stop_b, residual, jnp.where(cont, rotp, zero)
+        )
+        if row_4d:
+            row_ref[0, 0] = row_val
+        else:
+            row_ref[0] = row_val
+        perr = perr_ref[0]
+        compo_ref[0] = (
+            comp_ref[0]
+            + jnp.where(cont | stop_b, perr, zero)
+            + jnp.where(stop_b, res_err, zero)
+        )
+
+    return kernel
+
+
+def level_block_states(x3, n: int):
+    """XLA side of the fused level: knot mask (formula-identical to
+    ``_knot_state``), interior extrema count, and the per-block exclusive
+    fill-state folds both directions.
+
+    One fused elementwise+reduce pass over the padded flat signal; the
+    folds run on (rows, nblk) summaries via ``lax.associative_scan`` of
+    the fill2 combine — pure selects, so any association is bit-identical
+    to the kernels' sequential SMEM carry chain.
+
+    Returns ``(nex, fwd_prefix, rev_suffix)`` with the folds stacked as
+    (rows, nblk, 4).
+    """
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
+    flat = x3.reshape(rows, npad)
+    it = lax.broadcasted_iota(jnp.int32, flat.shape, 1)
+
+    xm1 = jnp.concatenate([flat[:, :1], flat[:, :-1]], axis=-1)
+    xp1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=-1)
+    dxb = jnp.where(jnp.isnan(flat - xm1), jnp.inf, flat - xm1)
+    dxf = jnp.where(jnp.isnan(xp1 - flat), jnp.inf, xp1 - flat)
+    near_nan = jnp.isnan(flat) | jnp.isnan(xm1) | jnp.isnan(xp1)
+    interior = (it > 0) & (it < n - 1)
+    is_min = (dxb <= 0) & (dxf > 0)
+    is_max = (dxb >= 0) & (dxf < 0)
+    m = ((is_min | is_max) & interior & ~near_nan) | (it == 0) | (
+        it == n - 1
+    )
+    nex = jnp.sum(m, axis=-1).astype(jnp.int32) - 2
+
+    mb = m.reshape(rows, nblk, BLK)
+    xb = flat.reshape(rows, nblk, BLK)
+    pf = it.astype(jnp.float32).reshape(rows, nblk, BLK)
+
+    def val_at(p):
+        return jnp.sum(jnp.where(mb & (pf == p[..., None]), xb, 0.0),
+                       axis=-1)
+
+    l1 = jnp.max(jnp.where(mb, pf, _NONE), axis=-1)
+    l2 = jnp.max(jnp.where(mb & (pf < l1[..., None]), pf, _NONE), axis=-1)
+    fwd_sum = (l1, val_at(l1), l2, val_at(l2))
+    big = jnp.float32(npad + 1)
+    f1 = jnp.min(jnp.where(mb, pf, big), axis=-1)
+    f1 = jnp.where(f1 >= big, _NONE, f1)
+    f2 = jnp.min(jnp.where(mb & (pf > f1[..., None]) & (f1[..., None] >= 0),
+                           pf, big), axis=-1)
+    f2 = jnp.where(f2 >= big, _NONE, f2)
+    rev_sum = (f1, val_at(f1), f2, val_at(f2))
+
+    def exclusive(summ, reverse):
+        if reverse:
+            summ = tuple(jnp.flip(s, axis=1) for s in summ)
+        inc = lax.associative_scan(_combine, summ, axis=1)
+        exc = tuple(
+            jnp.concatenate(
+                [jnp.full_like(s[:, :1], _NONE if i % 2 == 0 else 0.0),
+                 s[:, :-1]], axis=1)
+            for i, s in enumerate(inc)
+        )
+        if reverse:
+            exc = tuple(jnp.flip(s, axis=1) for s in exc)
+        return jnp.stack(exc, axis=-1)
+
+    return nex, exclusive(fwd_sum, False), exclusive(rev_sum, True)
+
+
+def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
+                            fwd_prefix, rev_suffix, stop_a, stop_b, cont,
+                            rot3, pbase3, perr3, comp3, n: int, *,
+                            endpoint_mode: str = "reference",
+                            interpret: bool = False,
+                            out_levels=None, level_idx=None):
+    """One sift trip as ONE block-parallel kernel (see
+    ``_make_level_fused_kernel``); stop flags and the block folds arrive
+    precomputed from :func:`level_block_states`.  Returns
+    ``(base3, rot3, err3, row, comp3)``."""
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
+    sub = BLK // _LANES
+    main_map = lambda r, b, *_refs: (r, b, 0)
+    rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    row_into_levels = out_levels is not None
+    operands = [
+        fwd_prefix, rev_suffix, prev_edge, next_edge, b_first, b_last,
+        stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
+        cont.astype(jnp.float32),
+    ]
+    tensor_operands = [x3, rot3, pbase3, perr3, comp3]
+    if row_into_levels:
+        num_prefetch = 10
+        operands.append(jnp.asarray(level_idx, jnp.int32).reshape(1))
+        operands += tensor_operands + [out_levels]
+        in_specs = [rspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)]
+        row_spec = pl.BlockSpec(
+            (1, 1, sub, _LANES),
+            lambda r, b, *refs: (refs[9][0], r, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
+                                x3)
+        # x3->base, out_levels->row, pbase->rot, perr->err, comp->comp_out
+        aliases = {10: 0, 15: 3, 12: 1, 13: 2, 14: 4}
+    else:
+        num_prefetch = 9
+        operands += tensor_operands
+        in_specs = [rspec] * 5
+        row_spec = rspec
+        row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
+        aliases = {9: 0, 10: 3, 11: 1, 12: 2, 13: 4}
+    rgrid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_prefetch,
+        grid=(rows, nblk),
+        in_specs=in_specs,
+        out_specs=[rspec, rspec, rspec, row_spec, rspec],
+    )
+    return pl.pallas_call(
+        _make_level_fused_kernel(n, nblk, endpoint_mode,
+                                 row_4d=row_into_levels),
+        grid_spec=rgrid,
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
+        + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*operands)
+
+
 def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
                            rot3, pbase3, perr3, comp3, done, over_budget,
                            n: int, *, endpoint_mode: str = "reference",

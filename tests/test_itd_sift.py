@@ -204,3 +204,31 @@ def test_sift_emit_boundary_shapes():
     np.testing.assert_array_equal(
         np.asarray(a.rotations), np.asarray(b.rotations))
     assert int(a.num_components[0]) == int(b.num_components[0]) == 1
+
+
+def test_pallas_fused_backend_bit_identical():
+    """The one-kernel-per-level fused backend (auto default on TPU) is
+    bit-identical to the XLA loop and the two-kernel emit path, including
+    correction, baselines, stop bookkeeping, and NaN quarantine."""
+    rng = np.random.default_rng(2)
+    t = np.linspace(0, 2 * np.pi, 9000)  # non-BLK-multiple: padding
+    x = np.stack([
+        np.sin(20 * t) + 0.1 * rng.normal(size=t.size),
+        np.sin(7 * t) * (1 + 0.1 * t) + 0.05 * rng.normal(size=t.size),
+    ]).astype(np.float32)
+    x[1, 4000:4002] = np.nan
+    xj = jnp.asarray(x)
+    a = itd_sift(xj, 5, backend="pallas_fused")
+    b = itd_sift(xj, 5, backend="xla")
+    c = itd_sift(xj, 5, backend="pallas_emit")
+    for r in (b, c):
+        np.testing.assert_array_equal(np.asarray(a.rotations),
+                                      np.asarray(r.rotations))
+        np.testing.assert_array_equal(np.asarray(a.baselines),
+                                      np.asarray(r.baselines))
+        np.testing.assert_array_equal(np.asarray(a.num_components),
+                                      np.asarray(r.num_components))
+        np.testing.assert_array_equal(np.asarray(a.stop_reason),
+                                      np.asarray(r.stop_reason))
+        np.testing.assert_array_equal(np.asarray(a.correction),
+                                      np.asarray(r.correction))
