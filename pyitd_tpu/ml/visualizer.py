@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["MatrixDashboard", "flame_attention_panel"]
+__all__ = ["MatrixDashboard", "LiveSink", "flame_attention_panel"]
 
 _GREEN = np.array([60, 220, 100], np.float32)
 _ORANGE = np.array([240, 150, 40], np.float32)
@@ -82,6 +82,52 @@ class MatrixDashboard:
         from PIL import Image
 
         return Image.fromarray(self.render())
+
+    def live(self):
+        """Attach a live in-notebook sink (the reference's ipywidgets
+        ``Image`` display, ``visualizer.py:16-175``): returns a
+        :class:`LiveSink` whose ``push()`` re-renders into the displayed
+        widget after every ``update()``.  Requires ipywidgets; headless
+        environments keep using :meth:`update`/:meth:`render` directly."""
+        return LiveSink(self)
+
+
+class LiveSink:
+    """ipywidgets Image sink for :class:`MatrixDashboard` — "watch
+    training live" in a notebook.  Constructed via
+    :meth:`MatrixDashboard.live`; ``push(pred, target, loss)`` ingests a
+    step and refreshes the displayed widget in place."""
+
+    def __init__(self, dash: MatrixDashboard):
+        try:  # pragma: no cover - notebook-only dependency
+            import ipywidgets
+            from IPython.display import display
+        except ImportError as e:  # gate, don't fail import of this module
+            raise ImportError(
+                "MatrixDashboard.live() needs ipywidgets/IPython (notebook "
+                "environments); use update()/render() headlessly"
+            ) from e
+        self.dash = dash
+        self._widget = ipywidgets.Image(format="png")
+        self._display = display
+        self._shown = False
+
+    def _encode(self, frame) -> bytes:  # pragma: no cover - PIL path
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def push(self, pred, target, loss: float):  # pragma: no cover
+        frame = self.dash.update(pred, target, loss)
+        self._widget.value = self._encode(frame)
+        if not self._shown:
+            self._display(self._widget)
+            self._shown = True
+        return frame
 
 
 def flame_attention_panel(attn: np.ndarray, cell: int = 4) -> np.ndarray:

@@ -687,19 +687,91 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
     return kernel
 
 
+def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
+                              nm1, is_final_sample, b_first, b_last,
+                              endpoint_mode, stop_a, stop_b, cont,
+                              rotp_ref, pbase_ref, perr_ref, comp_ref,
+                              base_ref, rot_ref, err_ref, row_ref,
+                              compo_ref, row_4d):
+    """Shared body of the one-kernel fused level (single-chip and
+    sharded): seeded forward/reverse block scans, the interpolation
+    epilogue, and the sift row/compensation bookkeeping."""
+    sub = x.shape[0]
+    fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
+                            rows=sub)
+    f1p, f1x, f2p, f2x = _mask_outputs(fstate)
+
+    rstate, _ = _block_scan(state0, reverse=True, carry_in=rev_in,
+                            rows=sub)
+    shifted = tuple(
+        _roll_next(s, c, row, lane) for s, c in zip(rstate, rev_in)
+    )
+    n1p, n1x, n2p, n2x = _mask_outputs(shifted)
+
+    def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+        span = rpos - lpos
+        w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
+        formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+        return jnp.where(is_first, end_val, formula)
+
+    b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+    b_l = jnp.where(f1p == nm1, b_last, b_l)
+    b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
+
+    den = n1x - f1x
+    slope = jnp.where(
+        den == 0,
+        jnp.zeros_like(den),
+        (b_r - b_l) / jnp.where(den == 0, jnp.ones_like(den), den),
+    )
+    baseline = b_l + slope * (x - f1x)
+    if endpoint_mode == "reference":
+        baseline = jnp.where(is_final_sample, jnp.zeros_like(baseline),
+                             baseline)
+    base_ref[0] = baseline
+
+    rot = x - baseline
+    bb = rot - x
+    err = (x - (rot - bb)) + ((-baseline) - bb)
+    rot_ref[0] = rot
+    err_ref[0] = err
+
+    # --- sift bookkeeping for the PREVIOUS extraction's outputs ---
+    rotp = rotp_ref[0]
+    res_sum = rotp + x
+    rbb = res_sum - rotp
+    res_err = (rotp - (res_sum - rbb)) + (x - rbb)
+
+    zero = jnp.zeros_like(x)
+    residual = jnp.where(stop_a, pbase_ref[0], res_sum)
+    row_val = jnp.where(
+        stop_a | stop_b, residual, jnp.where(cont, rotp, zero)
+    )
+    if row_4d:
+        row_ref[0, 0] = row_val
+    else:
+        row_ref[0] = row_val
+    perr = perr_ref[0]
+    compo_ref[0] = (
+        comp_ref[0]
+        + jnp.where(cont | stop_b, perr, zero)
+        + jnp.where(stop_b, res_err, zero)
+    )
+
+
+@lru_cache(maxsize=None)
 def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
                              row_4d: bool = False):
     """ONE kernel per sift level: both direction scans + epilogue + emit.
 
     The cross-block fill states arrive PRE-FOLDED per block via scalar
-    prefetch (``fwd_prefix``/``rev_suffix``, (rows, nblk, 4)), so there is
-    no SMEM carry and no sequential grid dependency: the knot state is
-    derived once, the forward scan is seeded with the block's exclusive
-    prefix, the reverse scan with its exclusive suffix, and the
+    prefetch (``fwd_prefix``/``rev_suffix``, flattened (rows, nblk*4)), so
+    there is no SMEM carry and no sequential grid dependency: the knot
+    state is derived once, the forward scan is seeded with the block's
+    exclusive prefix, the reverse scan with its exclusive suffix, and the
     interpolation + sift bookkeeping run in-register.  Vs the two-kernel
     level this removes the 4-channel forward-fill HBM round trip (32 B per
     sample), one knot-state derivation, and one kernel launch."""
-    sub = BLK // _LANES
     nm1 = float(n_real - 1)
 
     def kernel(fp_ref, rs_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
@@ -717,74 +789,16 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
         pos, row, lane, _, state0 = _knot_state(
             x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
         )
-        fwd_in = tuple(fp_ref[r, blk, i] for i in range(4))
-        fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
-                                rows=sub)
-        f1p, f1x, f2p, f2x = _mask_outputs(fstate)
-
-        rev_in = tuple(rs_ref[r, blk, i] for i in range(4))
-        rstate, _ = _block_scan(state0, reverse=True, carry_in=rev_in,
-                                rows=sub)
-        shifted = tuple(
-            _roll_next(s, c, row, lane) for s, c in zip(rstate, rev_in)
-        )
-        n1p, n1x, n2p, n2x = _mask_outputs(shifted)
-
-        b_first = bfirst_ref[r]
-        b_last = blast_ref[r]
-
-        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
-            span = rpos - lpos
-            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
-            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
-            return jnp.where(is_first, end_val, formula)
-
-        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
-        b_l = jnp.where(f1p == nm1, b_last, b_l)
-        b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
-
-        den = n1x - f1x
-        slope = jnp.where(
-            den == 0,
-            jnp.zeros_like(den),
-            (b_r - b_l) / jnp.where(den == 0, jnp.ones_like(den), den),
-        )
-        baseline = b_l + slope * (x - f1x)
-        if endpoint_mode == "reference":
-            baseline = jnp.where(pos == n_real - 1,
-                                 jnp.zeros_like(baseline), baseline)
-        base_ref[0] = baseline
-
-        rot = x - baseline
-        bb = rot - x
-        err = (x - (rot - bb)) + ((-baseline) - bb)
-        rot_ref[0] = rot
-        err_ref[0] = err
-
-        # --- sift bookkeeping for the PREVIOUS extraction's outputs ---
-        stop_a = fa_ref[r] != 0
-        stop_b = fb_ref[r] != 0
-        cont = fc_ref[r] != 0
-        rotp = rotp_ref[0]
-        res_sum = rotp + x
-        rbb = res_sum - rotp
-        res_err = (rotp - (res_sum - rbb)) + (x - rbb)
-
-        zero = jnp.zeros_like(x)
-        residual = jnp.where(stop_a, pbase_ref[0], res_sum)
-        row_val = jnp.where(
-            stop_a | stop_b, residual, jnp.where(cont, rotp, zero)
-        )
-        if row_4d:
-            row_ref[0, 0] = row_val
-        else:
-            row_ref[0] = row_val
-        perr = perr_ref[0]
-        compo_ref[0] = (
-            comp_ref[0]
-            + jnp.where(cont | stop_b, perr, zero)
-            + jnp.where(stop_b, res_err, zero)
-        )
+        # folds are flattened (rows, nblk*4): a trailing size-4 SMEM dim
+        # would be lane-padded to 128 (~32x SMEM waste -> OOM at 1M)
+        fwd_in = tuple(fp_ref[r, blk * 4 + i] for i in range(4))
+        rev_in = tuple(rs_ref[r, blk * 4 + i] for i in range(4))
+        _fused_scans_and_epilogue(
+            x, state0, pos, row, lane, fwd_in, rev_in, nm1,
+            pos == n_real - 1, bfirst_ref[r], blast_ref[r], endpoint_mode,
+            fa_ref[r] != 0, fb_ref[r] != 0, fc_ref[r] != 0,
+            rotp_ref, pbase_ref, perr_ref, comp_ref,
+            base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d)
 
     return kernel
 
@@ -852,7 +866,8 @@ def level_block_states(x3, n: int):
         )
         if reverse:
             exc = tuple(jnp.flip(s, axis=1) for s in exc)
-        return jnp.stack(exc, axis=-1)
+        # flattened (rows, nblk*4) for SMEM prefetch (see the kernel)
+        return jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
 
     return nex, exclusive(fwd_sum, False), exclusive(rev_sum, True)
 

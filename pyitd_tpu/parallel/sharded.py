@@ -281,43 +281,6 @@ def _shard_halos(flat, axis_name, rank, size, both):
     return halo_l, halo_r
 
 
-def _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global):
-    """Shard-local ITD knot mask — must stay formula-identical to
-    ``ops.pallas_fill_sharded._knot_state_sharded`` (the kernels re-derive
-    it in-register; this XLA copy feeds the summaries and extrema count)."""
-    xm1 = jnp.concatenate([halo_l[:, None], flat[:, :-1]], axis=-1)
-    xp1 = jnp.concatenate([flat[:, 1:], halo_r[:, None]], axis=-1)
-    dxb = jnp.where(jnp.isnan(flat - xm1), jnp.inf, flat - xm1)
-    dxf = jnp.where(jnp.isnan(xp1 - flat), jnp.inf, xp1 - flat)
-    near_nan = jnp.isnan(flat) | jnp.isnan(xm1) | jnp.isnan(xp1)
-    interior = (gpos > 0) & (gpos < n_global - 1)
-    is_min = (dxb <= 0) & (dxf > 0)
-    is_max = (dxb >= 0) & (dxf < 0)
-    return ((is_min | is_max) & interior & ~near_nan) | (gpos == 0) | (
-        gpos == n_global - 1
-    )
-
-
-def _shard_summaries(flat, mask, gposf, n_global):
-    """Sign-encoded per-shard fill interface states: the last two and
-    first two knots of this shard as (p1, x1, p2, x2) scalars per row
-    (position ``-1`` = fewer knots than slots)."""
-    none = jnp.float32(-1.0)
-    l1 = jnp.max(jnp.where(mask, gposf, none), axis=-1)
-    v1 = jnp.sum(jnp.where(mask & (gposf == l1[:, None]), flat, 0.0), axis=-1)
-    l2 = jnp.max(jnp.where(mask & (gposf < l1[:, None]), gposf, none), axis=-1)
-    v2 = jnp.sum(jnp.where(mask & (gposf == l2[:, None]), flat, 0.0), axis=-1)
-    big = jnp.float32(n_global + 1)
-    f1 = jnp.min(jnp.where(mask, gposf, big), axis=-1)
-    f1 = jnp.where(f1 >= big, none, f1)
-    w1 = jnp.sum(jnp.where(mask & (gposf == f1[:, None]), flat, 0.0), axis=-1)
-    f2 = jnp.min(jnp.where(mask & (gposf > f1[:, None]) & (f1[:, None] >= 0),
-                           gposf, big), axis=-1)
-    f2 = jnp.where(f2 >= big, none, f2)
-    w2 = jnp.sum(jnp.where(mask & (gposf == f2[:, None]), flat, 0.0), axis=-1)
-    return (l1, v1, l2, v2), (f1, w1, f2, w2)
-
-
 def _fold_states(summary, rank, size, axis_name, both, reverse):
     """Cross-shard exclusive fill-state prefix (forward) / suffix
     (reverse): all_gather the 4-scalar summaries and fold the fill2
@@ -351,15 +314,16 @@ def _block_edges(base3, rows, nblk, sub, lanes):
 
 def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
                        interpret):
-    """Sequence-parallel sift trip loop on the Pallas level kernels.
+    """Sequence-parallel sift trip loop on the fused Pallas level kernel.
 
-    Same loop semantics as ``_sift_local`` / ``decomp.itd._itd_sift_emit``;
-    big arrays stay in the kernels' padded 3-D layout across trips and the
+    Same loop semantics as ``_sift_local`` / ``decomp.itd._itd_sift_fused``;
+    big arrays stay in the kernel's padded 3-D layout across trips and the
     output row is written in place (aliased 4-D output, dynamic level
-    index)."""
-    from ..ops.pallas_fill import BLK, _LANES, _pad_edges
-    from ..ops.pallas_fill_sharded import (
-        sharded_fill2_fwd, sharded_sift_level_emit)
+    index).  Per trip: one XLA mask/summary pass (which also yields the
+    extrema count and the per-block fill-state folds, seeded with the
+    cross-shard states), then ONE block-parallel kernel."""
+    from ..ops.pallas_fill import BLK, _LANES, _combine, _pad_edges
+    from ..ops.pallas_fill_sharded import sharded_sift_level_fused
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -375,73 +339,131 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     sub = BLK // _LANES
     x3 = _vary(x3, both)
 
-    # global-position iota over the PADDED layout, for the extrema count
-    # (knots are < n_global, padded positions are not, so no false hits)
-    gpos_pad = _vary(
-        lax.broadcasted_iota(jnp.float32, (rows, npad), 1), both
-    ) + off[0].astype(jnp.float32)
+    nblk_ = npad // BLK
     sentinel = _vary(
         jnp.tile(jnp.asarray([-1.0, 0.0, -1.0, 0.0], jnp.float32),
                  (rows, 1)), both)
 
-    def pre(base3):
-        """Per-trip cross-shard interface: halos, fill prefix/suffix,
-        global end-knot values.  On a 1-shard mesh the prefix/suffix are
-        statically the sentinel state, so the whole XLA summary pass +
-        all_gather fold disappears and the flow matches single-chip."""
-        flat = base3.reshape(rows, npad)[:, :n_loc]
-        halo_l, halo_r = _shard_halos(flat, axis_name, rank, size, both)
-        if size > 1:
-            gpos = _vary(
-                lax.broadcasted_iota(jnp.int32, flat.shape, 1), both
-            ) + off[0]
-            mask = _shard_knot_mask(flat, halo_l, halo_r, gpos, n_global)
-            fwd_sum, rev_sum = _shard_summaries(flat, mask, gpos.astype(
-                jnp.float32), n_global)
-            fwd_prefix = _fold_states(fwd_sum, rank, size, axis_name, both,
-                                      reverse=False)
-            rev_suffix = _fold_states(rev_sum, rank, size, axis_name, both,
-                                      reverse=True)
-        else:
-            fwd_prefix = rev_suffix = sentinel
-        bf = lax.psum(jnp.where(_vary(rank == 0, both),
-                                0.5 * (flat[:, 0] + flat[:, 1]), 0.0),
-                      axis_name)
-        bl = lax.psum(jnp.where(_vary(rank == size - 1, both),
-                                0.5 * (flat[:, -2] + flat[:, -1]), 0.0),
-                      axis_name)
-        return (halo_l, halo_r, fwd_prefix, rev_suffix,
-                _vary(bf, both), _vary(bl, both))
+    def block_states(flat_pad, halo_l, halo_r):
+        """Sharded twin of ``pallas_fill.level_block_states``: knot mask
+        over the padded flat shard (halo-patched, global positions —
+        formula-identical to ``_knot_state_sharded``), the shard's
+        extrema-mark count, per-block summaries + local exclusive folds,
+        and the shard-level inclusive summaries (= fold of all blocks,
+        the cross-shard interface states)."""
+        it = lax.broadcasted_iota(jnp.int32, flat_pad.shape, 1)
+        gposf = _vary(it.astype(jnp.float32), both) + off[0].astype(
+            jnp.float32)
+        xm1 = jnp.concatenate([flat_pad[:, :1], flat_pad[:, :-1]], axis=-1)
+        xm1 = jnp.where(it == 0, halo_l[:, None], xm1)
+        xp1 = jnp.concatenate([flat_pad[:, 1:], flat_pad[:, -1:]], axis=-1)
+        xp1 = jnp.where(it == n_loc - 1, halo_r[:, None], xp1)
+        dxb = jnp.where(jnp.isnan(flat_pad - xm1), jnp.inf, flat_pad - xm1)
+        dxf = jnp.where(jnp.isnan(xp1 - flat_pad), jnp.inf, xp1 - flat_pad)
+        near_nan = (jnp.isnan(flat_pad) | jnp.isnan(xm1) | jnp.isnan(xp1))
+        gpos = it + off[0]
+        valid = it < n_loc
+        interior = (gpos > 0) & (gpos < n_global - 1) & valid
+        m = ((((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0)))
+             & interior & ~near_nan) | (
+            valid & ((gpos == 0) | (gpos == n_global - 1)))
+        marks = jnp.sum(m, axis=-1).astype(jnp.int32)
 
-    def level(base3, pe, ne, halos_etc, rot3, pbase3, perr3, comp3,
+        mb = m.reshape(rows, nblk_, BLK)
+        xb = flat_pad.reshape(rows, nblk_, BLK)
+        pf = gposf.reshape(rows, nblk_, BLK)
+
+        def val_at(p):
+            return jnp.sum(jnp.where(mb & (pf == p[..., None]), xb, 0.0),
+                           axis=-1)
+
+        none = jnp.float32(-1.0)
+        l1 = jnp.max(jnp.where(mb, pf, none), axis=-1)
+        l2 = jnp.max(jnp.where(mb & (pf < l1[..., None]), pf, none),
+                     axis=-1)
+        fwd_sum = (l1, val_at(l1), l2, val_at(l2))
+        big = jnp.float32(n_global + npad + 1)
+        f1 = jnp.min(jnp.where(mb, pf, big), axis=-1)
+        f1 = jnp.where(f1 >= big, none, f1)
+        f2 = jnp.min(jnp.where(mb & (pf > f1[..., None])
+                               & (f1[..., None] >= 0), pf, big), axis=-1)
+        f2 = jnp.where(f2 >= big, none, f2)
+        rev_sum = (f1, val_at(f1), f2, val_at(f2))
+
+        def fold(summ, reverse):
+            if reverse:
+                summ = tuple(jnp.flip(s, axis=1) for s in summ)
+            inc = lax.associative_scan(_combine, summ, axis=1)
+            exc = tuple(
+                jnp.concatenate(
+                    [jnp.full_like(s[:, :1], -1.0 if i % 2 == 0 else 0.0),
+                     s[:, :-1]], axis=1)
+                for i, s in enumerate(inc)
+            )
+            shard_total = tuple(s[:, -1] for s in inc)
+            if reverse:
+                exc = tuple(jnp.flip(s, axis=1) for s in exc)
+            return exc, shard_total
+
+        exc_f, tot_f = fold(fwd_sum, False)
+        exc_r, tot_r = fold(rev_sum, True)
+        return marks, (exc_f, tot_f), (exc_r, tot_r)
+
+    def seed(exc, shard_state):
+        """Combine the cross-shard state into every block's local fold
+        (it is farther than anything local, so local marks win)."""
+        seeded = _combine(
+            tuple(shard_state[:, i : i + 1] for i in range(4)), exc)
+        return jnp.stack(seeded, axis=-1).reshape(rows, nblk_ * 4)
+
+    def level(base3, pe, ne, bf, bl, rot3, pbase3, perr3, comp3,
               out_rot, static_i, done, over_budget):
-        """One trip: forward fill, extrema count + stop flags from its
-        channels (one fused reduce, like the single-chip emit path), then
-        the fused emit kernel."""
-        halo_l, halo_r, fwd_prefix, rev_suffix, bf, bl = halos_etc
-        fwd3 = sharded_fill2_fwd(base3, pe, ne, off, halo_l, halo_r,
-                                 fwd_prefix, n_loc, n_global,
-                                 interpret=interpret)
-        marks = jnp.sum(fwd3[0].reshape(rows, npad) == gpos_pad,
-                        axis=-1).astype(jnp.int32)
+        """One trip: XLA mask/summary pass (extrema count, block folds,
+        shard interface states), cross-shard fold, stop flags, then ONE
+        fused kernel."""
+        flat_pad = base3.reshape(rows, npad)
+        halo_l, halo_r = _shard_halos(flat_pad[:, :n_loc], axis_name,
+                                      rank, size, both)
+        marks, (exc_f, tot_f), (exc_r, tot_r) = block_states(
+            flat_pad, halo_l, halo_r)
+        if size > 1:
+            shard_prefix = _fold_states(tot_f, rank, size, axis_name, both,
+                                        reverse=False)
+            shard_suffix = _fold_states(tot_r, rank, size, axis_name, both,
+                                        reverse=True)
+        else:
+            shard_prefix = shard_suffix = sentinel
+        fp = seed(exc_f, shard_prefix)
+        rs = seed(exc_r, shard_suffix)
         nex = lax.psum(marks, axis_name) - 2
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & over_budget
         cont = (~done) & (~stop_a) & (~stop_b)
-        outs = sharded_sift_level_emit(
-            base3, fwd3, pe, ne, off, halo_l, halo_r, rev_suffix, bf, bl,
+        outs = sharded_sift_level_fused(
+            base3, pe, ne, off, halo_l, halo_r, fp, rs, bf, bl,
             _vary(stop_a, both), _vary(stop_b, both), _vary(cont, both),
             rot3, pbase3, perr3, comp3, n_loc, n_global,
             endpoint_mode=endpoint_mode, interpret=interpret,
             out_levels=out_rot, level_idx=static_i)
         return outs, (stop_a, stop_b)
 
+    def end_knots(base3):
+        flat = base3.reshape(rows, npad)
+        bf = lax.psum(jnp.where(_vary(rank == 0, both),
+                                0.5 * (flat[:, 0] + flat[:, 1]), 0.0),
+                      axis_name)
+        bl = lax.psum(
+            jnp.where(_vary(rank == size - 1, both),
+                      0.5 * (flat[:, n_loc - 2] + flat[:, n_loc - 1]),
+                      0.0), axis_name)
+        return _vary(bf, both), _vary(bl, both)
+
     # initial extraction: flags all false -> row/compensation outputs inert
     zero3 = _vary(jnp.zeros_like(x3), both)
     tdone = _vary(jnp.ones((rows,), bool), ("data",))
-    h = pre(x3)
+    bf, bl = end_knots(x3)
     (base3, rot3, perr3, _row, _c), _ = level(
-        x3, pe, ne, h, zero3, zero3, zero3, zero3, None, None,
+        x3, pe, ne, bf, bl, zero3, zero3, zero3, zero3, None, None,
         tdone, jnp.asarray(False))
 
     out_rot = _vary(jnp.zeros((levels,) + x3.shape, jnp.float32), both)
@@ -452,12 +474,12 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     comp3 = zero3
 
     for i in range(levels):
-        h = pre(base3)
+        bf, bl = end_knots(base3)
         pe, ne = _block_edges(base3, rows, nblk, sub, _LANES)
         over = jnp.broadcast_to(jnp.asarray(i >= max_iteration + 1),
                                 done.shape)
         (new_base, new_rot, new_err, out_rot, comp3), (stop_a, stop_b) = \
-            level(base3, pe, ne, h, rot3, prev_base3, perr3, comp3,
+            level(base3, pe, ne, bf, bl, rot3, prev_base3, perr3, comp3,
                   out_rot, i, done, over)
         stopping = stop_a | stop_b
         ncomp = jnp.where(stopping, i + 1, ncomp)
