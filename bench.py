@@ -23,14 +23,33 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache (same as tests/conftest.py): the sift's
+    # Pallas modules are expensive to compile over the remote relay; cache
+    # them on disk keyed by HLO hash so only the first-ever run of a given
+    # code state pays the cold compile.  Reported honestly below.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax
+        cache_dir = None
+
     import jax.numpy as jnp
 
     from pyitd_tpu import itd_sift
     from pyitd_tpu.utils.summation import neumaier_sum_parts
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    n_cached = (len(os.listdir(cache_dir)) if cache_dir and
+                os.path.isdir(cache_dir) else 0)
+    print(f"device: {dev} (persistent cache: {n_cached} entries)",
+          file=sys.stderr)
 
     batch, n, max_iteration = 8, 1_000_000, 8  # 10 sift levels incl. residual
     rng = np.random.default_rng(0)

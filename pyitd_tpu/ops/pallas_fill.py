@@ -21,6 +21,7 @@ block end restores the scan backend's zero-defaults exactly).
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -39,6 +40,10 @@ __all__ = [
 BLK = 8192
 _LANES = 128
 _NONE = -1.0  # "no mark yet" sentinel in the position channels
+
+# diagnostic escape hatch: disable all input->output buffer donation in the
+# sift kernels (set PYITD_NO_ALIAS=1) to isolate aliasing from numerics
+_NO_ALIAS = bool(os.environ.get("PYITD_NO_ALIAS"))
 
 
 def _out_struct(shape, dtype, *operands):
@@ -112,6 +117,36 @@ def _doubling_scan(state, axis: int, steps: int, reverse: bool):
     return state
 
 
+def _doubling_scan_rolled(state, axis: int, steps: int, reverse: bool):
+    """``_doubling_scan`` as a ``fori_loop`` with dynamic roll amounts.
+
+    Bit-identical arithmetic (same shifts, same combine) but the Mosaic
+    module holds ONE loop body instead of ``steps`` unrolled rounds —
+    the fused level kernel's unrolled form pushed Mosaic compile time
+    superlinearly (~150 s per module vs ~10 s for the smaller emit
+    kernel)."""
+    size = state[0].shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, state[0].shape, axis)
+
+    def body(s, st):
+        k = jnp.int32(1) << s
+        if reverse:
+            keep = idx < size - k
+            sh = jnp.int32(size) - k
+        else:
+            keep = idx >= k
+            sh = k
+        prev = []
+        for i, a in enumerate(st):
+            rolled = pltpu.roll(a, sh, axis)
+            if i % 2 == 0:  # position channel: sentinel at the border
+                rolled = jnp.where(keep, rolled, jnp.full_like(a, _NONE))
+            prev.append(rolled)
+        return _combine(tuple(prev), st)
+
+    return lax.fori_loop(0, steps, body, state)
+
+
 def _mask_outputs(state):
     """Restore the scan backend's defaults: zero wherever no mark exists."""
     has1 = state[0] >= 0
@@ -124,19 +159,28 @@ def _mask_outputs(state):
     )
 
 
-def _block_scan(state, reverse: bool, carry_in, rows: int):
+def _block_scan(state, reverse: bool, carry_in, rows: int,
+                rolled: str | bool = False):
     """Hierarchical in-VMEM fill of one (rows, 128) block.
 
     ``carry_in`` is the exclusive cross-block prefix (4 scalars); returns
     the inclusive state and the carry for the next block (the state at this
-    block's scan-order-last element)."""
+    block's scan-order-last element).  ``rolled`` runs doubling rounds as
+    ``fori_loop``s (same arithmetic, much smaller Mosaic module — see
+    ``_doubling_scan_rolled``): ``True`` rolls both stages (cheapest
+    compile, but dynamic lane rotates cost ~80% runtime at 8x1M);
+    ``"sublane"`` rolls only the tiny (rows, 1) summary stage — the lane
+    stage keeps its fast static rolls while the module shrinks enough to
+    tame Mosaic's superlinear compile."""
+    lane_scan = _doubling_scan_rolled if rolled is True else _doubling_scan
+    sub_scan = _doubling_scan_rolled if rolled else _doubling_scan
     # stage 1: within each 128-lane row
-    state = _doubling_scan(state, axis=1, steps=7, reverse=reverse)
+    state = lane_scan(state, axis=1, steps=7, reverse=reverse)
 
     # stage 2: row summaries (full-row reductions) across sublanes
     edge = 0 if reverse else _LANES - 1
     summ = tuple(s[:, edge : edge + 1] for s in state)  # (rows, 1)
-    pref = _doubling_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
+    pref = sub_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
     pref = _shifted(pref, 1, 0, reverse)  # exclusive
 
     # stage 3: row prefixes, then the cross-block carry
@@ -697,6 +741,11 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
     sharded): seeded forward/reverse block scans, the interpolation
     epilogue, and the sift row/compensation bookkeeping."""
     sub = x.shape[0]
+    # unrolled scans: the rolled variants compile much faster but cost
+    # 30-80% runtime (dynamic rotates); the one-time Mosaic compile of the
+    # big unrolled module is absorbed by the persistent compilation cache
+    # (bench.py / tests enable it).  Measured at 8x1M, same chip era:
+    # unrolled 33.8 ms/sift, sublane-rolled 52.4, fully-rolled 61.6.
     fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
                             rows=sub)
     f1p, f1x, f2p, f2x = _mask_outputs(fstate)
@@ -907,15 +956,24 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
-        # x3->base, out_levels->row, pbase->rot, perr->err, comp->comp_out
-        aliases = {10: 0, 15: 3, 12: 1, 13: 2, 14: 4}
+        # STRUCTURAL aliases only: x3->base (the input dies), and
+        # out_levels->row (REQUIRED - the in-place row write passes the
+        # unwritten levels through via the shared buffer).  Carry aliases
+        # (pbase->rot, perr->err, comp->comp_out) are deliberately NOT
+        # used: on-chip, XLA's copy insertion around must-aliased custom
+        # calls proved unreliable (outputs ended up sharing memory and
+        # the pending-err channel corrupted by ~1 ulp of the signal;
+        # verified by an aliasing-ablation A/B), and dropping them costs
+        # no bandwidth - only buffer reuse, which XLA's assigner recovers
+        # from liveness anyway.
+        aliases = {10: 0, 15: 3}
     else:
         num_prefetch = 9
         operands += tensor_operands
         in_specs = [rspec] * 5
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {9: 0, 10: 3, 11: 1, 12: 2, 13: 4}
+        aliases = {9: 0}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
@@ -928,7 +986,7 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
-        input_output_aliases=aliases,
+        input_output_aliases={} if _NO_ALIAS else aliases,
         interpret=interpret,
     )(*operands)
 
@@ -982,11 +1040,8 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         cont.astype(jnp.float32),
     ]
     tensor_operands = [x3, *fwd3, rot3, pbase3, perr3, comp3]
-    # donate every input buffer that dies at this call (alias indices count
-    # every operand, scalar-prefetch ones first): f1p->base, rot->row (or
-    # the whole levels buffer when writing in place), prev_base->rot,
-    # pending_err->err, comp->comp_out — the unrolled sift's buffers then
-    # stay in place across trips.
+    # structural aliases only (see sift_level_fused_padded): f1p->base
+    # (dies here) and out_levels->row when writing in place.
     if row_into_levels:
         # the sift's output buffer rides along unpiped (ANY memory
         # space); the row output writes only level `level_idx`'s blocks
@@ -1004,7 +1059,8 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
-        aliases = {9: 0, 17: 3, 14: 1, 15: 2, 16: 4}
+        # structural aliases only - see sift_level_fused_padded
+        aliases = {9: 0, 17: 3}
         # rot3 (input 13) still dies here but its shape no longer matches
         # the row output; leave it undonated.
     else:
@@ -1013,7 +1069,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         in_specs = [rspec] * 9
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {8: 0, 12: 3, 13: 1, 14: 2, 15: 4}
+        aliases = {8: 0}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
@@ -1027,7 +1083,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
-        input_output_aliases=aliases,
+        input_output_aliases={} if _NO_ALIAS else aliases,
         interpret=interpret,
     )(*operands)
     base3, rot_out, err3, row3, comp_out = outs

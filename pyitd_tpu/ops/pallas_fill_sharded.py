@@ -162,15 +162,15 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
-        # x3->base, out_levels->row, pbase->rot, perr->err, comp->comp_out
-        aliases = {13: 0, 18: 3, 15: 1, 16: 2, 17: 4}
+        # structural aliases only - see pallas_fill.sift_level_fused_padded
+        aliases = {13: 0, 18: 3}
     else:
         num_prefetch = 12
         operands += tensor_operands
         in_specs = [rspec] * 5
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {12: 0, 13: 3, 14: 1, 15: 2, 16: 4}
+        aliases = {12: 0}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
