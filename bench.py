@@ -62,36 +62,48 @@ def main():
     )
     x = jnp.asarray(sigs, dtype=jnp.float32)
 
+    # ONE jitted program for everything: the chain length is a TRACED
+    # fori_loop bound (so lo/hi chains share the compile), and the
+    # reconstruction checks run via lax.cond on the chain's last
+    # iteration only (present in both chain lengths, so the differencing
+    # cancels their cost).  The relay-side Mosaic compile of the fused
+    # sift kernel is expensive and not reliably cached, so compiling one
+    # program instead of three is the difference between ~minutes and
+    # ~ten minutes cold.
     @jax.jit
-    def check(a):
-        res = itd_sift(a, max_iteration, store_baselines=False)
-        s, c = neumaier_sum_parts(res.rotations, axis=0)
-        err = jnp.max(jnp.abs((s + c) - a))  # fast-path (f32) error
-        # verify path: s - a is exact where s ~ a (Sterbenz), so adding the
-        # Neumaier residual and the sift's telescoping correction recovers
-        # the true reconstruction error to ~1 ulp of the correction itself
-        err_comp = jnp.max(jnp.abs((s - a) + (c + res.correction)))
-        return err, err_comp, jnp.max(res.num_components)
+    def run(a, salt, inner):
+        def body(i, carry):
+            acc, seed, err, err_comp, ncomp = carry
+            ai = a + (salt + seed * 1e-12)
+            res = itd_sift(ai, max_iteration, store_baselines=False)
+            cs = jnp.sum(res.rotations[0, :, ::65536]) + jnp.sum(
+                res.num_components
+            ).astype(jnp.float32)
 
-    def timed(inner):
-        @jax.jit
-        def run(a, salt):
-            def body(i, carry):
-                acc, seed = carry
-                res = itd_sift(a + (salt + seed * 1e-12), max_iteration,
-                               store_baselines=False)
-                cs = jnp.sum(res.rotations[0, :, ::65536]) + jnp.sum(
-                    res.num_components
-                )
-                return acc + cs, cs * 1e-9
-            acc, _ = jax.lax.fori_loop(
-                0, inner, body, (jnp.float32(0), jnp.float32(0))
-            )
-            return acc
-        return run
+            def check(_):
+                s, c = neumaier_sum_parts(res.rotations, axis=0)
+                e = jnp.max(jnp.abs((s + c) - ai))  # fast-path (f32) error
+                # verify path: s - ai is exact where s ~ ai (Sterbenz), so
+                # adding the Neumaier residual and the sift's telescoping
+                # correction recovers the true reconstruction error to
+                # ~1 ulp of the correction itself
+                ec = jnp.max(jnp.abs((s - ai) + (c + res.correction)))
+                return e, ec, jnp.max(res.num_components)
+
+            err, err_comp, ncomp = jax.lax.cond(
+                i == inner - 1, check,
+                lambda _: (err, err_comp, ncomp), None)
+            return acc + cs, cs * 1e-9, err, err_comp, ncomp
+
+        acc, _, err, err_comp, ncomp = jax.lax.fori_loop(
+            0, inner, body,
+            (jnp.float32(0), jnp.float32(0), jnp.float32(0),
+             jnp.float32(0), jnp.int32(0)),
+        )
+        return acc, err, err_comp, ncomp
 
     t0 = time.time()
-    err, err_comp, ncomp = check(x)
+    _, err, err_comp, ncomp = jax.block_until_ready(run(x, 0.0, 1))
     err_f = float(err)
     print(f"compile+check run: {time.time()-t0:.2f}s", file=sys.stderr)
     print(
@@ -101,14 +113,12 @@ def main():
     )
 
     lo_n, hi_n = 1, 6
-    lo, hi = timed(lo_n), timed(hi_n)
-    float(lo(x, 0.0))  # compile
-    float(hi(x, 1.0))
+    float(run(x, 1.0, hi_n)[0])  # warm both chain lengths
     best = np.inf
     acc = 0.0
     for r in range(3):
-        t0 = time.time(); acc += float(lo(x, 2.0 + r)); t_lo = time.time() - t0
-        t0 = time.time(); acc += float(hi(x, 5.0 + r)); t_hi = time.time() - t0
+        t0 = time.time(); acc += float(run(x, 2.0 + r, lo_n)[0]); t_lo = time.time() - t0
+        t0 = time.time(); acc += float(run(x, 5.0 + r, hi_n)[0]); t_hi = time.time() - t0
         best = min(best, (t_hi - t_lo) / (hi_n - lo_n))
     dt = best
     msamp = batch * n / dt / 1e6

@@ -92,13 +92,23 @@ def itd_sift(
 ) -> SiftResult:
     """Full canonical sift of ``x`` (last axis = time; leading axes = batch).
 
-    ``backend``: "auto" picks the fused Pallas emit path on TPU for large
-    f32 inputs (per-trip bookkeeping — output row, residual selects,
-    compensation, extrema count — happens inside the level kernel) and the
-    portable XLA carry loop elsewhere; "xla" / "pallas_emit" force one.
-    The emit path is differentiable: its Pallas kernels have no JVP rule,
-    so a custom VJP recomputes the backward pass through the XLA loop
-    (numerically matching; costs one extra XLA-path forward on grad).
+    ``backend``:
+
+    * "auto" — "pallas_fused" on TPU for large f32 inputs, "xla" elsewhere;
+    * "pallas_fused" — ONE block-parallel kernel per level (both direction
+      scans seeded from an XLA per-block fill-state fold, epilogue and
+      sift bookkeeping in-register; the forward fill channels never touch
+      HBM).  Fastest; the big Mosaic module compiles slowly cold;
+    * "pallas_emit" — the two-kernel level (forward fill with SMEM carry
+      + fused reverse/emit kernel).  ~20% slower, compiles fast;
+    * "xla" — the portable carry loop (every backend, every dtype).
+
+    All backends are bit-identical (pinned in tests).  The Pallas paths
+    are differentiable: their kernels have no JVP rule, so a custom VJP
+    recomputes the backward pass through the XLA loop (numerically
+    matching; costs one extra XLA-path forward on grad).  ``early_exit``
+    (emit path only) opts into a while_loop that skips trips once every
+    batch row has stopped.
     """
     if backend == "auto":
         on_tpu = (
