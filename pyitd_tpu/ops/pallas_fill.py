@@ -852,6 +852,69 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
     return kernel
 
 
+def _top2_comp(direction: int):
+    """Commutative top-2-by-position reduction computation for
+    ``lax.reduce``: merges two (p1, v1, p2, v2) states (each internally
+    ordered, p1 the most extreme) into the two most extreme positions of
+    the union with their values.  ``direction`` +1 keeps the LARGEST
+    positions (sentinel -1 = empty slot), -1 the SMALLEST (sentinel must
+    be larger than any real position).  Commutative because positions are
+    unique (sentinel ties resolve to identical (sentinel, 0) states), so
+    XLA's unspecified reduction order is safe."""
+    def comp(a, b):
+        a1p, a1v, a2p, a2v = a
+        b1p, b1v, b2p, b2v = b
+        if direction > 0:
+            take_b1 = b1p > a1p
+        else:
+            take_b1 = b1p < a1p
+        f1p = jnp.where(take_b1, b1p, a1p)
+        f1v = jnp.where(take_b1, b1v, a1v)
+        # runner-up candidates: the loser's best and the winner's second
+        l1p = jnp.where(take_b1, a1p, b1p)
+        l1v = jnp.where(take_b1, a1v, b1v)
+        w2p = jnp.where(take_b1, b2p, a2p)
+        w2v = jnp.where(take_b1, b2v, a2v)
+        take_l = l1p > w2p if direction > 0 else l1p < w2p
+        f2p = jnp.where(take_l, l1p, w2p)
+        f2v = jnp.where(take_l, l1v, w2v)
+        return f1p, f1v, f2p, f2v
+
+    return comp
+
+
+def block_fill_summaries(mb, pf, xb, npad: int):
+    """Per-block last-two (fwd) and first-two (rev) marked (position,
+    value) states as ONE variadic ``lax.reduce`` per direction.
+
+    The previous formulation (8 chained masked reductions: l1, then
+    l2 needs l1, then one-hot value sums need both) cost ~18 HBM passes
+    in XLA (~0.73 ms/level at 8x1M — 27% of the whole sift); a top-2
+    reduction carries values with positions in a single input pass per
+    direction.  Outputs are bitwise-identical sign-encoded states
+    (empty slots: position -1, value 0)."""
+    zero = jnp.float32(0)
+    neg = jnp.float32(_NONE)
+    fwd = lax.reduce(
+        (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
+         jnp.full_like(pf, neg), jnp.zeros_like(xb)),
+        (neg, zero, neg, zero),
+        _top2_comp(+1), (pf.ndim - 1,),
+    )
+    big = jnp.float32(npad + 1)
+    rev = lax.reduce(
+        (jnp.where(mb, pf, big), jnp.where(mb, xb, zero),
+         jnp.full_like(pf, big), jnp.zeros_like(xb)),
+        (big, zero, big, zero),
+        _top2_comp(-1), (pf.ndim - 1,),
+    )
+    rev = (jnp.where(rev[0] >= big, neg, rev[0]),
+           jnp.where(rev[0] >= big, zero, rev[1]),
+           jnp.where(rev[2] >= big, neg, rev[2]),
+           jnp.where(rev[2] >= big, zero, rev[3]))
+    return fwd, rev
+
+
 def level_block_states(x3, n: int):
     """XLA side of the fused level: knot mask (formula-identical to
     ``_knot_state``), interior extrema count, and the per-block exclusive
@@ -862,8 +925,8 @@ def level_block_states(x3, n: int):
     the fill2 combine — pure selects, so any association is bit-identical
     to the kernels' sequential SMEM carry chain.
 
-    Returns ``(nex, fwd_prefix, rev_suffix)`` with the folds stacked as
-    (rows, nblk, 4).
+    Returns ``(nex, fwd_prefix, rev_suffix)`` with the folds flattened as
+    (rows, nblk*4).
     """
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
@@ -887,21 +950,7 @@ def level_block_states(x3, n: int):
     mb = m.reshape(rows, nblk, BLK)
     xb = flat.reshape(rows, nblk, BLK)
     pf = it.astype(jnp.float32).reshape(rows, nblk, BLK)
-
-    def val_at(p):
-        return jnp.sum(jnp.where(mb & (pf == p[..., None]), xb, 0.0),
-                       axis=-1)
-
-    l1 = jnp.max(jnp.where(mb, pf, _NONE), axis=-1)
-    l2 = jnp.max(jnp.where(mb & (pf < l1[..., None]), pf, _NONE), axis=-1)
-    fwd_sum = (l1, val_at(l1), l2, val_at(l2))
-    big = jnp.float32(npad + 1)
-    f1 = jnp.min(jnp.where(mb, pf, big), axis=-1)
-    f1 = jnp.where(f1 >= big, _NONE, f1)
-    f2 = jnp.min(jnp.where(mb & (pf > f1[..., None]) & (f1[..., None] >= 0),
-                           pf, big), axis=-1)
-    f2 = jnp.where(f2 >= big, _NONE, f2)
-    rev_sum = (f1, val_at(f1), f2, val_at(f2))
+    fwd_sum, rev_sum = block_fill_summaries(mb, pf, xb, npad)
 
     def exclusive(summ, reverse):
         if reverse:
