@@ -376,14 +376,15 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
 
 
 def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
-    """TPU fast path v2: ONE block-parallel kernel per trip
-    (``sift_level_fused_padded``) — both direction scans seeded from an
-    XLA per-block fill-state fold, the 4 forward fill channels never
-    touch HBM, and there is no sequential cross-block carry.  Loop
+    """TPU fast path v2: ONE reverse-walking kernel per trip
+    (``sift_level_fused_padded``) — the reverse scan chains its suffix
+    through the kernel's SMEM carry, the forward scan is seeded from an
+    XLA per-block fill-state fold (one 5-channel reduce incl. the extrema
+    count), and the 4 forward fill channels never touch HBM.  Loop
     semantics and outputs are bit-identical to the two-kernel emit path
     (the fold is pure selects, so association order is irrelevant)."""
     from ..ops.pallas_fill import (
-        _pad_edges, level_block_states, sift_level_fused_padded)
+        _pad_edges, level_block_states_fwd, sift_level_fused_padded)
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -414,9 +415,9 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     bl = 0.5 * (x2[:, n - 2] + x2[:, n - 1])
 
     # initial extraction: all-off flags -> row/compensation outputs inert
-    _, fp0, rs0 = level_block_states(x3, n)
+    _, fp0 = level_block_states_fwd(x3, n)
     base3, rot3, perr3, _row, _c = sift_level_fused_padded(
-        x3, pe, ne, bf, bl, fp0, rs0, ffalse, ffalse, ffalse,
+        x3, pe, ne, bf, bl, fp0, ffalse, ffalse, ffalse,
         zero3, zero3, zero3, zero3, n, endpoint_mode=endpoint_mode,
         interpret=interp)
 
@@ -430,13 +431,13 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     comp3 = zero3
 
     for i in range(levels):
-        nex, fp, rs = level_block_states(base3, n)
+        nex, fp = level_block_states_fwd(base3, n)
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         pe, ne, bf, bl = edges(base3)
         new_base, new_rot, new_err, out_rot, comp3 = sift_level_fused_padded(
-            base3, pe, ne, bf, bl, fp, rs, stop_a, stop_b, cont,
+            base3, pe, ne, bf, bl, fp, stop_a, stop_b, cont,
             rot3, prev_base3, perr3, comp3, n,
             endpoint_mode=endpoint_mode, interpret=interp,
             out_levels=out_rot, level_idx=i)

@@ -739,7 +739,9 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
                               compo_ref, row_4d):
     """Shared body of the one-kernel fused level (single-chip and
     sharded): seeded forward/reverse block scans, the interpolation
-    epilogue, and the sift row/compensation bookkeeping."""
+    epilogue, and the sift row/compensation bookkeeping.  Returns the
+    block's inclusive reverse carry (its state at the block's first
+    element) so a reverse-walking caller can chain it."""
     sub = x.shape[0]
     # unrolled scans: the rolled variants compile much faster but cost
     # 30-80% runtime (dynamic rotates); the one-time Mosaic compile of the
@@ -750,8 +752,8 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
                             rows=sub)
     f1p, f1x, f2p, f2x = _mask_outputs(fstate)
 
-    rstate, _ = _block_scan(state0, reverse=True, carry_in=rev_in,
-                            rows=sub)
+    rstate, rev_carry_out = _block_scan(state0, reverse=True,
+                                        carry_in=rev_in, rows=sub)
     shifted = tuple(
         _roll_next(s, c, row, lane) for s, c in zip(rstate, rev_in)
     )
@@ -806,6 +808,7 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
         + jnp.where(cont | stop_b, perr, zero)
         + jnp.where(stop_b, res_err, zero)
     )
+    return rev_carry_out
 
 
 @lru_cache(maxsize=None)
@@ -813,27 +816,33 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
                              row_4d: bool = False):
     """ONE kernel per sift level: both direction scans + epilogue + emit.
 
-    The cross-block fill states arrive PRE-FOLDED per block via scalar
-    prefetch (``fwd_prefix``/``rev_suffix``, flattened (rows, nblk*4)), so
-    there is no SMEM carry and no sequential grid dependency: the knot
-    state is derived once, the forward scan is seeded with the block's
-    exclusive prefix, the reverse scan with its exclusive suffix, and the
-    interpolation + sift bookkeeping run in-register.  Vs the two-kernel
-    level this removes the 4-channel forward-fill HBM round trip (32 B per
-    sample), one knot-state derivation, and one kernel launch."""
+    The grid walks each row's blocks in REVERSE, so the reverse scan's
+    cross-block state rides a sequential SMEM carry for free (exactly the
+    two-kernel emit design); only the FORWARD exclusive prefixes need
+    precomputation (``fwd_prefix`` via scalar prefetch, flattened
+    (rows, nblk*4) — computed with the extrema count in one XLA reduce,
+    :func:`level_block_states_fwd`).  Vs the both-directions-prefetched
+    form this halves the XLA summary pass, which cost ~0.7 ms/level at
+    8x1M (~25%% of the whole sift)."""
     nm1 = float(n_real - 1)
 
-    def kernel(fp_ref, rs_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
+    def kernel(fp_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
                fa_ref, fb_ref, fc_ref, *rest):
         if row_4d:
             (_li_ref, x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+             _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
+             carry) = rest
         else:
             (x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+             base_ref, rot_ref, err_ref, row_ref, compo_ref, carry) = rest
         r = pl.program_id(0)
-        blk = pl.program_id(1)
+        g = pl.program_id(1)
 
+        @pl.when(g == 0)
+        def _():
+            _init_carry(carry)
+
+        blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
         pos, row, lane, _, state0 = _knot_state(
             x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
@@ -841,13 +850,15 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
         # folds are flattened (rows, nblk*4): a trailing size-4 SMEM dim
         # would be lane-padded to 128 (~32x SMEM waste -> OOM at 1M)
         fwd_in = tuple(fp_ref[r, blk * 4 + i] for i in range(4))
-        rev_in = tuple(rs_ref[r, blk * 4 + i] for i in range(4))
-        _fused_scans_and_epilogue(
+        rev_in = tuple(carry[i] for i in range(4))
+        carry_out = _fused_scans_and_epilogue(
             x, state0, pos, row, lane, fwd_in, rev_in, nm1,
             pos == n_real - 1, bfirst_ref[r], blast_ref[r], endpoint_mode,
             fa_ref[r] != 0, fb_ref[r] != 0, fc_ref[r] != 0,
             rotp_ref, pbase_ref, perr_ref, comp_ref,
             base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d)
+        for i in range(4):
+            carry[i] = carry_out[i]
 
     return kernel
 
@@ -883,49 +894,23 @@ def _top2_comp(direction: int):
     return comp
 
 
-def block_fill_summaries(mb, pf, xb, npad: int):
-    """Per-block last-two (fwd) and first-two (rev) marked (position,
-    value) states as ONE variadic ``lax.reduce`` per direction.
-
-    The previous formulation (8 chained masked reductions: l1, then
-    l2 needs l1, then one-hot value sums need both) cost ~18 HBM passes
-    in XLA (~0.73 ms/level at 8x1M — 27% of the whole sift); a top-2
-    reduction carries values with positions in a single input pass per
-    direction.  Outputs are bitwise-identical sign-encoded states
-    (empty slots: position -1, value 0)."""
-    zero = jnp.float32(0)
-    neg = jnp.float32(_NONE)
-    fwd = lax.reduce(
-        (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
-         jnp.full_like(pf, neg), jnp.zeros_like(xb)),
-        (neg, zero, neg, zero),
-        _top2_comp(+1), (pf.ndim - 1,),
-    )
-    big = jnp.float32(npad + 1)
-    rev = lax.reduce(
-        (jnp.where(mb, pf, big), jnp.where(mb, xb, zero),
-         jnp.full_like(pf, big), jnp.zeros_like(xb)),
-        (big, zero, big, zero),
-        _top2_comp(-1), (pf.ndim - 1,),
-    )
-    rev = (jnp.where(rev[0] >= big, neg, rev[0]),
-           jnp.where(rev[0] >= big, zero, rev[1]),
-           jnp.where(rev[2] >= big, neg, rev[2]),
-           jnp.where(rev[2] >= big, zero, rev[3]))
-    return fwd, rev
+def _top2cnt_comp(a, b):
+    """:func:`_top2_comp` (+1 direction) extended with a mark-count
+    channel (plain add — counts are exact in f32 far beyond any signal
+    length here)."""
+    f1p, f1v, f2p, f2v = _top2_comp(+1)(a[:4], b[:4])
+    return f1p, f1v, f2p, f2v, a[4] + b[4]
 
 
-def level_block_states(x3, n: int):
-    """XLA side of the fused level: knot mask (formula-identical to
-    ``_knot_state``), interior extrema count, and the per-block exclusive
-    fill-state folds both directions.
+def level_block_states_fwd(x3, n: int):
+    """Forward-only XLA side of the fused level: knot mask
+    (formula-identical to ``_knot_state``), interior extrema count, and
+    the per-block exclusive FORWARD fill-state folds, all from ONE
+    5-channel ``lax.reduce`` pass over the padded flat signal.  The
+    reverse direction needs no precomputation — the fused kernel walks
+    the grid in reverse and chains the suffix through its SMEM carry.
 
-    One fused elementwise+reduce pass over the padded flat signal; the
-    folds run on (rows, nblk) summaries via ``lax.associative_scan`` of
-    the fill2 combine — pure selects, so any association is bit-identical
-    to the kernels' sequential SMEM carry chain.
-
-    Returns ``(nex, fwd_prefix, rev_suffix)`` with the folds flattened as
+    Returns ``(nex, fwd_prefix)`` with the folds flattened as
     (rows, nblk*4).
     """
     rows = x3.shape[0]
@@ -945,62 +930,62 @@ def level_block_states(x3, n: int):
     m = ((is_min | is_max) & interior & ~near_nan) | (it == 0) | (
         it == n - 1
     )
-    nex = jnp.sum(m, axis=-1).astype(jnp.int32) - 2
 
     mb = m.reshape(rows, nblk, BLK)
     xb = flat.reshape(rows, nblk, BLK)
     pf = it.astype(jnp.float32).reshape(rows, nblk, BLK)
-    fwd_sum, rev_sum = block_fill_summaries(mb, pf, xb, npad)
+    zero = jnp.float32(0)
+    neg = jnp.float32(_NONE)
+    l1, v1, l2, v2, cnt = lax.reduce(
+        (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
+         jnp.full_like(pf, neg), jnp.zeros_like(xb),
+         mb.astype(jnp.float32)),
+        (neg, zero, neg, zero, zero),
+        _top2cnt_comp, (2,),
+    )
+    nex = jnp.sum(cnt, axis=-1).astype(jnp.int32) - 2
 
-    def exclusive(summ, reverse):
-        if reverse:
-            summ = tuple(jnp.flip(s, axis=1) for s in summ)
-        inc = lax.associative_scan(_combine, summ, axis=1)
-        exc = tuple(
-            jnp.concatenate(
-                [jnp.full_like(s[:, :1], _NONE if i % 2 == 0 else 0.0),
-                 s[:, :-1]], axis=1)
-            for i, s in enumerate(inc)
-        )
-        if reverse:
-            exc = tuple(jnp.flip(s, axis=1) for s in exc)
-        # flattened (rows, nblk*4) for SMEM prefetch (see the kernel)
-        return jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
-
-    return nex, exclusive(fwd_sum, False), exclusive(rev_sum, True)
+    inc = lax.associative_scan(_combine, (l1, v1, l2, v2), axis=1)
+    exc = tuple(
+        jnp.concatenate(
+            [jnp.full_like(s[:, :1], _NONE if i % 2 == 0 else 0.0),
+             s[:, :-1]], axis=1)
+        for i, s in enumerate(inc)
+    )
+    return nex, jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
 
 
 def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
-                            fwd_prefix, rev_suffix, stop_a, stop_b, cont,
+                            fwd_prefix, stop_a, stop_b, cont,
                             rot3, pbase3, perr3, comp3, n: int, *,
                             endpoint_mode: str = "reference",
                             interpret: bool = False,
                             out_levels=None, level_idx=None):
-    """One sift trip as ONE block-parallel kernel (see
-    ``_make_level_fused_kernel``); stop flags and the block folds arrive
-    precomputed from :func:`level_block_states`.  Returns
+    """One sift trip as ONE reverse-walking kernel (see
+    ``_make_level_fused_kernel``); stop flags and the forward block folds
+    arrive precomputed from :func:`level_block_states_fwd`.  Returns
     ``(base3, rot3, err3, row, comp3)``."""
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     row_into_levels = out_levels is not None
     operands = [
-        fwd_prefix, rev_suffix, prev_edge, next_edge, b_first, b_last,
+        fwd_prefix, prev_edge, next_edge, b_first, b_last,
         stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
         cont.astype(jnp.float32),
     ]
     tensor_operands = [x3, rot3, pbase3, perr3, comp3]
     if row_into_levels:
-        num_prefetch = 10
+        num_prefetch = 9
         operands.append(jnp.asarray(level_idx, jnp.int32).reshape(1))
         operands += tensor_operands + [out_levels]
         in_specs = [rspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *refs: (refs[9][0], r, b, 0),
+            lambda r, b, *refs: (refs[8][0], r, nblk - 1 - b, 0),
             memory_space=pltpu.VMEM,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
@@ -1015,19 +1000,20 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         # verified by an aliasing-ablation A/B), and dropping them costs
         # no bandwidth - only buffer reuse, which XLA's assigner recovers
         # from liveness anyway.
-        aliases = {10: 0, 15: 3}
+        aliases = {9: 0, 14: 3}
     else:
-        num_prefetch = 9
+        num_prefetch = 8
         operands += tensor_operands
         in_specs = [rspec] * 5
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {9: 0}
+        aliases = {8: 0}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
         in_specs=in_specs,
         out_specs=[rspec, rspec, rspec, row_spec, rspec],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
     return pl.pallas_call(
         _make_level_fused_kernel(n, nblk, endpoint_mode,

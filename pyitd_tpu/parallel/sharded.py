@@ -345,7 +345,8 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
                  (rows, 1)), both)
 
     def block_states(flat_pad, halo_l, halo_r):
-        """Sharded twin of ``pallas_fill.level_block_states``: knot mask
+        """Sharded twin of ``pallas_fill.level_block_states_fwd`` (both
+        directions here — the sharded kernel seeds every block): knot mask
         over the padded flat shard (halo-patched, global positions —
         formula-identical to ``_knot_state_sharded``), the shard's
         extrema-mark count, per-block summaries + local exclusive folds,
