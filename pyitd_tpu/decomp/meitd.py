@@ -55,6 +55,52 @@ def _count(x):
     return count_extrema(x)
 
 
+# --- fused per-trip programs -------------------------------------------------
+# The walk is a host state machine over ~tens of dependent device calls;
+# every ``int(...)``/``float(...)`` forces a host sync (over a remote
+# attachment, a full round trip).  Each state's device work is therefore
+# grouped into ONE jitted program per trip — pieces a state may discard
+# (e.g. the extraction when the extrema count turns out < 5) are computed
+# speculatively, which is unobservable: the ops are fixed-shape and the
+# host decisions use exactly the same values as the step-by-step calls.
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _fused_gate(x, capacity):
+    """count(x), WPE(x), and the first extraction of x in one program
+    (the device work of ``first_rotation_is_proper`` +
+    ``retrieve_proper_rotation``'s gate, one sync instead of three)."""
+    rot, base = _extract_impl(x, capacity)
+    return (count_extrema(x),
+            weighted_permutation_entropy(x, order=3, normalize=True),
+            rot, base)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _fused_hi_trip(x, capacity):
+    """The high-frequency trip's full device work: count(x), the baseline
+    of x, and the gate pieces of that baseline (count/WPE/extraction) —
+    one sync for what was three dependent dispatch rounds."""
+    _, baseline = _extract_impl(x, capacity)
+    rotb, _ = _extract_impl(baseline, capacity)
+    return (count_extrema(x), baseline, count_extrema(baseline),
+            weighted_permutation_entropy(baseline, order=3, normalize=True),
+            rotb)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _extract_count(x, capacity):
+    """One extraction plus the extrema count of its baseline (the dig
+    loop's per-iteration device work)."""
+    rot, base = _extract_impl(x, capacity)
+    return rot, base, count_extrema(base)
+
+
+def _extract_impl(x, capacity):
+    res = cubic_baseline_extract(x, capacity, min_extrema=0)
+    return res.rotation, res.baseline
+
+
 def _cap(n: int) -> int:
     return n + 2  # worst case: an extremum at nearly every sample
 
@@ -110,20 +156,31 @@ def meitd(data, max_iteration: int = 40, wpemax: float = 0.6):
     n = x.shape[-1]
     high: list = []
     low: list = []
+    cap = _cap(n)
 
-    rotation, baseline, proper = first_rotation_is_proper(x, wpemax)
+    def gate(w):
+        return 1 if 0.2 <= float(w) < wpemax else 0
+
+    # pre-loop: first_rotation_is_proper(x) + count(x), one sync
+    nex0, wpe0, rot0, base0 = _fused_gate(x, cap)
+    nex = int(nex0)
+    if nex < 5:
+        rotation, baseline, proper = x, jnp.zeros_like(x), 0
+    else:
+        rotation, baseline, proper = rot0, base0, gate(wpe0)
     xchanged, hilo, soft_reset = 0, 1, 1
-    nex = int(_count(x))
     if nex < 4:
-        z = jnp.zeros_like(x)
         return jnp.zeros((0, n)), jnp.zeros((0, n)), x
 
-    cap = _cap(n)
     while nex > 5:
         if len(high) + len(low) > 20:
             break
         if proper == 0:
-            rotation, proper = retrieve_proper_rotation(rotation, wpemax)
+            # retrieve_proper_rotation, one sync (gate on the input; the
+            # reference's re-sift burn is unobservable — see above)
+            rnex, rwpe, rrot, _ = _fused_gate(rotation, cap)
+            if int(rnex) > 5 and gate(rwpe):
+                rotation, proper = rrot, 1
         if proper == 1:
             (high if hilo == 1 else low).append(np.asarray(rotation))
             soft_reset = 0
@@ -131,37 +188,48 @@ def meitd(data, max_iteration: int = 40, wpemax: float = 0.6):
             xchanged = 1
 
         if xchanged == 1 and hilo == 1:
-            nex = int(_count(x))
+            nex_x, base_c, nexb, wpeb, rotb = _fused_hi_trip(x, cap)
+            nex = int(nex_x)
             if nex < 5:
                 continue
-            _, baseline = _extract(x, cap)
-            rotation, _, proper = first_rotation_is_proper(baseline, wpemax)
+            baseline = base_c
+            if int(nexb) < 5:
+                rotation, proper = baseline, 0
+            else:
+                rotation, proper = rotb, gate(wpeb)
             xchanged, hilo = 0, 0
             continue
         elif hilo == 1:
-            rotation, _, proper = first_rotation_is_proper(baseline, wpemax)
+            nexb, wpeb, rotb, _ = _fused_gate(baseline, cap)
+            if int(nexb) < 5:
+                rotation, proper = baseline, 0
+            else:
+                rotation, proper = rotb, gate(wpeb)
             hilo = 0
             continue
 
         if xchanged == 1 and hilo == 0:
-            nex = int(_count(x))
+            nex_x, wpe_x, rot_x, base_x = _fused_gate(x, cap)
+            nex = int(nex_x)
             if nex < 5:
                 continue
-            rotation, baseline, proper = first_rotation_is_proper(x, wpemax)
+            rotation, baseline, proper = rot_x, base_x, gate(wpe_x)
             xchanged, hilo = 0, 1
             continue
 
         if xchanged == 0 and hilo == 0:
             # dig: decompose successively deeper baselines
             if soft_reset == 0:
-                rotation, baseline = _extract(x, cap)
+                rotation, baseline, nexb = _extract_count(x, cap)
                 soft_reset = 1
-            nex = int(_count(baseline))
+                nex = int(nexb)
+            else:
+                nex = int(_count(baseline))
             if nex < 5:
                 continue
             for _ in range(soft_reset):
-                rotation, baseline = _extract(baseline, cap)
-                nex = int(_count(baseline))
+                rotation, baseline, nexb = _extract_count(baseline, cap)
+                nex = int(nexb)
                 if nex < 5:
                     break
             soft_reset += 1
