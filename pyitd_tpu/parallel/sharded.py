@@ -322,7 +322,8 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     index).  Per trip: one XLA mask/summary pass (which also yields the
     extrema count and the per-block fill-state folds, seeded with the
     cross-shard states), then ONE block-parallel kernel."""
-    from ..ops.pallas_fill import BLK, _LANES, _combine, _pad_edges
+    from ..ops.pallas_fill import (
+        BLK, _LANES, _combine, _pad_edges, block_fill_summaries)
     from ..ops.pallas_fill_sharded import sharded_sift_level_fused
 
     levels = max_iteration + 2
@@ -374,22 +375,8 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         xb = flat_pad.reshape(rows, nblk_, BLK)
         pf = gposf.reshape(rows, nblk_, BLK)
 
-        def val_at(p):
-            return jnp.sum(jnp.where(mb & (pf == p[..., None]), xb, 0.0),
-                           axis=-1)
-
-        none = jnp.float32(-1.0)
-        l1 = jnp.max(jnp.where(mb, pf, none), axis=-1)
-        l2 = jnp.max(jnp.where(mb & (pf < l1[..., None]), pf, none),
-                     axis=-1)
-        fwd_sum = (l1, val_at(l1), l2, val_at(l2))
-        big = jnp.float32(n_global + npad + 1)
-        f1 = jnp.min(jnp.where(mb, pf, big), axis=-1)
-        f1 = jnp.where(f1 >= big, none, f1)
-        f2 = jnp.min(jnp.where(mb & (pf > f1[..., None])
-                               & (f1[..., None] >= 0), pf, big), axis=-1)
-        f2 = jnp.where(f2 >= big, none, f2)
-        rev_sum = (f1, val_at(f1), f2, val_at(f2))
+        fwd_sum, rev_sum = block_fill_summaries(mb, pf, xb,
+                                                n_global + npad + 1)
 
         def fold(summ, reverse):
             if reverse:
