@@ -95,10 +95,11 @@ def itd_sift(
     ``backend``:
 
     * "auto" — "pallas_fused" on TPU for large f32 inputs, "xla" elsewhere;
-    * "pallas_fused" — ONE block-parallel kernel per level (both direction
-      scans seeded from an XLA per-block fill-state fold, epilogue and
-      sift bookkeeping in-register; the forward fill channels never touch
-      HBM).  Fastest; the big Mosaic module compiles slowly cold;
+    * "pallas_fused" — ONE reverse-walking kernel per level (the reverse
+      scan chains its suffix through an SMEM carry, the forward scan is
+      seeded from an XLA per-block fold, epilogue and sift bookkeeping
+      run in-register; the forward fill channels never touch HBM).
+      Fastest; the big Mosaic module compiles slowly cold;
     * "pallas_emit" — the two-kernel level (forward fill with SMEM carry
       + fused reverse/emit kernel).  ~20% slower, compiles fast;
     * "xla" — the portable carry loop (every backend, every dtype).

@@ -13,25 +13,32 @@ import os
 # silence the benign per-load AOT-cache machine-feature warnings
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# PYITD_ONCHIP_TESTS=1 keeps the session's real TPU attachment so the
+# opt-in parity gates in test_onchip.py can run on the chip; everything
+# else in the suite is skipped in that mode (see test_onchip.py docstring).
+_ONCHIP = os.environ.get("PYITD_ONCHIP_TESTS") == "1"
+
+if not _ONCHIP:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-try:  # drop any backend sitecustomize already initialized (e.g. remote TPU)
-    import jax.extend.backend as _jeb
+if not _ONCHIP:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    try:  # drop any backend sitecustomize already initialized (remote TPU)
+        import jax.extend.backend as _jeb
 
-    _jeb.clear_backends()
-except Exception:  # pragma: no cover - best effort
-    pass
+        _jeb.clear_backends()
+    except Exception:  # pragma: no cover - best effort
+        pass
 
-assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: most suite wall-clock is jit compilation of
 # the same graphs every run; cache them on disk (keyed by HLO hash, so code
