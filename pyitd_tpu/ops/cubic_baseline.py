@@ -391,9 +391,17 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     fused into one kernel, and the end-moment indices found with flip-free
     masked reductions.  Returns ``(baseline, rotation, nex)`` (rotation in
     f32 from the kernel).
+
+    The two fill rounds run as ONE both-direction kernel each
+    (``cubic_ksite_padded`` folds the Frei-Osorio knot-value epilogue
+    into round 1; ``cubic_neighbors_padded`` derives the knot mask
+    in-kernel for round 2): the reverse direction rides each kernel's
+    reverse grid walk through an SMEM suffix carry, and only the forward
+    per-block folds are precomputed — one XLA reduce pass per round.
     """
     from .pallas_fill import (
-        _LANES, _linear_fill2_padded, _pad_edges, fill2_padded)
+        _LANES, _knot_mask_flat, _pad_edges, cubic_ksite_padded,
+        cubic_neighbors_padded, ksite_block_states, level_block_states_fwd)
     from .pallas_spike import (
         SPIKE_BLK, spike_backsub_eval, spike_factors_padded)
     from .chained_pcr import reduced_interface_solve
@@ -410,40 +418,29 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     def sdiv(num, den):
         return num / jnp.where(den == 0, jnp.ones_like(den), den)
 
-    def shift_l(a, fill=0.0):
-        return jnp.concatenate(
-            [a[..., 1:], jnp.full_like(a[..., :1], fill)], axis=-1
-        )
-
     def flat(a3):
         return a3.reshape(rows, npad)
 
     def to3(a):
         return a.reshape(rows, npad // _LANES, _LANES).astype(jnp.float32)
 
-    # round 1: knot-neighbor channels (in-kernel mask; padding unmarked)
-    f1 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
-                              reverse=False, interpret=interpret)
-    r1 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
-                              reverse=True, interpret=interpret)
-    p1p, _, p2p, p2x = (flat(a) for a in f1)
-    n1p = shift_l(flat(r1[0]))
-    n1x = shift_l(flat(r1[1]))
-    mask = p1p == iota_f  # padded samples never match (knots are < n)
-    nex = jnp.sum(mask, axis=-1).astype(jnp.int32) - 2
+    # round 1: Frei-Osorio knot values (odd-reflect ends) in one kernel
+    nex, fwd_prefix = level_block_states_fwd(x3, n)
+    b_first = 0.5 * (3.0 * x2[:, 0] - x2[:, 1])
+    b_last = 0.5 * (3.0 * x2[:, n - 1] - x2[:, n - 2])
+    ks3 = cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
+                             fwd_prefix, n, interpret=interpret)
 
-    k_site, b_last = _fo_knot_values(xf, it, iota_f, p2p, p2x, n1p, n1x, n)
-
-    # round 2: neighbor knot values per sample
-    m3 = to3(mask)
-    i3 = to3(iota_f)
-    ks3 = to3(k_site)
-    f2 = fill2_padded(i3, ks3, m3, interpret=interpret)
-    r2 = fill2_padded(i3, ks3, m3, reverse=True, interpret=interpret)
-    k_j, k_jm1 = flat(f2[1]), flat(f2[3])
-    k_j1 = shift_l(flat(r2[1]))
+    # round 2: neighbor knot positions + values per sample in one kernel
+    kfwd_prefix = ksite_block_states(x3, ks3, n)
+    p1p3, p2p3, n1p3, kj3, kjm13, kj13 = cubic_neighbors_padded(
+        x3, ks3, prev_edge, next_edge, kfwd_prefix, n, interpret=interpret)
+    k_site = flat(ks3)
+    p2p, n1p = flat(p2p3), flat(n1p3)
+    k_jm1, k_j1 = flat(kjm13), flat(kj13)
 
     # not-a-knot rows at interior knots (XLA elementwise, one fused pass)
+    mask, _ = _knot_mask_flat(xf, n)
     mask_int = mask & (it > 0) & (it < n - 1)
     a2, b2, c2, d = notaknot_rows(
         iota_f - p2p, n1p - iota_f, k_jm1, k_site, k_j1,
@@ -497,8 +494,8 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
 
     base3, rot3 = spike_backsub_eval(
         factors, e_prev, f_next, w_first_next, m0, m_last, b_last,
-        nex < min_extrema, to3(p1p), to3(p2p), to3(n1p), to3(k_j),
-        to3(k_jm1), to3(k_j1), x3, n, interpret=interpret,
+        nex < min_extrema, p1p3, p2p3, n1p3, kj3,
+        kjm13, kj13, x3, n, interpret=interpret,
     )
     baseline = flat(base3)[:, :n].reshape(lead + (n,))
     rotation = flat(rot3)[:, :n].reshape(lead + (n,))

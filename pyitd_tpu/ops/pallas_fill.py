@@ -86,6 +86,20 @@ def _combine(a, b):
     )
 
 
+def _combine1(a, b):
+    """fill-LAST-ONE combine on a sign-encoded (p1, x1) pair — the depth-1
+    subset of :func:`_combine` for scans that only need the most recent
+    (or, reversed, the next) mark."""
+    a1p, a1x = a
+    b1p, b1x = b
+    has_b1 = b1p >= 0
+    return (jnp.where(has_b1, b1p, a1p), jnp.where(has_b1, b1x, a1x))
+
+
+def _state_combine(a, b):
+    return _combine(a, b) if len(a) == 4 else _combine1(a, b)
+
+
 def _shifted(arrs, k: int, axis: int, reverse: bool):
     """Scan-predecessor state shifted by k along axis.
 
@@ -113,7 +127,7 @@ def _shifted(arrs, k: int, axis: int, reverse: bool):
 def _doubling_scan(state, axis: int, steps: int, reverse: bool):
     for s in range(steps):
         prev = _shifted(state, 1 << s, axis, reverse)
-        state = _combine(prev, state)
+        state = _state_combine(prev, state)
     return state
 
 
@@ -142,7 +156,7 @@ def _doubling_scan_rolled(state, axis: int, steps: int, reverse: bool):
             if i % 2 == 0:  # position channel: sentinel at the border
                 rolled = jnp.where(keep, rolled, jnp.full_like(a, _NONE))
             prev.append(rolled)
-        return _combine(tuple(prev), st)
+        return _state_combine(tuple(prev), st)
 
     return lax.fori_loop(0, steps, body, state)
 
@@ -184,15 +198,15 @@ def _block_scan(state, reverse: bool, carry_in, rows: int,
     pref = _shifted(pref, 1, 0, reverse)  # exclusive
 
     # stage 3: row prefixes, then the cross-block carry
-    state = _combine(
+    state = _state_combine(
         tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
     )
     carry_t = tuple(jnp.full((rows, _LANES), c) for c in carry_in)
-    state = _combine(carry_t, state)
+    state = _state_combine(carry_t, state)
 
     erow = 0 if reverse else rows - 1
     ecol = 0 if reverse else _LANES - 1
-    carry_out = tuple(state[i][erow, ecol] for i in range(4))
+    carry_out = tuple(s[erow, ecol] for s in state)
     return state, carry_out
 
 
@@ -934,6 +948,38 @@ def block_fill_summaries(mb, pf, xb, big):
     return fwd, rev
 
 
+def _knot_mask_flat(flat, n: int):
+    """ITD knot mask over the padded flat signal — formula-identical to
+    ``_knot_state`` (canonical extrema + endpoints, NaN quarantine);
+    padding is never marked."""
+    it = lax.broadcasted_iota(jnp.int32, flat.shape, 1)
+    xm1 = jnp.concatenate([flat[:, :1], flat[:, :-1]], axis=-1)
+    xp1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=-1)
+    dxb = jnp.where(jnp.isnan(flat - xm1), jnp.inf, flat - xm1)
+    dxf = jnp.where(jnp.isnan(xp1 - flat), jnp.inf, xp1 - flat)
+    near_nan = jnp.isnan(flat) | jnp.isnan(xm1) | jnp.isnan(xp1)
+    interior = (it > 0) & (it < n - 1)
+    is_min = (dxb <= 0) & (dxf > 0)
+    is_max = (dxb >= 0) & (dxf < 0)
+    return ((is_min | is_max) & interior & ~near_nan) | (it == 0) | (
+        it == n - 1
+    ), it
+
+
+def _exclusive_fwd_folds(inc_tuple):
+    """Exclusive per-block prefixes from inclusive per-block fold tuples,
+    flattened (rows, nblk*4) for SMEM prefetch."""
+    inc = lax.associative_scan(_combine, inc_tuple, axis=1)
+    exc = tuple(
+        jnp.concatenate(
+            [jnp.full_like(s[:, :1], _NONE if i % 2 == 0 else 0.0),
+             s[:, :-1]], axis=1)
+        for i, s in enumerate(inc)
+    )
+    rows, nblk = exc[0].shape
+    return jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
+
+
 def level_block_states_fwd(x3, n: int):
     """Forward-only XLA side of the fused level: knot mask
     (formula-identical to ``_knot_state``), interior extrema count, and
@@ -949,19 +995,7 @@ def level_block_states_fwd(x3, n: int):
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     flat = x3.reshape(rows, npad)
-    it = lax.broadcasted_iota(jnp.int32, flat.shape, 1)
-
-    xm1 = jnp.concatenate([flat[:, :1], flat[:, :-1]], axis=-1)
-    xp1 = jnp.concatenate([flat[:, 1:], flat[:, -1:]], axis=-1)
-    dxb = jnp.where(jnp.isnan(flat - xm1), jnp.inf, flat - xm1)
-    dxf = jnp.where(jnp.isnan(xp1 - flat), jnp.inf, xp1 - flat)
-    near_nan = jnp.isnan(flat) | jnp.isnan(xm1) | jnp.isnan(xp1)
-    interior = (it > 0) & (it < n - 1)
-    is_min = (dxb <= 0) & (dxf > 0)
-    is_max = (dxb >= 0) & (dxf < 0)
-    m = ((is_min | is_max) & interior & ~near_nan) | (it == 0) | (
-        it == n - 1
-    )
+    m, it = _knot_mask_flat(flat, n)
 
     mb = m.reshape(rows, nblk, BLK)
     xb = flat.reshape(rows, nblk, BLK)
@@ -976,15 +1010,197 @@ def level_block_states_fwd(x3, n: int):
         _top2cnt_comp, (2,),
     )
     nex = jnp.sum(cnt, axis=-1).astype(jnp.int32) - 2
+    return nex, _exclusive_fwd_folds((l1, v1, l2, v2))
 
-    inc = lax.associative_scan(_combine, (l1, v1, l2, v2), axis=1)
-    exc = tuple(
-        jnp.concatenate(
-            [jnp.full_like(s[:, :1], _NONE if i % 2 == 0 else 0.0),
-             s[:, :-1]], axis=1)
-        for i, s in enumerate(inc)
+
+def ksite_block_states(x3, ksite3, n: int):
+    """Per-block exclusive FORWARD folds of (position, k_site) under the
+    knot mask of x — the prefetched seeds for the cubic neighbor kernel
+    (its reverse direction rides the SMEM carry).  One 4-channel
+    ``lax.reduce`` pass over (x, k_site)."""
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
+    flat = x3.reshape(rows, npad)
+    m, it = _knot_mask_flat(flat, n)
+
+    mb = m.reshape(rows, nblk, BLK)
+    kb = ksite3.reshape(rows, nblk, BLK)
+    pf = it.astype(jnp.float32).reshape(rows, nblk, BLK)
+    zero = jnp.float32(0)
+    neg = jnp.float32(_NONE)
+    folds = lax.reduce(
+        (jnp.where(mb, pf, neg), jnp.where(mb, kb, zero),
+         jnp.full_like(pf, neg), jnp.zeros_like(kb)),
+        (neg, zero, neg, zero),
+        _top2_comp(+1), (2,),
     )
-    return nex, jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
+    return _exclusive_fwd_folds(folds)
+
+
+# ---------------------------------------------------------------------------
+# cubic-tier fused fills: round 1 + the Frei-Osorio knot-value epilogue in
+# ONE kernel (emits only k_site), round 2 (neighbor positions + knot
+# values) in ONE kernel — each reverse-walking with an SMEM suffix carry
+# and forward folds via scalar prefetch (the fused sift level's scheme).
+# Replaces the cubic tier's four generic fill kernels (2 launches, 14
+# channel-direction scans and ~60% of their HBM traffic instead of 16).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_cubic_ksite_kernel(n_real: int, nblk: int):
+    sub = BLK // _LANES
+
+    def kernel(fp_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
+               x_ref, k_ref, carry):
+        r = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            carry[0] = _NONE
+            carry[1] = 0.0
+
+        blk = nblk - 1 - g  # reverse walk
+        x = x_ref[0]
+        pos, row, lane, _, state0 = _knot_state(
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+        )
+        fwd_in = tuple(fp_ref[r, blk * 4 + i] for i in range(4))
+        fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
+                                rows=sub)
+        _, _, f2p, f2x = _mask_outputs(fstate)
+
+        # reverse: only the strictly-after next knot — a 2-channel scan
+        state2 = (state0[0], x)
+        carry_in = (carry[0], carry[1])
+        rstate, carry_out = _block_scan(state2, reverse=True,
+                                        carry_in=carry_in, rows=sub)
+        shifted = tuple(
+            _roll_next(s, c, row, lane) for s, c in zip(rstate, carry_in)
+        )
+        has = shifted[0] >= 0
+        n1p = jnp.where(has, shifted[0], 0.0)
+        n1x = jnp.where(has, shifted[1], 0.0)
+        carry[0] = carry_out[0]
+        carry[1] = carry_out[1]
+
+        # Frei-Osorio knot value at every sample (only knot sites are
+        # consumed downstream) — expression-identical to _fo_knot_values
+        iota_f = pos.astype(jnp.float32)
+        span = n1p - f2p
+        w = (iota_f - f2p) / jnp.where(span == 0, jnp.ones_like(span), span)
+        k = 0.5 * (f2x + w * (n1x - f2x)) + 0.5 * x
+        k = jnp.where(pos == 0, bfirst_ref[r], k)
+        k = jnp.where(pos == n_real - 1, blast_ref[r], k)
+        k_ref[0] = k
+
+    return kernel
+
+
+def cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
+                       fwd_prefix, n: int, *, interpret: bool = False):
+    """Frei-Osorio knot values in ONE both-direction kernel.  Returns
+    padded 3-D ``k_site``."""
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
+    sub = BLK // _LANES
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(rows, nblk),
+        in_specs=[spec],
+        out_specs=[spec],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_cubic_ksite_kernel(n, nblk),
+        grid_spec=grid_spec,
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3)],
+        interpret=interpret,
+    )(fwd_prefix, prev_edge, next_edge,
+      b_first.astype(jnp.float32), b_last.astype(jnp.float32), x3)[0]
+
+
+@lru_cache(maxsize=None)
+def _make_cubic_neighbors_kernel(n_real: int, nblk: int):
+    sub = BLK // _LANES
+
+    def kernel(kp_ref, xprev_ref, xnext_ref, x_ref, k_ref,
+               p1p_ref, p2p_ref, n1p_ref, kj_ref, kjm1_ref, kj1_ref,
+               carry):
+        r = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            carry[0] = _NONE
+            carry[1] = 0.0
+
+        blk = nblk - 1 - g  # reverse walk
+        x = x_ref[0]
+        k = k_ref[0]
+        pos, row, lane, m, _ = _knot_state(
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+        )
+        posf = pos.astype(jnp.float32)
+        mp = jnp.where(m, posf, _NONE)
+
+        # forward: top-2 (position, k_site) — positions equal round 1's
+        # p1p/p2p (same mask), values are the neighbor knot values
+        state0 = (mp, k, jnp.full_like(k, _NONE), k)
+        fwd_in = tuple(kp_ref[r, blk * 4 + i] for i in range(4))
+        fstate, _ = _block_scan(state0, reverse=False, carry_in=fwd_in,
+                                rows=sub)
+        p1p, kj, p2p, kjm1 = _mask_outputs(fstate)
+
+        # reverse: only the strictly-after next knot — a 2-channel scan
+        state2 = (mp, k)
+        carry_in = (carry[0], carry[1])
+        rstate, carry_out = _block_scan(state2, reverse=True,
+                                        carry_in=carry_in, rows=sub)
+        shifted = tuple(
+            _roll_next(s, c, row, lane) for s, c in zip(rstate, carry_in)
+        )
+        has = shifted[0] >= 0
+        n1p = jnp.where(has, shifted[0], 0.0)
+        kj1 = jnp.where(has, shifted[1], 0.0)
+        carry[0] = carry_out[0]
+        carry[1] = carry_out[1]
+
+        p1p_ref[0], p2p_ref[0], n1p_ref[0] = p1p, p2p, n1p
+        kj_ref[0], kjm1_ref[0], kj1_ref[0] = kj, kjm1, kj1
+
+    return kernel
+
+
+def cubic_neighbors_padded(x3, ksite3, prev_edge, next_edge, kfwd_prefix,
+                           n: int, *, interpret: bool = False):
+    """Neighbor-knot channels in ONE both-direction kernel: returns
+    padded 3-D ``(p1p, p2p, n1p, k_j, k_jm1, k_j1)`` (n1p/k_j1 already
+    strictly-after-shifted, zero-defaulted)."""
+    rows = x3.shape[0]
+    npad = x3.shape[1] * _LANES
+    nblk = npad // BLK
+    sub = BLK // _LANES
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(rows, nblk),
+        in_specs=[spec, spec],
+        out_specs=[spec] * 6,
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_cubic_neighbors_kernel(n, nblk),
+        grid_spec=grid_spec,
+        out_shape=[_out_struct(x3.shape, jnp.float32, x3, ksite3)] * 6,
+        interpret=interpret,
+    )(kfwd_prefix, prev_edge, next_edge, x3, ksite3)
 
 
 def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
