@@ -197,12 +197,16 @@ def _block_scan(state, reverse: bool, carry_in, rows: int,
     pref = sub_scan(summ, axis=0, steps=int(np.log2(rows)), reverse=reverse)
     pref = _shifted(pref, 1, 0, reverse)  # exclusive
 
-    # stage 3: row prefixes, then the cross-block carry
+    # stage 3: fold the cross-block carry into the (rows, 1) row prefixes
+    # first (combine is associative, so this is exact: carry ∘ (pref ∘
+    # state) == (carry ∘ pref) ∘ state), then ONE full-block combine —
+    # halving what used to be two broadcast combine passes over the
+    # whole (rows, 128) block.
+    carry_row = tuple(jnp.full((rows, 1), c) for c in carry_in)
+    pref = _state_combine(carry_row, pref)
     state = _state_combine(
         tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
     )
-    carry_t = tuple(jnp.full((rows, _LANES), c) for c in carry_in)
-    state = _state_combine(carry_t, state)
 
     erow = 0 if reverse else rows - 1
     ecol = 0 if reverse else _LANES - 1
