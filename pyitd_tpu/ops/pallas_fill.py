@@ -920,7 +920,7 @@ def _top2cnt_comp(a, b):
     return f1p, f1v, f2p, f2v, a[4] + b[4]
 
 
-def block_fill_summaries(mb, pf, xb, big):
+def block_fill_summaries(mb, pf, xb, big, directions: str = "both"):
     """Per-block last-two (fwd) and first-two (rev) marked (position,
     value) states as ONE variadic ``lax.reduce`` per direction over the
     trailing axis.  ``big`` must exceed every real position (the rev
@@ -928,16 +928,23 @@ def block_fill_summaries(mb, pf, xb, big):
     on l1, then one-hot value sums) costs ~18 HBM passes in XLA; a top-2
     reduction carries values with positions in a single input pass per
     direction.  Outputs are sign-encoded states (empty slots: position
-    ``_NONE``, value 0), bitwise identical to the chained form."""
+    ``_NONE``, value 0), bitwise identical to the chained form.
+
+    ``directions``: "both" returns ``(fwd, rev)``; "fwd" / "rev" compute
+    and return just that direction's tuple (one input pass)."""
     zero = jnp.float32(0)
     neg = jnp.float32(_NONE)
     axis = pf.ndim - 1
-    fwd = lax.reduce(
-        (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
-         jnp.full_like(pf, neg), jnp.zeros_like(xb)),
-        (neg, zero, neg, zero),
-        _top2_comp(+1), (axis,),
-    )
+    fwd = None
+    if directions in ("both", "fwd"):
+        fwd = lax.reduce(
+            (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
+             jnp.full_like(pf, neg), jnp.zeros_like(xb)),
+            (neg, zero, neg, zero),
+            _top2_comp(+1), (axis,),
+        )
+        if directions == "fwd":
+            return fwd
     big = jnp.float32(big)
     rev = lax.reduce(
         (jnp.where(mb, pf, big), jnp.where(mb, xb, zero),
@@ -949,6 +956,8 @@ def block_fill_summaries(mb, pf, xb, big):
            jnp.where(rev[0] >= big, zero, rev[1]),
            jnp.where(rev[2] >= big, neg, rev[2]),
            jnp.where(rev[2] >= big, zero, rev[3]))
+    if directions == "rev":
+        return rev
     return fwd, rev
 
 

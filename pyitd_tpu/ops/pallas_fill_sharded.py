@@ -92,8 +92,13 @@ def _knot_state_sharded(x, blk, n_loc, n_global, offset, prev_scalar,
 def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
                                      endpoint_mode: str, row_4d: bool):
     """Shard-aware one-kernel fused level: ``_make_level_fused_kernel``
-    with global positions, halo patches, and the cross-shard states
-    already folded INTO the per-block prefetch folds by the caller."""
+    with global positions and halo patches.  Like the single-chip kernel,
+    the grid walks each row's blocks in REVERSE and chains the reverse
+    scan's cross-block state through an SMEM carry — seeded at each row's
+    first grid step from the CROSS-SHARD suffix (``rs_ref``, the folded
+    "first two knots after this shard", (rows, 4)).  Only the forward
+    folds ride the per-block prefetch (cross-shard prefix already
+    combined in by the caller)."""
     nm1 = float(n_global - 1)
 
     def kernel(off_ref, hl_ref, hr_ref, fp_ref, rs_ref, xprev_ref,
@@ -101,50 +106,61 @@ def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
                *rest):
         if row_4d:
             (_li_ref, x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+             _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
+             carry) = rest
         else:
             (x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             base_ref, rot_ref, err_ref, row_ref, compo_ref) = rest
+             base_ref, rot_ref, err_ref, row_ref, compo_ref, carry) = rest
         r = pl.program_id(0)
-        blk = pl.program_id(1)
+        g = pl.program_id(1)
 
+        @pl.when(g == 0)
+        def _():
+            for i in range(4):
+                carry[i] = rs_ref[r, i]
+
+        blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
         gpos, row, lane, _, state0 = _knot_state_sharded(
             x, blk, n_loc, n_global, off_ref[0],
             xprev_ref[r, blk], xnext_ref[r, blk], hl_ref[r], hr_ref[r],
         )
         fwd_in = tuple(fp_ref[r, blk * 4 + i] for i in range(4))
-        rev_in = tuple(rs_ref[r, blk * 4 + i] for i in range(4))
-        _fused_scans_and_epilogue(
+        rev_in = tuple(carry[i] for i in range(4))
+        carry_out = _fused_scans_and_epilogue(
             x, state0, gpos, row, lane, fwd_in, rev_in, nm1,
             gpos == n_global - 1, bfirst_ref[r], blast_ref[r],
             endpoint_mode, fa_ref[r] != 0, fb_ref[r] != 0, fc_ref[r] != 0,
             rotp_ref, pbase_ref, perr_ref, comp_ref,
             base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d)
+        for i in range(4):
+            carry[i] = carry_out[i]
 
     return kernel
 
 
 def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
-                             halo_r, fwd_prefix, rev_suffix, b_first,
+                             halo_r, fwd_prefix, shard_suffix, b_first,
                              b_last, stop_a, stop_b, cont, rot3, pbase3,
                              perr3, comp3, n_loc: int, n_global: int, *,
                              endpoint_mode: str = "reference",
                              interpret: bool = False,
                              out_levels=None, level_idx=None):
     """Sharded counterpart of ``pallas_fill.sift_level_fused_padded``:
-    one block-parallel kernel per trip.  ``fwd_prefix``/``rev_suffix`` are
-    the flattened (rows, nblk*4) per-block folds with the cross-shard
-    state already combined in by the caller."""
+    one reverse-walking kernel per trip.  ``fwd_prefix`` is the flattened
+    (rows, nblk*4) per-block forward folds with the cross-shard prefix
+    already combined in by the caller; ``shard_suffix`` (rows, 4) is the
+    cross-shard REVERSE state that seeds the kernel's SMEM carry — the
+    per-block reverse folds are never materialized."""
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     row_into_levels = out_levels is not None
     operands = [
-        offset, halo_l, halo_r, fwd_prefix, rev_suffix, prev_edge,
+        offset, halo_l, halo_r, fwd_prefix, shard_suffix, prev_edge,
         next_edge, b_first, b_last,
         stop_a.astype(jnp.float32), stop_b.astype(jnp.float32),
         cont.astype(jnp.float32),
@@ -157,7 +173,7 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         in_specs = [rspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *refs: (refs[12][0], r, b, 0),
+            lambda r, b, *refs: (refs[12][0], r, nblk - 1 - b, 0),
             memory_space=pltpu.VMEM,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
@@ -176,6 +192,7 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         grid=(rows, nblk),
         in_specs=in_specs,
         out_specs=[rspec, rspec, rspec, row_spec, rspec],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
     return pl.pallas_call(
         _make_level_fused_sharded_kernel(n_global, n_loc, nblk,

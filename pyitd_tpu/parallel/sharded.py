@@ -346,13 +346,13 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
                  (rows, 1)), both)
 
     def block_states(flat_pad, halo_l, halo_r):
-        """Sharded twin of ``pallas_fill.level_block_states_fwd`` (both
-        directions here — the sharded kernel seeds every block): knot mask
-        over the padded flat shard (halo-patched, global positions —
+        """Sharded twin of ``pallas_fill.level_block_states_fwd``: knot
+        mask over the padded flat shard (halo-patched, global positions —
         formula-identical to ``_knot_state_sharded``), the shard's
-        extrema-mark count, per-block summaries + local exclusive folds,
-        and the shard-level inclusive summaries (= fold of all blocks,
-        the cross-shard interface states)."""
+        extrema-mark count, forward per-block summaries + local exclusive
+        folds, and the shard-total states for BOTH directions (the
+        cross-shard interface; the reverse one seeds the reverse-walking
+        kernel's SMEM carry)."""
         it = lax.broadcasted_iota(jnp.int32, flat_pad.shape, 1)
         gposf = _vary(it.astype(jnp.float32), both) + off[0].astype(
             jnp.float32)
@@ -375,27 +375,28 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         xb = flat_pad.reshape(rows, nblk_, BLK)
         pf = gposf.reshape(rows, nblk_, BLK)
 
-        fwd_sum, rev_sum = block_fill_summaries(mb, pf, xb,
-                                                n_global + npad + 1)
+        big = n_global + npad + 1
+        fwd_sum = block_fill_summaries(mb, pf, xb, big, directions="fwd")
 
-        def fold(summ, reverse):
-            if reverse:
-                summ = tuple(jnp.flip(s, axis=1) for s in summ)
-            inc = lax.associative_scan(_combine, summ, axis=1)
-            exc = tuple(
-                jnp.concatenate(
-                    [jnp.full_like(s[:, :1], -1.0 if i % 2 == 0 else 0.0),
-                     s[:, :-1]], axis=1)
-                for i, s in enumerate(inc)
-            )
-            shard_total = tuple(s[:, -1] for s in inc)
-            if reverse:
-                exc = tuple(jnp.flip(s, axis=1) for s in exc)
-            return exc, shard_total
+        inc = lax.associative_scan(_combine, fwd_sum, axis=1)
+        exc_f = tuple(
+            jnp.concatenate(
+                [jnp.full_like(s[:, :1], -1.0 if i % 2 == 0 else 0.0),
+                 s[:, :-1]], axis=1)
+            for i, s in enumerate(inc)
+        )
+        tot_f = tuple(s[:, -1] for s in inc)
 
-        exc_f, tot_f = fold(fwd_sum, False)
-        exc_r, tot_r = fold(rev_sum, True)
-        return marks, (exc_f, tot_f), (exc_r, tot_r)
+        # the reverse direction needs no per-block folds — the kernel
+        # walks blocks in reverse and chains the suffix through its SMEM
+        # carry; only the SHARD-total "first two knots" state is needed
+        # (the cross-shard interface), as one whole-shard reduce
+        tot_r = tuple(
+            s[:, 0] for s in block_fill_summaries(
+                m.reshape(rows, 1, npad), gposf.reshape(rows, 1, npad),
+                flat_pad.reshape(rows, 1, npad), big, directions="rev")
+        )
+        return marks, (exc_f, tot_f), tot_r
 
     def seed(exc, shard_state):
         """Combine the cross-shard state into every block's local fold
@@ -412,7 +413,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         flat_pad = base3.reshape(rows, npad)
         halo_l, halo_r = _shard_halos(flat_pad[:, :n_loc], axis_name,
                                       rank, size, both)
-        marks, (exc_f, tot_f), (exc_r, tot_r) = block_states(
+        marks, (exc_f, tot_f), tot_r = block_states(
             flat_pad, halo_l, halo_r)
         if size > 1:
             shard_prefix = _fold_states(tot_f, rank, size, axis_name, both,
@@ -422,7 +423,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         else:
             shard_prefix = shard_suffix = sentinel
         fp = seed(exc_f, shard_prefix)
-        rs = seed(exc_r, shard_suffix)
+        rs = shard_suffix  # (rows, 4): seeds the kernel's SMEM carry
         nex = lax.psum(marks, axis_name) - 2
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & over_budget

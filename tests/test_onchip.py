@@ -80,6 +80,24 @@ def test_spike_cubic_onchip():
     assert rel < 5e-5, rel
 
 
+def test_sharded_sift_matches_plain_onchip():
+    """The sequence-parallel reverse-walk kernel (1x1 mesh, real Mosaic
+    lowering) is bit-identical to the plain fused sift on the chip — the
+    CI-side sharded parity runs interpret mode on the virtual CPU mesh
+    only."""
+    from pyitd_tpu import itd_sift
+    from pyitd_tpu.parallel.sharded import make_mesh, sharded_itd_sift
+
+    x = _sig(2, 16384, seed=7)
+    mesh = make_mesh(1, seq=1)
+    rot, ncomp, reason, corr = sharded_itd_sift(x, mesh, 6)
+    b = itd_sift(x, 6, store_baselines=False)
+    assert bool(jnp.all(rot == b.rotations))
+    assert bool(jnp.all(corr == b.correction))
+    assert bool(jnp.all(ncomp == b.num_components))
+    assert bool(jnp.all(reason == b.stop_reason))
+
+
 def test_compensated_reconstruction_onchip():
     """sum(rotations) + Neumaier residual + sift correction reconstructs
     the input to ~0 at f32 on the real chip (the round-2/3 precision
