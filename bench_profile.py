@@ -160,6 +160,13 @@ def main():
     rows = []
     for name, fn, ops_est, bytes_est in stages:
         dt = stage_time(fn)
+        if dt < 20e-6:
+            # below the chain-differencing resolution (relay jitter is
+            # tens of us): report the bound, not a fantasy throughput
+            rows.append((name, dt, float("nan"), 0, 0))
+            print(f"{name:36s}  <0.02 ms (below differencing resolution)",
+                  file=sys.stderr)
+            continue
         msamp = elems / dt / 1e6
         vpu_frac = ops_est * elems / dt / VPU_OPS
         hbm_frac = bytes_est * elems / dt / HBM_BPS
