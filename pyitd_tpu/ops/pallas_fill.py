@@ -961,6 +961,43 @@ def block_fill_summaries(mb, pf, xb, big, directions: str = "both"):
     return fwd, rev
 
 
+def _top2x2cnt_comp(a, b):
+    """Both-direction :func:`_top2_comp` plus a count channel in ONE
+    commutative comparator: channels 0-3 forward last-two (_NONE-encoded
+    empties), 4-7 reverse first-two (big-encoded empties), 8 mark count
+    (plain add, exact in f32 at any signal length here)."""
+    f = _top2_comp(+1)(a[:4], b[:4])
+    r = _top2_comp(-1)(a[4:8], b[4:8])
+    return f + r + (a[8] + b[8],)
+
+
+def block_fill_summaries_cnt(mb, pf, xb, big):
+    """Per-block forward last-two, reverse first-two, and mark count as
+    ONE variadic ``lax.reduce`` over the trailing axis — the sharded twin
+    of :func:`level_block_states_fwd`'s fused 5-channel pass (one input
+    pass instead of a forward reduce + a count sum + a whole-shard
+    reverse reduce).
+
+    Returns ``(fwd, rev_enc, cnt)``; ``rev_enc`` stays big-encoded so the
+    caller can fold it across blocks (top-2 merge is order-exact) before
+    decoding empty slots to ``_NONE``.
+    """
+    zero = jnp.float32(0)
+    neg = jnp.float32(_NONE)
+    bigf = jnp.float32(big)
+    axis = pf.ndim - 1
+    out = lax.reduce(
+        (jnp.where(mb, pf, neg), jnp.where(mb, xb, zero),
+         jnp.full_like(pf, neg), jnp.zeros_like(xb),
+         jnp.where(mb, pf, bigf), jnp.where(mb, xb, zero),
+         jnp.full_like(pf, bigf), jnp.zeros_like(xb),
+         mb.astype(jnp.float32)),
+        (neg, zero, neg, zero, bigf, zero, bigf, zero, zero),
+        _top2x2cnt_comp, (axis,),
+    )
+    return out[:4], out[4:8], out[8]
+
+
 def _knot_mask_flat(flat, n: int):
     """ITD knot mask over the padded flat signal — formula-identical to
     ``_knot_state`` (canonical extrema + endpoints, NaN quarantine);

@@ -323,7 +323,8 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     extrema count and the per-block fill-state folds, seeded with the
     cross-shard states), then ONE block-parallel kernel."""
     from ..ops.pallas_fill import (
-        BLK, _LANES, _combine, _pad_edges, block_fill_summaries)
+        BLK, _LANES, _combine, _pad_edges, _top2_comp,
+        block_fill_summaries_cnt)
     from ..ops.pallas_fill_sharded import sharded_sift_level_fused
 
     levels = max_iteration + 2
@@ -369,14 +370,17 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         m = ((((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0)))
              & interior & ~near_nan) | (
             valid & ((gpos == 0) | (gpos == n_global - 1)))
-        marks = jnp.sum(m, axis=-1).astype(jnp.int32)
-
         mb = m.reshape(rows, nblk_, BLK)
         xb = flat_pad.reshape(rows, nblk_, BLK)
         pf = gposf.reshape(rows, nblk_, BLK)
 
+        # ONE 9-channel input pass (the single-chip
+        # ``level_block_states_fwd`` scheme + the reverse channels the
+        # cross-shard interface needs): per-block forward last-two,
+        # per-block reverse first-two, per-block mark counts.
         big = n_global + npad + 1
-        fwd_sum = block_fill_summaries(mb, pf, xb, big, directions="fwd")
+        fwd_sum, rev_blk, cnt = block_fill_summaries_cnt(mb, pf, xb, big)
+        marks = jnp.sum(cnt, axis=-1).astype(jnp.int32)
 
         inc = lax.associative_scan(_combine, fwd_sum, axis=1)
         exc_f = tuple(
@@ -390,12 +394,17 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         # the reverse direction needs no per-block folds — the kernel
         # walks blocks in reverse and chains the suffix through its SMEM
         # carry; only the SHARD-total "first two knots" state is needed
-        # (the cross-shard interface), as one whole-shard reduce
-        tot_r = tuple(
-            s[:, 0] for s in block_fill_summaries(
-                m.reshape(rows, 1, npad), gposf.reshape(rows, 1, npad),
-                flat_pad.reshape(rows, 1, npad), big, directions="rev")
-        )
+        # (the cross-shard interface).  Fold the per-block first-two
+        # states across blocks (top-2 merge is order-exact, so this is
+        # bitwise the whole-shard reduce) and decode empties to -1.
+        bigf = jnp.float32(big)
+        zero = jnp.float32(0)
+        tr = lax.reduce(rev_blk, (bigf, zero, bigf, zero),
+                        _top2_comp(-1), (1,))
+        tot_r = (jnp.where(tr[0] >= bigf, -1.0, tr[0]),
+                 jnp.where(tr[0] >= bigf, zero, tr[1]),
+                 jnp.where(tr[2] >= bigf, -1.0, tr[2]),
+                 jnp.where(tr[2] >= bigf, zero, tr[3]))
         return marks, (exc_f, tot_f), tot_r
 
     def seed(exc, shard_state):

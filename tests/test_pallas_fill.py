@@ -179,3 +179,46 @@ def test_pallas_backend_full_level(endpoint_mode):
     np.testing.assert_array_equal(
         np.asarray(got.num_extrema), np.asarray(want.num_extrema)
     )
+
+
+def test_block_fill_summaries_cnt_matches_two_pass():
+    """The fused 9-channel reduce (fwd top-2 + rev top-2 + count in one
+    input pass, used by the sharded sift's block_states) is bitwise the
+    separate fwd/rev ``block_fill_summaries`` reductions plus a mask sum —
+    including all-empty blocks, single-mark blocks, and full blocks."""
+    from pyitd_tpu.ops.pallas_fill import (
+        block_fill_summaries, block_fill_summaries_cnt)
+
+    rng = np.random.default_rng(11)
+    rows, nblk, blk = 3, 5, 64
+    pf = jnp.asarray(
+        np.broadcast_to(
+            np.arange(nblk * blk, dtype=np.float32).reshape(1, nblk, blk),
+            (rows, nblk, blk),
+        ).copy()
+    )
+    xb = jnp.asarray(rng.normal(size=(rows, nblk, blk)).astype(np.float32))
+    m = rng.random((rows, nblk, blk)) < 0.05
+    m[0, 2] = False          # an all-empty block
+    m[1, 3] = True           # a full block
+    m[2, 4] = False
+    m[2, 4, 17] = True       # a single-mark block
+    mb = jnp.asarray(m)
+    big = nblk * blk + 7
+
+    fwd, rev_enc, cnt = block_fill_summaries_cnt(mb, pf, xb, big)
+    fwd_ref, rev_ref = block_fill_summaries(mb, pf, xb, big)
+
+    for g, w in zip(fwd, fwd_ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # rev_enc is big-encoded; decode empties like block_fill_summaries does
+    bigf = np.float32(big)
+    r = [np.asarray(c) for c in rev_enc]
+    dec = (np.where(r[0] >= bigf, -1.0, r[0]),
+           np.where(r[0] >= bigf, 0.0, r[1]),
+           np.where(r[2] >= bigf, -1.0, r[2]),
+           np.where(r[2] >= bigf, 0.0, r[3]))
+    for g, w in zip(dec, rev_ref):
+        np.testing.assert_array_equal(g, np.asarray(w))
+    np.testing.assert_array_equal(
+        np.asarray(cnt), m.sum(axis=-1).astype(np.float32))
