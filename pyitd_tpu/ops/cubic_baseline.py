@@ -466,14 +466,34 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
                + blkv(vr2)[..., 0] * f_next)
     w_first_next = jnp.concatenate([w_first[..., 1:], zeros1], -1)
 
-    # end moments from the first/last two interior knots (flip-free masked
-    # index reductions; u recovered pointwise from the factors)
+    # end moments from the first/last two interior knots.  ONE 4-channel
+    # top-2-positions reduce (both directions) instead of four chained
+    # full-array masked reductions (i2/il2 each depended on the previous
+    # reduce, serializing four input passes); bitwise-identical ints —
+    # positions are exact in f32 far beyond any padded length here.
     nn = jnp.int32(npad)
-    i1 = jnp.min(jnp.where(mask_int, it, nn), axis=-1)
-    i2 = jnp.min(jnp.where(mask_int & (it > i1[..., None]), it, nn), axis=-1)
-    il1 = jnp.max(jnp.where(mask_int, it, -1), axis=-1)
-    il2 = jnp.max(jnp.where(mask_int & (it < il1[..., None]), it, -1),
-                  axis=-1)
+    nnf = jnp.float32(npad)
+    negf = jnp.float32(-1)
+
+    def top2pos2(a, b):
+        al1, al2, as1, as2 = a
+        bl1, bl2, bs1, bs2 = b
+        w2l = jnp.where(al1 >= bl1, al2, bl2)   # largest-first winner's 2nd
+        w2s = jnp.where(as1 <= bs1, as2, bs2)   # smallest-first winner's 2nd
+        return (jnp.maximum(al1, bl1),
+                jnp.maximum(jnp.minimum(al1, bl1), w2l),
+                jnp.minimum(as1, bs1),
+                jnp.minimum(jnp.maximum(as1, bs1), w2s))
+
+    il1f, il2f, i1f, i2f = lax.reduce(
+        (jnp.where(mask_int, iota_f, negf), jnp.full_like(iota_f, negf),
+         jnp.where(mask_int, iota_f, nnf), jnp.full_like(iota_f, nnf)),
+        (negf, negf, nnf, nnf), top2pos2, (1,),
+    )
+    i1 = i1f.astype(jnp.int32)
+    i2 = i2f.astype(jnp.int32)
+    il1 = il1f.astype(jnp.int32)
+    il2 = il2f.astype(jnp.int32)
 
     def u_at(idx):
         idxc = jnp.clip(idx, 0, npad - 1)[..., None]
