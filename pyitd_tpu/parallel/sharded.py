@@ -777,17 +777,38 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     m_j = u
     m_j1 = _shift_left(w_sol, axis_name, zf)
 
-    # not-a-knot end moments from the global first/last two interior knots
-    nn = jnp.asarray(n_global, jnp.int32)
-    loc_first = jnp.min(jnp.where(mask, gpos, nn), axis=-1)
-    i1 = lax.pmin(loc_first, axis_name)
-    i2 = lax.pmin(
-        jnp.min(jnp.where(mask & (gpos > i1[..., None]), gpos, nn), axis=-1),
-        axis_name)
-    il1 = lax.pmax(jnp.max(jnp.where(mask, gpos, -1), axis=-1), axis_name)
-    il2 = lax.pmax(
-        jnp.max(jnp.where(mask & (gpos < il1[..., None]), gpos, -1), axis=-1),
-        axis_name)
+    # not-a-knot end moments from the global first/last two interior
+    # knots.  ONE local 4-channel top-2-positions reduce (both
+    # directions), then tiny scalar collectives — the serialized form
+    # (four full local passes, two of them blocked on a pmin/pmax)
+    # produced identical ints: the global second = the owner shard's
+    # local second, every other shard contributes its local first.
+    nnf = jnp.asarray(n_global, dtype)
+    negf = jnp.asarray(-1, dtype)
+
+    def top2pos2(a, b):
+        al1, al2, as1, as2 = a
+        bl1, bl2, bs1, bs2 = b
+        w2l = jnp.where(al1 >= bl1, al2, bl2)
+        w2s = jnp.where(as1 <= bs1, as2, bs2)
+        return (jnp.maximum(al1, bl1),
+                jnp.maximum(jnp.minimum(al1, bl1), w2l),
+                jnp.minimum(as1, bs1),
+                jnp.minimum(jnp.maximum(as1, bs1), w2s))
+
+    l_il1, l_il2, l_i1, l_i2 = lax.reduce(
+        (jnp.where(mask, gposf, negf), jnp.full_like(gposf, negf),
+         jnp.where(mask, gposf, nnf), jnp.full_like(gposf, nnf)),
+        (negf, negf, nnf, nnf), top2pos2, (x.ndim - 1,),
+    )
+    i1f = lax.pmin(l_i1, axis_name)
+    i2f = lax.pmin(jnp.where(l_i1 == i1f, l_i2, l_i1), axis_name)
+    il1f = lax.pmax(l_il1, axis_name)
+    il2f = lax.pmax(jnp.where(l_il1 == il1f, l_il2, l_il1), axis_name)
+    i1 = i1f.astype(jnp.int32)
+    i2 = i2f.astype(jnp.int32)
+    il1 = il1f.astype(jnp.int32)
+    il2 = il2f.astype(jnp.int32)
 
     def pick(i):
         return lax.psum(
