@@ -193,6 +193,33 @@ def eval_moment_spline_scan(x_like, positions, values, moments, h, count):
     return lin, cub
 
 
+def _end_knot_positions(mask_int, iota_f, big):
+    """(last1, last2, first1, first2) interior-knot positions along the
+    trailing axis in ONE 4-channel top-2-both-directions ``lax.reduce``
+    (the serialized forms — chained masked reductions or flip+argmax —
+    cost four dependent input passes).  Positions are exact in f32 far
+    beyond any padded length here.  Empty slots: last* = -1, first* =
+    ``big``; callers map those to their own degenerate encodings."""
+    negf = jnp.asarray(-1, iota_f.dtype)
+    bigf = jnp.asarray(big, iota_f.dtype)
+
+    def comp(a, b):
+        al1, al2, as1, as2 = a
+        bl1, bl2, bs1, bs2 = b
+        w2l = jnp.where(al1 >= bl1, al2, bl2)
+        w2s = jnp.where(as1 <= bs1, as2, bs2)
+        return (jnp.maximum(al1, bl1),
+                jnp.maximum(jnp.minimum(al1, bl1), w2l),
+                jnp.minimum(as1, bs1),
+                jnp.minimum(jnp.maximum(as1, bs1), w2s))
+
+    return lax.reduce(
+        (jnp.where(mask_int, iota_f, negf), jnp.full_like(iota_f, negf),
+         jnp.where(mask_int, iota_f, bigf), jnp.full_like(iota_f, bigf)),
+        (negf, negf, bigf, bigf), comp, (iota_f.ndim - 1,),
+    )
+
+
 def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
                      k_j1, shift_l, use_spike=False, n_real=None):
     """Per-sample previous/next-knot spline moments via the grid-resident
@@ -238,12 +265,15 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     def at(arr, idx):
         return jnp.take_along_axis(arr, idx[..., None], axis=-1)
 
-    i1 = jnp.argmax(mask_int, axis=-1).astype(jnp.int32)
-    i2 = jnp.argmax(mask_int & (it > i1[..., None]), axis=-1).astype(jnp.int32)
-    il1 = (n - 1) - jnp.argmax(jnp.flip(mask_int, -1), axis=-1).astype(jnp.int32)
-    il2 = (n - 1) - jnp.argmax(
-        jnp.flip(mask_int & (it < il1[..., None]), -1), axis=-1
-    ).astype(jnp.int32)
+    # one 4-channel reduce; empties map to the argmax conventions the
+    # serialized form produced (argmax of all-False = 0; the flipped
+    # far-end argmaxes = n - 1)
+    il1f, il2f, i1f, i2f = _end_knot_positions(mask_int, iota_f, n)
+    nnf = jnp.asarray(n, iota_f.dtype)
+    i1 = jnp.where(i1f >= nnf, 0, i1f).astype(jnp.int32)
+    i2 = jnp.where(i2f >= nnf, 0, i2f).astype(jnp.int32)
+    il1 = jnp.where(il1f < 0, n - 1, il1f).astype(jnp.int32)
+    il2 = jnp.where(il2f < 0, n - 1, il2f).astype(jnp.int32)
 
     m1, m2 = at(u, i1), at(u, i2)
     ml1, ml2 = at(u, il1), at(u, il2)
@@ -470,26 +500,9 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     # top-2-positions reduce (both directions) instead of four chained
     # full-array masked reductions (i2/il2 each depended on the previous
     # reduce, serializing four input passes); bitwise-identical ints —
-    # positions are exact in f32 far beyond any padded length here.
-    nn = jnp.int32(npad)
-    nnf = jnp.float32(npad)
-    negf = jnp.float32(-1)
-
-    def top2pos2(a, b):
-        al1, al2, as1, as2 = a
-        bl1, bl2, bs1, bs2 = b
-        w2l = jnp.where(al1 >= bl1, al2, bl2)   # largest-first winner's 2nd
-        w2s = jnp.where(as1 <= bs1, as2, bs2)   # smallest-first winner's 2nd
-        return (jnp.maximum(al1, bl1),
-                jnp.maximum(jnp.minimum(al1, bl1), w2l),
-                jnp.minimum(as1, bs1),
-                jnp.minimum(jnp.maximum(as1, bs1), w2s))
-
-    il1f, il2f, i1f, i2f = lax.reduce(
-        (jnp.where(mask_int, iota_f, negf), jnp.full_like(iota_f, negf),
-         jnp.where(mask_int, iota_f, nnf), jnp.full_like(iota_f, nnf)),
-        (negf, negf, nnf, nnf), top2pos2, (1,),
-    )
+    # the raw sentinels (first* = npad, last* = -1) are exactly this
+    # call site's degenerate encodings.
+    il1f, il2f, i1f, i2f = _end_knot_positions(mask_int, iota_f, npad)
     i1 = i1f.astype(jnp.int32)
     i2 = i2f.astype(jnp.int32)
     il1 = il1f.astype(jnp.int32)
