@@ -261,10 +261,11 @@ def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
 
 # ---------------------------------------------------------------------------
 # Pallas-backed sequence-parallel sift: each trip runs the single-chip fused
-# fill/emit kernels shard-locally; the only cross-shard traffic is one halo
-# ppermute, two all_gathers of 4-scalar-per-row knot summaries (the fill
-# carry interfaces), and tiny psums — O(shards) per trip, like the SPIKE
-# cubic's 6-scalar interface (ops/chained_pcr.py)
+# fill/emit kernels shard-locally; the only cross-shard traffic per trip is
+# 2 halo ppermutes, ONE all_gather of the stacked 8-scalar-per-row knot
+# summaries (both fill carry interfaces), and ONE stacked psum (mark count
+# + end knots) — O(shards), like the SPIKE cubic's 6-scalar interface
+# (ops/chained_pcr.py)
 # ---------------------------------------------------------------------------
 
 
@@ -281,25 +282,32 @@ def _shard_halos(flat, axis_name, rank, size, both):
     return halo_l, halo_r
 
 
-def _fold_states(summary, rank, size, axis_name, both, reverse):
-    """Cross-shard exclusive fill-state prefix (forward) / suffix
-    (reverse): all_gather the 4-scalar summaries and fold the fill2
-    combine over the shards strictly before (after) this one, nearest
-    shard last so its knots win."""
+def _fold_states_both(tot_f, tot_r, rank, size, axis_name, both):
+    """Cross-shard exclusive fill-state prefix (from the forward shard
+    totals) and suffix (from the reverse ones) with ONE ``all_gather``:
+    the 8 scalars per row ride together (an all_gather per channel per
+    direction is 8 latency-bound collectives per trip on real ICI), then
+    the fill2 combine folds the shards strictly before (after) this one,
+    nearest shard last so its knots win.  Returns two (rows, 4) states."""
     from ..ops.pallas_fill import _combine
 
-    gathered = [_vary(lax.all_gather(c, axis_name), both) for c in summary]
-    rows = summary[0].shape[0]
+    stacked = jnp.stack(tuple(tot_f) + tuple(tot_r), axis=-1)  # (rows, 8)
+    gathered = _vary(lax.all_gather(stacked, axis_name), both)
+    rows = stacked.shape[0]
     none = jnp.full((rows,), -1.0, jnp.float32)
     zero = jnp.zeros((rows,), jnp.float32)
-    acc = tuple(_vary(a, both) for a in (none, zero, none, zero))
-    order = range(size) if not reverse else range(size - 1, -1, -1)
-    for s in order:
-        st = tuple(g[s] for g in gathered)
-        new = _combine(acc, st)
-        use = _vary(rank > s if not reverse else rank < s, both)
-        acc = tuple(jnp.where(use, n, a) for n, a in zip(new, acc))
-    return jnp.stack(acc, axis=-1)  # (rows, 4)
+
+    def fold(col0, reverse):
+        acc = tuple(_vary(a, both) for a in (none, zero, none, zero))
+        order = range(size) if not reverse else range(size - 1, -1, -1)
+        for s in order:
+            st = tuple(gathered[s, :, col0 + i] for i in range(4))
+            new = _combine(acc, st)
+            use = _vary(rank > s if not reverse else rank < s, both)
+            acc = tuple(jnp.where(use, n, a) for n, a in zip(new, acc))
+        return jnp.stack(acc, axis=-1)  # (rows, 4)
+
+    return fold(0, reverse=False), fold(4, reverse=True)
 
 
 def _block_edges(base3, rows, nblk, sub, lanes):
@@ -414,26 +422,41 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
             tuple(shard_state[:, i : i + 1] for i in range(4)), exc)
         return jnp.stack(seeded, axis=-1).reshape(rows, nblk_ * 4)
 
-    def level(base3, pe, ne, bf, bl, rot3, pbase3, perr3, comp3,
+    def level(base3, pe, ne, rot3, pbase3, perr3, comp3,
               out_rot, static_i, done, over_budget):
         """One trip: XLA mask/summary pass (extrema count, block folds,
         shard interface states), cross-shard fold, stop flags, then ONE
-        fused kernel."""
+        fused kernel.  Cross-shard traffic: 2 halo ppermutes, 1 stacked
+        all_gather (both fold directions), 1 stacked psum (mark count +
+        the two global end-knot values)."""
         flat_pad = base3.reshape(rows, npad)
         halo_l, halo_r = _shard_halos(flat_pad[:, :n_loc], axis_name,
                                       rank, size, both)
         marks, (exc_f, tot_f), tot_r = block_states(
             flat_pad, halo_l, halo_r)
         if size > 1:
-            shard_prefix = _fold_states(tot_f, rank, size, axis_name, both,
-                                        reverse=False)
-            shard_suffix = _fold_states(tot_r, rank, size, axis_name, both,
-                                        reverse=True)
+            shard_prefix, shard_suffix = _fold_states_both(
+                tot_f, tot_r, rank, size, axis_name, both)
         else:
             shard_prefix = shard_suffix = sentinel
         fp = seed(exc_f, shard_prefix)
         rs = shard_suffix  # (rows, 4): seeds the kernel's SMEM carry
-        nex = lax.psum(marks, axis_name) - 2
+        # one psum for the trip's three scalars-per-row: the mark count
+        # (integer-valued f32, exact far beyond any signal length here;
+        # the single-chip pass counts in f32 the same way) and the global
+        # end-knot values (only the edge shards contribute; the rest add
+        # exact zeros, so the f32 sum is bitwise the 1-shard value)
+        bf_loc = jnp.where(_vary(rank == 0, both),
+                           0.5 * (flat_pad[:, 0] + flat_pad[:, 1]), 0.0)
+        bl_loc = jnp.where(
+            _vary(rank == size - 1, both),
+            0.5 * (flat_pad[:, n_loc - 2] + flat_pad[:, n_loc - 1]), 0.0)
+        tot = lax.psum(
+            jnp.stack([marks.astype(jnp.float32), bf_loc, bl_loc], axis=-1),
+            axis_name)
+        nex = tot[:, 0].astype(jnp.int32) - 2
+        bf = _vary(tot[:, 1], both)
+        bl = _vary(tot[:, 2], both)
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & over_budget
         cont = (~done) & (~stop_a) & (~stop_b)
@@ -445,23 +468,11 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
             out_levels=out_rot, level_idx=static_i)
         return outs, (stop_a, stop_b)
 
-    def end_knots(base3):
-        flat = base3.reshape(rows, npad)
-        bf = lax.psum(jnp.where(_vary(rank == 0, both),
-                                0.5 * (flat[:, 0] + flat[:, 1]), 0.0),
-                      axis_name)
-        bl = lax.psum(
-            jnp.where(_vary(rank == size - 1, both),
-                      0.5 * (flat[:, n_loc - 2] + flat[:, n_loc - 1]),
-                      0.0), axis_name)
-        return _vary(bf, both), _vary(bl, both)
-
     # initial extraction: flags all false -> row/compensation outputs inert
     zero3 = _vary(jnp.zeros_like(x3), both)
     tdone = _vary(jnp.ones((rows,), bool), ("data",))
-    bf, bl = end_knots(x3)
     (base3, rot3, perr3, _row, _c), _ = level(
-        x3, pe, ne, bf, bl, zero3, zero3, zero3, zero3, None, None,
+        x3, pe, ne, zero3, zero3, zero3, zero3, None, None,
         tdone, jnp.asarray(False))
 
     out_rot = _vary(jnp.zeros((levels,) + x3.shape, jnp.float32), both)
@@ -472,12 +483,11 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     comp3 = zero3
 
     for i in range(levels):
-        bf, bl = end_knots(base3)
         pe, ne = _block_edges(base3, rows, nblk, sub, _LANES)
         over = jnp.broadcast_to(jnp.asarray(i >= max_iteration + 1),
                                 done.shape)
         (new_base, new_rot, new_err, out_rot, comp3), (stop_a, stop_b) = \
-            level(base3, pe, ne, bf, bl, rot3, prev_base3, perr3, comp3,
+            level(base3, pe, ne, rot3, prev_base3, perr3, comp3,
                   out_rot, i, done, over)
         stopping = stop_a | stop_b
         ncomp = jnp.where(stopping, i + 1, ncomp)
