@@ -63,29 +63,34 @@ def _ffill(values: tuple, mask, axis_name, defaults: tuple):
     """Cross-shard forward fill of several channels under one mask.
 
     Each channel gets the value at the most recent masked sample; samples
-    before the first masked sample anywhere get the channel default."""
+    before the first masked sample anywhere get the channel default.  All
+    channel summaries and the has-flag ride ONE stacked ``all_gather``
+    (one collective per fill, not two per channel)."""
     idx = prev_index(mask)
     has_local = idx >= 0
     rank = lax.axis_index(axis_name)
     size = lax.axis_size(axis_name)
     sel = jnp.arange(size) < rank
 
+    locs = [take_last_axis(v, idx) for v in values]
+    dt = locs[0].dtype
+    has = has_local[..., -1]
+    stacked = jnp.stack(
+        [loc[..., -1] for loc in locs] + [has.astype(dt)], axis=-1)
+    allg = lax.all_gather(stacked, axis_name)          # (S, ..., k+1)
+    all_has = allg[..., -1] != 0
+    shape = [size] + [1] * (all_has.ndim - 1)
+    pick = jnp.max(
+        jnp.where(all_has & sel.reshape(shape),
+                  jnp.arange(size).reshape(shape), -1),
+        axis=0,
+    )
     out = []
-    for v, d in zip(values, defaults):
-        loc = take_last_axis(v, idx)
-        summary = loc[..., -1]          # last filled value of this shard
-        has = has_local[..., -1]
-        all_sum = lax.all_gather(summary, axis_name)      # (S, ...)
-        all_has = lax.all_gather(has, axis_name)
-        shape = [size] + [1] * (all_has.ndim - 1)
-        pick = jnp.max(
-            jnp.where(all_has & sel.reshape(shape), jnp.arange(size).reshape(shape), -1),
-            axis=0,
-        )
+    for i, (loc, d) in enumerate(zip(locs, defaults)):
         prefix = jnp.take_along_axis(
-            all_sum, jnp.maximum(pick, 0)[None], axis=0
+            allg[..., i], jnp.maximum(pick, 0)[None], axis=0
         )[0]
-        prefix = jnp.where(pick >= 0, prefix, d)
+        prefix = jnp.where(pick >= 0, prefix, d).astype(loc.dtype)
         out.append(jnp.where(has_local, loc, prefix[..., None]))
     return tuple(out)
 
@@ -98,24 +103,35 @@ def _bfill(values: tuple, mask, axis_name, defaults: tuple):
     size = lax.axis_size(axis_name)
     sel = jnp.arange(size) > rank
 
+    locs = [take_last_axis(v, idx) for v in values]
+    dt = locs[0].dtype
+    has = has_local[..., 0]
+    stacked = jnp.stack(
+        [loc[..., 0] for loc in locs] + [has.astype(dt)], axis=-1)
+    allg = lax.all_gather(stacked, axis_name)
+    all_has = allg[..., -1] != 0
+    shape = [size] + [1] * (all_has.ndim - 1)
+    pick = jnp.min(
+        jnp.where(all_has & sel.reshape(shape),
+                  jnp.arange(size).reshape(shape), size),
+        axis=0,
+    )
     out = []
-    for v, d in zip(values, defaults):
-        loc = take_last_axis(v, idx)
-        summary = loc[..., 0]
-        has = has_local[..., 0]
-        all_sum = lax.all_gather(summary, axis_name)
-        all_has = lax.all_gather(has, axis_name)
-        shape = [size] + [1] * (all_has.ndim - 1)
-        pick = jnp.min(
-            jnp.where(all_has & sel.reshape(shape), jnp.arange(size).reshape(shape), size),
-            axis=0,
-        )
+    for i, (loc, d) in enumerate(zip(locs, defaults)):
         suffix = jnp.take_along_axis(
-            all_sum, jnp.minimum(pick, size - 1)[None], axis=0
+            allg[..., i], jnp.minimum(pick, size - 1)[None], axis=0
         )[0]
-        suffix = jnp.where(pick < size, suffix, d)
+        suffix = jnp.where(pick < size, suffix, d).astype(loc.dtype)
         out.append(jnp.where(has_local, loc, suffix[..., None]))
     return tuple(out)
+
+
+def _end_samples(x, axis_name):
+    """(x[0], x[1]) and (x[-2], x[-1]) of the GLOBAL signal with one
+    stacked ``all_gather`` (the two 2-sample gathers ride together)."""
+    allg = lax.all_gather(
+        jnp.concatenate([x[..., :2], x[..., -2:]], axis=-1), axis_name)
+    return allg[0, ..., :2], allg[-1, ..., 2:]
 
 
 def _level(x, axis_name, n_global, endpoint_mode):
@@ -156,8 +172,7 @@ def _level(x, axis_name, n_global, endpoint_mode):
     knot_val = 0.5 * (prev_x + w * (next_x - prev_x)) + 0.5 * x
 
     # end-knot values need x[0], x[1], x[-2], x[-1] (global)
-    first2 = lax.all_gather(x[..., :2], axis_name)[0]
-    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    first2, last2 = _end_samples(x, axis_name)
     b_first = 0.5 * (first2[..., 0] + first2[..., 1])
     b_last = 0.5 * (last2[..., 0] + last2[..., 1])
     knot_val = jnp.where(gpos == 0, b_first[..., None], knot_val)
@@ -613,8 +628,7 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     cnt = total[..., None]
 
     # knot values: odd-reflect ends + Frei-Osorio interior (MEITD tier)
-    first2 = lax.all_gather(x[..., :2], axis_name)[0]
-    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    first2, last2 = _end_samples(x, axis_name)
     b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
     b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
 
@@ -736,8 +750,7 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     span = next_pos - prev_pos
     wfrac = sdiv(gposf - prev_pos, span)
     k_site = 0.5 * (prev_x + wfrac * (next_x - prev_x)) + 0.5 * x
-    first2 = lax.all_gather(x[..., :2], axis_name)[0]
-    last2 = lax.all_gather(x[..., -2:], axis_name)[-1]
+    first2, last2 = _end_samples(x, axis_name)
     b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
     b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
     k_site = jnp.where(gpos == 0, b_first[..., None], k_site)
@@ -762,13 +775,15 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     (xp_u, xp_w), (vl_u, vl_w), (vr_u, vr_w) = shard_spike_factors(
         mask, a2, b2, c2, d)
 
-    def gat(v):
-        return jnp.moveaxis(lax.all_gather(v, axis_name), 0, -1)
+    # the six per-shard interface scalars ride ONE stacked all_gather
+    iface = jnp.stack(
+        [-vl_u[..., -1], -vl_w[..., 0], -vr_u[..., -1], -vr_w[..., 0],
+         xp_u[..., -1], xp_w[..., 0]], axis=-1)
+    iface = jnp.moveaxis(lax.all_gather(iface, axis_name), 0, -1)
 
     e, f = reduced_interface_solve(
-        gat(-vl_u[..., -1]), gat(-vl_w[..., 0]),
-        gat(-vr_u[..., -1]), gat(-vr_w[..., 0]),
-        gat(xp_u[..., -1]), gat(xp_w[..., 0]),
+        iface[..., 0, :], iface[..., 1, :], iface[..., 2, :],
+        iface[..., 3, :], iface[..., 4, :], iface[..., 5, :],
     )
     e_prev = jnp.where(
         rank == 0, zf,
@@ -811,21 +826,28 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
          jnp.where(mask, gposf, nnf), jnp.full_like(gposf, nnf)),
         (negf, negf, nnf, nnf), top2pos2, (x.ndim - 1,),
     )
-    i1f = lax.pmin(l_i1, axis_name)
-    i2f = lax.pmin(jnp.where(l_i1 == i1f, l_i2, l_i1), axis_name)
-    il1f = lax.pmax(l_il1, axis_name)
-    il2f = lax.pmax(jnp.where(l_il1 == il1f, l_il2, l_il1), axis_name)
+    # two pmins instead of two pmins + two pmaxes: negation is exact, so
+    # pmax(v) == -pmin(-v) bitwise and the max channels ride along
+    s1 = lax.pmin(jnp.stack([l_i1, -l_il1], axis=-1), axis_name)
+    i1f, il1f = s1[..., 0], -s1[..., 1]
+    s2 = lax.pmin(
+        jnp.stack([jnp.where(l_i1 == i1f, l_i2, l_i1),
+                   -jnp.where(l_il1 == il1f, l_il2, l_il1)], axis=-1),
+        axis_name)
+    i2f, il2f = s2[..., 0], -s2[..., 1]
     i1 = i1f.astype(jnp.int32)
     i2 = i2f.astype(jnp.int32)
     il1 = il1f.astype(jnp.int32)
     il2 = il2f.astype(jnp.int32)
 
-    def pick(i):
-        return lax.psum(
-            jnp.sum(jnp.where(gpos == i[..., None], u, 0.0), axis=-1),
-            axis_name)
-
-    m1, m2, ml1, ml2 = pick(i1), pick(i2), pick(il1), pick(il2)
+    # the four end-moment one-hot sums ride ONE stacked psum (only the
+    # owning shard contributes a non-zero, so the f32 sums are exact)
+    idx4 = jnp.stack([i1, i2, il1, il2], axis=-1)
+    m4 = lax.psum(
+        jnp.sum(jnp.where(gpos[..., None, :] == idx4[..., None], u[..., None, :],
+                          0.0), axis=-1),
+        axis_name)
+    m1, m2, ml1, ml2 = m4[..., 0], m4[..., 1], m4[..., 2], m4[..., 3]
     h0 = i1.astype(dtype)
     h1 = (i2 - i1).astype(dtype)
     hl = (n_global - 1 - il1).astype(dtype)
