@@ -157,6 +157,34 @@ def main():
             ("sharded sift 1x1 mesh (pallas)",
              lambda a: sharded_itd_sift(a, mesh1, 8)[0][0], 7600, 120))
 
+    # BASELINE.json configs 3 and 5 as one-call stages (opt-in: each new
+    # shape is a fresh remote Mosaic compile, so they're off by default)
+    if os.environ.get("PYITD_BENCH_EXTRA") == "1":
+        from pyitd_tpu.decomp.itd_fourier import fourier_mode_any
+
+        eeg = x[:, : 256 * 16384 // batch].reshape(256, 16384)
+
+        def one_call(name, fn, arr, elems_n):
+            g = jax.jit(lambda a, s: jnp.sum(fn(a + s)[..., :8]))
+            s0 = (time.time() % 1000.0) * 1e-7
+            float(g(arr, s0))
+            best_t = np.inf
+            for r in range(3):
+                t0 = time.time()
+                float(g(arr, s0 + 1e-6 * (r + 1)))
+                best_t = min(best_t, time.time() - t0)
+            print(
+                f"{name:36s} {best_t*1e3:8.2f} ms  "
+                f"{elems_n/best_t/1e6:9.1f} Msamp/s (one call, incl "
+                "dispatch)", file=sys.stderr)
+            stages_extra.append((name, best_t, elems_n / best_t / 1e6, 0, 0))
+
+        one_call("vmapped sift 256x16k (config 3)",
+                 lambda a: itd_sift(a, 8, store_baselines=False).rotations[0],
+                 eeg, 256 * 16384)
+        one_call("fourier mode 1M (config 5 inner)",
+                 lambda a: fourier_mode_any(a), x[:1], n)
+
     rows = []
     for name, fn, ops_est, bytes_est in stages:
         dt = stage_time(fn)
