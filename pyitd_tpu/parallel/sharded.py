@@ -157,12 +157,15 @@ def _level(x, axis_name, n_global, endpoint_mode):
 
     # exclusive neighbors of each knot: fills over shifted (pos, x)
     km1 = _shift_right(knots, axis_name, jnp.asarray(False))
-    pos_m1 = _shift_right(gposf, axis_name, jnp.zeros((), dtype))
+    # shifted POSITIONS are arithmetic, not communication: the neighbor's
+    # last global position is gpos - 1 by construction (fill at gpos 0)
+    pos_m1 = jnp.where(gpos == 0, jnp.zeros((), dtype), gposf - 1)
     xv_m1 = _shift_right(x, axis_name, jnp.zeros((), dtype))
     prev_pos, prev_x = _ffill((pos_m1, xv_m1), km1, axis_name,
                               (jnp.zeros((), dtype), jnp.zeros((), dtype)))
     kp1 = _shift_left(knots, axis_name, jnp.asarray(False))
-    pos_p1 = _shift_left(gposf, axis_name, jnp.zeros((), dtype))
+    pos_p1 = jnp.where(gpos == n_global - 1, jnp.zeros((), dtype),
+                       gposf + 1)
     xv_p1 = _shift_left(x, axis_name, jnp.zeros((), dtype))
     next_pos, next_x = _bfill((pos_p1, xv_p1), kp1, axis_name,
                               (jnp.zeros((), dtype), jnp.zeros((), dtype)))
@@ -740,11 +743,13 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     # exclusive prev/next knot (position, raw value) -> Frei-Osorio values
     km1 = _shift_right(knots, axis_name, fb)
     prev_pos, prev_x = _ffill(
-        (_shift_right(gposf, axis_name, zf), _shift_right(x, axis_name, zf)),
+        (jnp.where(gpos == 0, zf, gposf - 1),  # position shift = arithmetic
+         _shift_right(x, axis_name, zf)),
         km1, axis_name, (zf, zf))
     kp1 = _shift_left(knots, axis_name, fb)
     next_pos, next_x = _bfill(
-        (_shift_left(gposf, axis_name, zf), _shift_left(x, axis_name, zf)),
+        (jnp.where(gpos == n_global - 1, zf, gposf + 1),
+         _shift_left(x, axis_name, zf)),
         kp1, axis_name, (zf, zf))
 
     span = next_pos - prev_pos
