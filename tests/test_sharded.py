@@ -166,3 +166,45 @@ def test_sharded_pallas_nan_and_budget_stop():
     np.testing.assert_array_equal(np.asarray(rot_p), np.asarray(ref.rotations))
     np.testing.assert_array_equal(np.asarray(corr_p),
                                   np.asarray(ref.correction))
+
+
+def test_sharded_sift_collective_budget():
+    """The per-trip cross-shard traffic of the Pallas sharded sift is
+    exactly 2 halo ppermutes + ONE stacked fold all_gather + ONE stacked
+    psum (mark count + end knots).  Today's batched forms replaced 8
+    channel-wise all_gathers and 3 psums per trip; this pins the lowered
+    StableHLO collective counts so an accidental unbatching (or a
+    reintroduced per-channel gather) fails loudly."""
+    import re
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from pyitd_tpu.parallel.sharded import _sift_local_pallas
+
+    mesh = make_mesh(8, seq=4)
+    n, batch, maxit = 1024, 4, 4
+    trips = (maxit + 2) + 1  # levels + the initial extraction
+    local = partial(_sift_local_pallas, axis_name="seq", n_global=n,
+                    max_iteration=maxit, endpoint_mode="reference",
+                    interpret=True)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=P("data", "seq"),
+        out_specs=(P(None, "data", "seq"), P("data"), P("data"),
+                   P("data", "seq")),
+        check_vma=False)
+    x = jnp.asarray(bank(batch=batch, n=n), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    txt = jax.jit(fn).lower(xs).as_text()
+    counts = {
+        k: len(re.findall(rf"stablehlo\.{k}", txt))
+        for k in ("all_gather", "collective_permute", "all_reduce")
+    }
+    assert counts == {
+        "all_gather": trips,
+        "collective_permute": 2 * trips,
+        "all_reduce": trips,
+    }, counts
