@@ -208,3 +208,35 @@ def test_sharded_sift_collective_budget():
         "collective_permute": 2 * trips,
         "all_reduce": trips,
     }, counts
+
+
+def test_sharded_cubic_collective_budget():
+    """Distributed-SPIKE cubic cross-shard traffic, pinned at the batched
+    form's lowered counts (stacked interface gather, stacked end-moment
+    psum, negation-paired pmins, arithmetic position shifts): 7
+    all_gathers, 9 ppermutes, 4 all_reduces for the whole extract."""
+    import re
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from pyitd_tpu.parallel.sharded import _cubic_local_spike
+
+    mesh = make_mesh(8, seq=4)
+    local = partial(_cubic_local_spike, axis_name="seq", n_global=1024,
+                    min_extrema=10)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=P("data", "seq"),
+        out_specs=(P("data", "seq"), P("data", "seq"), P("data")))
+    x = jnp.asarray(bank(batch=4, n=1024), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    txt = jax.jit(fn).lower(xs).as_text()
+    counts = {
+        k: len(re.findall(rf"stablehlo\.{k}", txt))
+        for k in ("all_gather", "collective_permute", "all_reduce")
+    }
+    assert counts == {"all_gather": 7, "collective_permute": 9,
+                      "all_reduce": 4}, counts
