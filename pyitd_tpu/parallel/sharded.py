@@ -147,8 +147,12 @@ def _level(x, axis_name, n_global, endpoint_mode):
     dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
     dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
     interior = (gpos > 0) & (gpos < n_global - 1)
-    is_min = (dxb <= 0) & (dxf > 0) & interior
-    is_max = (dxb >= 0) & (dxf < 0) & interior
+    # NaN quarantine (ops.extrema.extrema_masks contract): samples within
+    # +-1 of a NaN are never extrema; the halo fill value is +inf, never
+    # NaN, so shard edges need no special case
+    near_nan = jnp.isnan(x) | jnp.isnan(x_m1) | jnp.isnan(x_p1)
+    is_min = (dxb <= 0) & (dxf > 0) & interior & ~near_nan
+    is_max = (dxb >= 0) & (dxf < 0) & interior & ~near_nan
     mask = is_min | is_max
     nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
 
@@ -601,7 +605,10 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
     dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
     interior = (gpos > 0) & (gpos < n_global - 1)
-    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
+    # NaN quarantine, per ops.extrema.extrema_masks (halo fill is +inf)
+    near_nan = jnp.isnan(x) | jnp.isnan(x_m1) | jnp.isnan(x_p1)
+    mask = ((((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0)))
+            & interior & ~near_nan)
     nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
 
     knots = mask | (gpos == 0) | (gpos == n_global - 1)
@@ -736,7 +743,10 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     dxb = jnp.where(jnp.isnan(x - x_m1), jnp.inf, x - x_m1)
     dxf = jnp.where(jnp.isnan(x_p1 - x), jnp.inf, x_p1 - x)
     interior = (gpos > 0) & (gpos < n_global - 1)
-    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
+    # NaN quarantine, per ops.extrema.extrema_masks (halo fill is +inf)
+    near_nan = jnp.isnan(x) | jnp.isnan(x_m1) | jnp.isnan(x_p1)
+    mask = ((((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0)))
+            & interior & ~near_nan)
     nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
     knots = mask | (gpos == 0) | (gpos == n_global - 1)
 
@@ -893,15 +903,13 @@ def _max_knots_per_shard(x, seq: int):
     already has.  Knots = interior extrema plus the global endpoints, and
     every shard may also contribute up to nothing extra — the +2 for the
     end knots is folded in by counting them in their owning shard."""
+    from ..ops.extrema import extrema_mask
+
     n = x.shape[-1]
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    dxb = jnp.where(jnp.isnan(jnp.diff(x, prepend=x[..., :1])), jnp.inf,
-                    jnp.diff(x, prepend=x[..., :1]))
-    dxf = jnp.where(jnp.isnan(jnp.diff(x, append=x[..., -1:])), jnp.inf,
-                    jnp.diff(x, append=x[..., -1:]))
-    interior = (it > 0) & (it < n - 1)
-    mask = (((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0))) & interior
-    knots = mask | (it == 0) | (it == n - 1)
+    # the canonical mask (incl. the NaN quarantine the sharded evaluators
+    # also apply), so the capacity bound matches what they will compact
+    knots = extrema_mask(x) | (it == 0) | (it == n - 1)
     per_shard = knots.reshape(x.shape[:-1] + (seq, n // seq)).sum(axis=-1)
     return jnp.max(per_shard)
 

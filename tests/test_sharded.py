@@ -168,6 +168,49 @@ def test_sharded_pallas_nan_and_budget_stop():
                                   np.asarray(ref.correction))
 
 
+def test_sharded_xla_nan_quarantine_matches_single_device():
+    """The sharded XLA fills backend applies the same NaN quarantine as
+    ops.extrema.extrema_masks (samples within +-1 of a NaN are never
+    extrema) — a finite sample right after a NaN must not become a knot,
+    so stop decisions and rotations match the single-chip sift."""
+    x = bank(batch=2, n=1024).astype(np.float32)
+    x[0, 511:513] = np.nan  # straddles the shard boundary at 512 (seq=4)
+    x[1, 700] = np.nan      # interior NaN with a descending neighbor
+    mesh = make_mesh(8, seq=4)
+    rot_s, ncomp_s, reason_s, _ = sharded_itd_sift(
+        jnp.asarray(x), mesh, 6, backend="xla")
+    ref = itd_sift(jnp.asarray(x), 6)
+    np.testing.assert_array_equal(np.asarray(ncomp_s),
+                                  np.asarray(ref.num_components))
+    np.testing.assert_array_equal(np.asarray(reason_s),
+                                  np.asarray(ref.stop_reason))
+    np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotations),
+                               atol=1e-10)
+
+
+@pytest.mark.parametrize("method", ["spike", "gather"])
+def test_sharded_cubic_nan_quarantine(method):
+    """Both distributed cubic tiers quarantine NaN neighbors like the
+    single-device extrema mask, so the knot sets (hence num_extrema and
+    the spline) agree on NaN-bearing inputs."""
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+    from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
+
+    x = bank(batch=2, n=1024).astype(np.float32)
+    x[0, 255:257] = np.nan  # straddles the shard boundary at 256 (seq=4)
+    x[1, 600] = np.nan
+    mesh = make_mesh(8, seq=4)
+    rot_s, base_s, nex_s = sharded_cubic_baseline(jnp.asarray(x), mesh,
+                                                  method=method)
+    ref = cubic_baseline_extract(jnp.asarray(x), capacity=1026)
+    np.testing.assert_array_equal(np.asarray(nex_s),
+                                  np.asarray(ref.num_extrema))
+    np.testing.assert_allclose(np.asarray(base_s), np.asarray(ref.baseline),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot_s), np.asarray(ref.rotation),
+                               atol=1e-5)
+
+
 def test_sharded_sift_collective_budget():
     """The per-trip cross-shard traffic of the Pallas sharded sift is
     exactly 2 halo ppermutes + ONE stacked fold all_gather + ONE stacked
