@@ -385,7 +385,8 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     semantics and outputs are bit-identical to the two-kernel emit path
     (the fold is pure selects, so association order is irrelevant)."""
     from ..ops.pallas_fill import (
-        _pad_edges, level_block_states_fwd, sift_level_fused_padded)
+        _pad_edges, block_edge_scalars, level_block_states_fwd,
+        sift_level_fused_padded)
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -395,18 +396,12 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     interp = jax.default_backend() != "tpu"
 
     x3, pe, ne, npad, nblk = _pad_edges(x2)
-    nlanes = x3.shape[2]
-    sub = x3.shape[1] // nblk
     zero3 = x3 * 0
     rzero = x3[:, 0, 0] * 0
     ffalse = rzero.astype(jnp.int32) != 0
 
     def edges(base3):
-        b4 = base3.reshape(rows, nblk, sub, nlanes)
-        ef = b4[:, :, 0, 0]
-        el = b4[:, :, sub - 1, nlanes - 1]
-        pe = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
-        ne = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+        pe, ne = block_edge_scalars(base3, nblk)
         flat = base3.reshape(rows, npad)
         bf = 0.5 * (flat[:, 0] + flat[:, 1])
         bl = 0.5 * (flat[:, n - 2] + flat[:, n - 1])
@@ -420,7 +415,7 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     base3, rot3, perr3, _row, _c = sift_level_fused_padded(
         x3, pe, ne, bf, bl, fp0, ffalse, ffalse, ffalse,
         zero3, zero3, zero3, zero3, n, endpoint_mode=endpoint_mode,
-        interpret=interp)
+        interpret=interp, donate_input=True)  # x3 dies here
 
     out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32) + zero3
     base_levels = levels if store_baselines else 1

@@ -715,16 +715,18 @@ def cubic_baseline_extract(
     if eval_backend in ("fills", "fills_fused", "fills_unfused",
                         "fills_compact"):
         if (eval_backend != "fills_compact"
-                and capacity < x.shape[-1] + 2):
+                and capacity < x.shape[-1]):
             # the chained backends have no compact buffers and ignore
             # capacity entirely, while gather/scan/fills_compact truncate
             # knots beyond it — a deliberately small capacity silently
-            # diverges across backends, so flag it at trace time
+            # diverges across backends, so flag it at trace time.  Worst
+            # case: every interior sample an extremum (n - 2) plus the
+            # two end knots = n.
             import warnings
 
             warnings.warn(
                 f"cubic_baseline_extract: capacity={capacity} < worst-case "
-                f"knot count ({x.shape[-1] + 2}); the chained fills "
+                f"knot count ({x.shape[-1]}); the chained fills "
                 "backends ignore capacity, so results may differ from the "
                 "truncating gather/scan/fills_compact backends",
                 stacklevel=2,

@@ -415,6 +415,24 @@ def _pad_edges(x):
     return x3, prev_edge, next_edge, npad, nblk
 
 
+def block_edge_scalars(base3, nblk):
+    """Per-block edge-neighbor scalars from a padded 3-D baseline —
+    ``_pad_edges``'s (prev_edge, next_edge) recomputed from a kernel
+    output that never left the padded layout: ``prev_edge[b] =
+    B[b*BLK - 1]`` (b=0: ``B[0]``), ``next_edge[b] = B[(b+1)*BLK]``
+    (last block: don't-care, stays finite).  The single source of the
+    edge convention for the single-chip sift loop, the emit path, and
+    the sharded sift."""
+    rows, nsub, lanes = base3.shape
+    sub = nsub // nblk
+    b4 = base3.reshape(rows, nblk, sub, lanes)
+    ef = b4[:, :, 0, 0]
+    el = b4[:, :, sub - 1, lanes - 1]
+    pe = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
+    ne = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+    return pe, ne
+
+
 def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
     """Run the ITD fill2 kernel on already-padded 3-D inputs; returns the
     four fill channels still in padded 3-D layout."""
@@ -1258,11 +1276,19 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
                             rot3, pbase3, perr3, comp3, n: int, *,
                             endpoint_mode: str = "reference",
                             interpret: bool = False,
-                            out_levels=None, level_idx=None):
+                            out_levels=None, level_idx=None,
+                            donate_input: bool = False):
     """One sift trip as ONE reverse-walking kernel (see
     ``_make_level_fused_kernel``); stop flags and the forward block folds
     arrive precomputed from :func:`level_block_states_fwd`.  Returns
-    ``(base3, rot3, err3, row, comp3)``."""
+    ``(base3, rot3, err3, row, comp3)``.
+
+    ``donate_input=True`` donates ``x3``'s buffer to the baseline output;
+    only pass it when ``x3`` genuinely dies at this call.  The sift trip
+    loop keeps its input live (as the next trip's ``pbase3``), where a
+    donation would both force XLA to insert a full-array copy AND exercise
+    the still-live-donated-operand pattern this backend is known to
+    mishandle (see the structural-aliases-only note below)."""
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
@@ -1288,24 +1314,29 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
-        # STRUCTURAL aliases only: x3->base (the input dies), and
-        # out_levels->row (REQUIRED - the in-place row write passes the
-        # unwritten levels through via the shared buffer).  Carry aliases
-        # (pbase->rot, perr->err, comp->comp_out) are deliberately NOT
-        # used: on-chip, XLA's copy insertion around must-aliased custom
-        # calls proved unreliable (outputs ended up sharing memory and
-        # the pending-err channel corrupted by ~1 ulp of the signal;
-        # verified by an aliasing-ablation A/B), and dropping them costs
-        # no bandwidth - only buffer reuse, which XLA's assigner recovers
-        # from liveness anyway.
-        aliases = {9: 0, 14: 3}
+        # STRUCTURAL aliases only: x3->base (only when the caller says the
+        # input dies, via donate_input), and out_levels->row (REQUIRED -
+        # the in-place row write passes the unwritten levels through via
+        # the shared buffer).  Carry aliases (pbase->rot, perr->err,
+        # comp->comp_out) are deliberately NOT used: on-chip, XLA's copy
+        # insertion around must-aliased custom calls proved unreliable
+        # (outputs ended up sharing memory and the pending-err channel
+        # corrupted by ~1 ulp of the signal; verified by an
+        # aliasing-ablation A/B), and dropping them costs no bandwidth -
+        # only buffer reuse, which XLA's assigner recovers from liveness
+        # anyway.
+        aliases = {14: 3}
+        required_aliases = {14: 3}
+        if donate_input:
+            aliases = {9: 0, 14: 3}
     else:
         num_prefetch = 8
         operands += tensor_operands
         in_specs = [rspec] * 5
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {8: 0}
+        aliases = {8: 0} if donate_input else {}
+        required_aliases = {}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
@@ -1319,7 +1350,10 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
-        input_output_aliases={} if _NO_ALIAS else aliases,
+        # the ablation gate drops donations but keeps the REQUIRED
+        # out_levels->row pass-through alias (without it the unwritten
+        # levels of the row output are garbage, not a comparable ablation)
+        input_output_aliases=required_aliases if _NO_ALIAS else aliases,
         interpret=interpret,
     )(*operands)
 
@@ -1392,8 +1426,11 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
-        # structural aliases only - see sift_level_fused_padded
+        # structural aliases only - see sift_level_fused_padded.  The f1p
+        # forward channel (input 9) genuinely dies here, so its donation
+        # is always safe; {17: 3} is the REQUIRED row pass-through.
         aliases = {9: 0, 17: 3}
+        required_aliases = {17: 3}
         # rot3 (input 13) still dies here but its shape no longer matches
         # the row output; leave it undonated.
     else:
@@ -1403,6 +1440,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
         aliases = {8: 0}
+        required_aliases = {}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
@@ -1416,19 +1454,14 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
-        input_output_aliases={} if _NO_ALIAS else aliases,
+        input_output_aliases=required_aliases if _NO_ALIAS else aliases,
         interpret=interpret,
     )(*operands)
     base3, rot_out, err3, row3, comp_out = outs
 
     # next trip's edge/end scalars: tiny strided slices of the padded
-    # baseline.  prev_edge'[b] = B[b*BLK - 1] (b=0: B[0]);
-    # next_edge'[b] = B[(b+1)*BLK] (last block: don't-care, stays finite).
-    b4 = base3.reshape(rows, nblk, sub, _LANES)
-    ef = b4[:, :, 0, 0]
-    el = b4[:, :, sub - 1, _LANES - 1]
-    pe2 = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
-    ne2 = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
+    # baseline.
+    pe2, ne2 = block_edge_scalars(base3, nblk)
     flat = base3.reshape(rows, npad)
     bf2 = 0.5 * (flat[:, 0] + flat[:, 1])
     bl2 = 0.5 * (flat[:, n - 2] + flat[:, n - 1])

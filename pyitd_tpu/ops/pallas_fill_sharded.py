@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fill import (
-    BLK, _LANES, _NONE, _block_scan, _fused_scans_and_epilogue,
+    BLK, _LANES, _NO_ALIAS, _NONE, _block_scan, _fused_scans_and_epilogue,
     _mask_outputs, _out_struct, _roll_next,
 )
 
@@ -145,13 +145,19 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
                              perr3, comp3, n_loc: int, n_global: int, *,
                              endpoint_mode: str = "reference",
                              interpret: bool = False,
-                             out_levels=None, level_idx=None):
+                             out_levels=None, level_idx=None,
+                             donate_input: bool = False):
     """Sharded counterpart of ``pallas_fill.sift_level_fused_padded``:
     one reverse-walking kernel per trip.  ``fwd_prefix`` is the flattened
     (rows, nblk*4) per-block forward folds with the cross-shard prefix
     already combined in by the caller; ``shard_suffix`` (rows, 4) is the
     cross-shard REVERSE state that seeds the kernel's SMEM carry — the
-    per-block reverse folds are never materialized."""
+    per-block reverse folds are never materialized.
+
+    ``donate_input=True`` donates ``x3`` to the baseline output; only the
+    initial extraction (where the input dies) may pass it — the trip loop
+    keeps its input live as the next trip's ``pbase3`` (see
+    ``pallas_fill.sift_level_fused_padded``)."""
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
@@ -179,14 +185,18 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
                                 x3)
         # structural aliases only - see pallas_fill.sift_level_fused_padded
-        aliases = {13: 0, 18: 3}
+        # ({18: 3} is the REQUIRED row pass-through; the x3 donation is
+        # caller-gated because the trip loop keeps x3 live)
+        aliases = {13: 0, 18: 3} if donate_input else {18: 3}
+        required_aliases = {18: 3}
     else:
         num_prefetch = 12
         operands += tensor_operands
         in_specs = [rspec] * 5
         row_spec = rspec
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
-        aliases = {12: 0}
+        aliases = {12: 0} if donate_input else {}
+        required_aliases = {}
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
@@ -200,6 +210,8 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
-        input_output_aliases=aliases,
+        # same PYITD_NO_ALIAS ablation gate as the single-chip kernels:
+        # drop donations, keep the required row pass-through alias
+        input_output_aliases=required_aliases if _NO_ALIAS else aliases,
         interpret=interpret,
     )(*operands)

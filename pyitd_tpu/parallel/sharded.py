@@ -332,14 +332,12 @@ def _fold_states_both(tot_f, tot_r, rank, size, axis_name, both):
     return fold(0, reverse=False), fold(4, reverse=True)
 
 
-def _block_edges(base3, rows, nblk, sub, lanes):
-    """Per-block edge-neighbor scalars from a padded 3-D baseline."""
-    b4 = base3.reshape(rows, nblk, sub, lanes)
-    ef = b4[:, :, 0, 0]
-    el = b4[:, :, sub - 1, lanes - 1]
-    pe = jnp.concatenate([ef[:, :1], el[:, :-1]], axis=-1)
-    ne = jnp.concatenate([ef[:, 1:], el[:, -1:]], axis=-1)
-    return pe, ne
+def _block_edges(base3, nblk):
+    """Per-block edge-neighbor scalars from a padded 3-D baseline (the
+    shared ``pallas_fill.block_edge_scalars`` convention)."""
+    from ..ops.pallas_fill import block_edge_scalars
+
+    return block_edge_scalars(base3, nblk)
 
 
 def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
@@ -353,8 +351,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     extrema count and the per-block fill-state folds, seeded with the
     cross-shard states), then ONE block-parallel kernel."""
     from ..ops.pallas_fill import (
-        BLK, _LANES, _combine, _pad_edges, _top2_comp,
-        block_fill_summaries_cnt)
+        BLK, _combine, _pad_edges, _top2_comp, block_fill_summaries_cnt)
     from ..ops.pallas_fill_sharded import sharded_sift_level_fused
 
     levels = max_iteration + 2
@@ -368,7 +365,6 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     off = _vary((rank * n_loc).astype(jnp.int32).reshape(1), both)
 
     x3, pe, ne, npad, nblk = _pad_edges(x2)
-    sub = BLK // _LANES
     x3 = _vary(x3, both)
 
     nblk_ = npad // BLK
@@ -445,7 +441,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         return jnp.stack(seeded, axis=-1).reshape(rows, nblk_ * 4)
 
     def level(base3, pe, ne, rot3, pbase3, perr3, comp3,
-              out_rot, static_i, done, over_budget):
+              out_rot, static_i, done, over_budget, donate_input=False):
         """One trip: XLA mask/summary pass (extrema count, block folds,
         shard interface states), cross-shard fold, stop flags, then ONE
         fused kernel.  Cross-shard traffic: 2 halo ppermutes, 1 stacked
@@ -487,7 +483,8 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
             _vary(stop_a, both), _vary(stop_b, both), _vary(cont, both),
             rot3, pbase3, perr3, comp3, n_loc, n_global,
             endpoint_mode=endpoint_mode, interpret=interpret,
-            out_levels=out_rot, level_idx=static_i)
+            out_levels=out_rot, level_idx=static_i,
+            donate_input=donate_input)
         return outs, (stop_a, stop_b)
 
     # initial extraction: flags all false -> row/compensation outputs inert
@@ -495,7 +492,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     tdone = _vary(jnp.ones((rows,), bool), ("data",))
     (base3, rot3, perr3, _row, _c), _ = level(
         x3, pe, ne, zero3, zero3, zero3, zero3, None, None,
-        tdone, jnp.asarray(False))
+        tdone, jnp.asarray(False), donate_input=True)  # x3 dies here
 
     out_rot = _vary(jnp.zeros((levels,) + x3.shape, jnp.float32), both)
     done = _vary(jnp.zeros((rows,), bool), ("data",))
@@ -505,7 +502,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     comp3 = zero3
 
     for i in range(levels):
-        pe, ne = _block_edges(base3, rows, nblk, sub, _LANES)
+        pe, ne = _block_edges(base3, nblk)
         over = jnp.broadcast_to(jnp.asarray(i >= max_iteration + 1),
                                 done.shape)
         (new_base, new_rot, new_err, out_rot, comp3), (stop_a, stop_b) = \
@@ -530,7 +527,8 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
                      endpoint_mode: str = "reference", backend: str = "auto"):
     """Batched canonical sift with (data, seq) sharding.
 
-    ``x``: (batch, n); batch must divide the 'data' axis, n the 'seq' axis.
+    ``x``: (batch, n); the 'data' axis size must divide batch, and the
+    'seq' axis size must divide n.
     Returns ``(rotations[levels, batch, n], num_components, stop_reason,
     correction)`` with the same input sharding on the trailing axes;
     ``correction`` is the compensated-reconstruction channel
@@ -545,7 +543,8 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
     if n_global % seq:
-        raise ValueError(f"n={n_global} must divide the seq axis ({seq})")
+        raise ValueError(
+            f"the seq mesh axis ({seq}) must divide n={n_global}")
     if backend == "auto":
         use_pallas = (jax.default_backend() == "tpu"
                       and x.dtype == jnp.float32)
@@ -819,28 +818,14 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
 
     # not-a-knot end moments from the global first/last two interior
     # knots.  ONE local 4-channel top-2-positions reduce (both
-    # directions), then tiny scalar collectives — the serialized form
-    # (four full local passes, two of them blocked on a pmin/pmax)
-    # produced identical ints: the global second = the owner shard's
-    # local second, every other shard contributes its local first.
-    nnf = jnp.asarray(n_global, dtype)
-    negf = jnp.asarray(-1, dtype)
+    # directions, the shared cubic_baseline._end_knot_positions), then
+    # tiny scalar collectives — the serialized form (four full local
+    # passes, two of them blocked on a pmin/pmax) produced identical
+    # ints: the global second = the owner shard's local second, every
+    # other shard contributes its local first.
+    from ..ops.cubic_baseline import _end_knot_positions
 
-    def top2pos2(a, b):
-        al1, al2, as1, as2 = a
-        bl1, bl2, bs1, bs2 = b
-        w2l = jnp.where(al1 >= bl1, al2, bl2)
-        w2s = jnp.where(as1 <= bs1, as2, bs2)
-        return (jnp.maximum(al1, bl1),
-                jnp.maximum(jnp.minimum(al1, bl1), w2l),
-                jnp.minimum(as1, bs1),
-                jnp.minimum(jnp.maximum(as1, bs1), w2s))
-
-    l_il1, l_il2, l_i1, l_i2 = lax.reduce(
-        (jnp.where(mask, gposf, negf), jnp.full_like(gposf, negf),
-         jnp.where(mask, gposf, nnf), jnp.full_like(gposf, nnf)),
-        (negf, negf, nnf, nnf), top2pos2, (x.ndim - 1,),
-    )
+    l_il1, l_il2, l_i1, l_i2 = _end_knot_positions(mask, gposf, n_global)
     # two pmins instead of two pmins + two pmaxes: negation is exact, so
     # pmax(v) == -pmin(-v) bitwise and the max channels ride along
     s1 = lax.pmin(jnp.stack([l_i1, -l_il1], axis=-1), axis_name)
@@ -936,6 +921,9 @@ def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = No
     Returns (rotation, baseline, num_extrema)."""
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
+    if n_global % seq:
+        raise ValueError(
+            f"the seq mesh axis ({seq}) must divide n={n_global}")
     n_loc = n_global // seq
     if method == "spike":
         local = partial(_cubic_local_spike, axis_name="seq",
