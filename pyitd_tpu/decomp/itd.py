@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# two_sum_err: the shared Knuth two-sum residual; valid for arbitrary
+# a, b — XLA does not reassociate floating point by default, so the
+# cancellation pattern survives compilation
 from ..ops.linear_baseline import linear_baseline_extract
+from ..ops.linear_baseline import two_sum_err as _two_sum_err
 
 __all__ = ["itd_sift", "SiftResult", "ITD", "STOP_RUNNING", "STOP_FLAT", "STOP_BUDGET"]
 
@@ -67,16 +71,6 @@ class SiftResult(NamedTuple):
     correction: jax.Array      # (*batch, n), same dtype as x
 
 
-def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
-    """Exact rounding residual of ``s = fl(a + b)``: returns (a+b) - s.
-
-    Knuth's branchless two-sum; valid for arbitrary a, b (no magnitude
-    ordering).  XLA does not reassociate floating point by default, so the
-    cancellation pattern survives compilation.
-    """
-    bb = s - a
-    return (a - (s - bb)) + (b - bb)
-
 
 @partial(jax.jit, static_argnames=(
     "max_iteration", "endpoint_mode", "store_baselines", "backend",
@@ -109,15 +103,23 @@ def itd_sift(
     recomputes the backward pass through the XLA loop (numerically
     matching; costs one extra XLA-path forward on grad).  ``early_exit``
     (emit path only) opts into a while_loop that skips trips once every
-    batch row has stopped.
+    batch row has stopped; under ``backend="auto"`` it selects the emit
+    path, and combining it with an explicit ``backend="pallas_fused"``
+    raises (the fused unrolled loop has no early exit).
     """
+    if backend == "pallas_fused" and early_exit:
+        raise ValueError(
+            "early_exit is not supported by the fused (unrolled) backend; "
+            "use backend='pallas_emit' (or 'auto') with early_exit"
+        )
     if backend == "auto":
         on_tpu = (
             jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
             and x.shape[-1] >= 4096
         )
-        backend = "pallas_fused" if on_tpu else "xla"
+        backend = ("pallas_emit" if early_exit else "pallas_fused") \
+            if on_tpu else "xla"
     if backend in ("pallas_emit", "pallas_fused"):
         use_emit, fused = True, backend == "pallas_fused"
     elif backend == "xla":
@@ -172,7 +174,6 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
     out_base = jnp.zeros((base_levels,) + x.shape, dtype=x.dtype) + zero
 
     izero = zero[..., 0].astype(jnp.int32)
-    batch_shape = x.shape[:-1]
     done = izero != 0
     reason = izero
     ncomp = izero
@@ -251,16 +252,17 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
 
 def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
                    early_exit=False, fused=False):
-    if fused and not early_exit:
-        return _itd_sift_fused(x, max_iteration, endpoint_mode,
-                               store_baselines)
     """TPU fast path: identical loop semantics to the XLA body above, but
     each trip is one fused Pallas level (``sift_level_emit_padded``) that
     also materializes the output row and compensation update in-register,
     and every big array stays in the kernels' padded 3-D layout across
     trips — the XLA row/residual/compensation selects, the extrema-count
     reduction, and the per-trip pad/crop/edge-slice copies together cost
-    ~1.7 ms per trip at 8x1M on v5e."""
+    ~1.7 ms per trip at 8x1M on v5e.  ``fused=True`` delegates to the
+    one-kernel-per-trip form (``itd_sift`` rejects fused + early_exit)."""
+    if fused:
+        return _itd_sift_fused(x, max_iteration, endpoint_mode,
+                               store_baselines)
     from ..ops.pallas_fill import _pad_edges, sift_level_emit_padded
 
     levels = max_iteration + 2

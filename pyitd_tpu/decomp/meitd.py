@@ -170,7 +170,12 @@ def meitd(data, max_iteration: int = 40, wpemax: float = 0.6):
         rotation, baseline, proper = rot0, base0, gate(wpe0)
     xchanged, hilo, soft_reset = 0, 1, 1
     if nex < 4:
-        return jnp.zeros((0, n)), jnp.zeros((0, n)), x
+        # reference quirk (MEITD.py:401,413-414): < 4 extrema returns TWO
+        # zero components (its 1-D ``zero_sum`` rows, normalized here to
+        # the (1, n) row shape the non-degenerate path uses), NOT empty
+        # stacks — XITD consumers see 3 rows.  4 <= nex <= 5 still falls
+        # through to the while (which it skips) and returns empty stacks.
+        return jnp.zeros((1, n)), jnp.zeros((1, n)), x
 
     while nex > 5:
         if len(high) + len(low) > 20:

@@ -205,7 +205,12 @@ def meitd_jit(data, wpemax: float = 0.6, *, capacity: int | None = None) -> Meit
                     dcond, dbody,
                     (c.rotation, c.baseline, nxb, jnp.int32(0)),
                 )
-                return c._replace(rotation=rot, baseline=base, nex=c.nex,
+                # the dig's running extrema count IS the walk's nex (the
+                # host driver sets nex from each extract, meitd.py's dig
+                # loop): keeping the stale count costs extra no-op trips
+                # before the while exits (branch_d never touches
+                # high/low/x, so outputs were unaffected)
+                return c._replace(rotation=rot, baseline=base, nex=nx,
                                   soft_reset=c.soft_reset + 1)
 
             return lax.cond(nxb < 5, lambda c: c._replace(nex=nxb), dig, c)
@@ -217,9 +222,14 @@ def meitd_jit(data, wpemax: float = 0.6, *, capacity: int | None = None) -> Meit
         return lax.switch(idx, [branch_a, branch_b, branch_c, branch_d], c)
 
     c = lax.while_loop(cond, body, init)
+    # reference quirk (MEITD.py:413-414, mirrored by decomp.meitd.meitd):
+    # < 4 extrema yields TWO zero components; the buffers are zero-filled,
+    # so raising the counts is enough.  4 <= nex <= 5 stays empty.
+    degenerate = nex0 < 4
     return MeitdResult(
         high=c.high, low=c.low, residual=c.x,
-        high_count=c.highc, low_count=c.lowc,
+        high_count=jnp.where(degenerate, 1, c.highc),
+        low_count=jnp.where(degenerate, 1, c.lowc),
     )
 
 

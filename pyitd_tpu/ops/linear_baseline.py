@@ -66,10 +66,17 @@ class LinearBaselineResult(NamedTuple):
     sub_err: jax.Array      # exact residual of rotation = fl(x - baseline)
 
 
-def _two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
-    """Exact rounding residual of ``s = fl(a + b)`` (Knuth two-sum)."""
+def two_sum_err(a: jax.Array, b: jax.Array, s: jax.Array) -> jax.Array:
+    """Exact rounding residual of ``s = fl(a + b)`` (Knuth two-sum,
+    branchless).  The single shared definition — the compensation
+    channels of the sift drivers (``decomp/itd.py``,
+    ``parallel/sharded.py``) import it from here; its correctness
+    depends on XLA not reassociating the cancellation pattern."""
     bb = s - a
     return (a - (s - bb)) + (b - bb)
+
+
+_two_sum_err = two_sum_err  # backward-compat private alias
 
 
 def _knot_mask(x: jax.Array) -> jax.Array:

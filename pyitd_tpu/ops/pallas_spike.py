@@ -186,7 +186,7 @@ def spike_factors_padded(m3, a3, b3, c3, d3, *, interpret: bool = False):
     )(m3, a3, b3, c3, d3)
 
 
-def _make_spike_eval_kernel(n_real: int, nblk: int):
+def _make_spike_eval_kernel(n_real: int):
     """Fused SPIKE back-substitution + moment-spline segment evaluation.
 
     Per sample: recover the previous/next-knot moments from the spike
@@ -274,7 +274,7 @@ def spike_backsub_eval(factors, e_prev, f_next, w_first_next, m0, m_last,
         out_specs=[spec] * 2,
     )
     return pl.pallas_call(
-        _make_spike_eval_kernel(n_real, nblk),
+        _make_spike_eval_kernel(n_real),
         grid_spec=grid_spec,
         out_shape=[_pf_out_struct(x3.shape, jnp.float32, x3, factors[0])] * 2,
         interpret=interpret,
@@ -300,22 +300,9 @@ def chained_block_spike(mask, a, b, c, d, *, interpret: bool = False):
             )
         return x.reshape(rows, npad // _LANES, _LANES)
 
-    ins = (prep(mask, 0.0), prep(a, 0.0), prep(b, 1.0), prep(c, 0.0),
-           prep(d, 0.0))
-
-    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p: (r, p, 0),
-                        memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _spike_local_kernel,
-        grid=(rows, nblk),
-        in_specs=[spec] * 5,
-        out_specs=[spec] * 6,
-        out_shape=[
-            _pf_out_struct((rows, npad // _LANES, _LANES), jnp.float32,
-                           *ins)
-        ] * 6,
-        interpret=interpret,
-    )(*ins)
+    outs = spike_factors_padded(
+        prep(mask, 0.0), prep(a, 0.0), prep(b, 1.0), prep(c, 0.0),
+        prep(d, 0.0), interpret=interpret)
     xp1, xp2, vl1, vl2, vr1, vr2 = (
         o.reshape(rows, nblk, SPIKE_BLK) for o in outs
     )

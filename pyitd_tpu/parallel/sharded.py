@@ -25,6 +25,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops.fill import prev_index, next_index, take_last_axis
+# the shared Knuth two-sum residual (single definition)
+from ..ops.linear_baseline import two_sum_err as _two_sum_err
 
 __all__ = ["make_mesh", "sharded_itd_sift", "sharded_cubic_baseline"]
 
@@ -216,11 +218,6 @@ def _vary(a, axes):
         return lax.pcast(a, need, to="varying")
     return lax.pvary(a, need)
 
-
-def _two_sum_err(a, b, s):
-    """Exact rounding residual of ``s = fl(a + b)`` (Knuth, branchless)."""
-    bb = s - a
-    return (a - (s - bb)) + (b - bb)
 
 
 def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):

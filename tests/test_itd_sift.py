@@ -232,3 +232,12 @@ def test_pallas_fused_backend_bit_identical():
                                       np.asarray(r.stop_reason))
         np.testing.assert_array_equal(np.asarray(a.correction),
                                       np.asarray(r.correction))
+
+
+def test_pallas_fused_rejects_early_exit():
+    """The fused backend's unrolled trip loop has no early exit; an
+    explicit request for both must raise instead of silently running the
+    slower emit path (backend='auto' with early_exit selects emit)."""
+    x = jnp.ones((2, 8192), jnp.float32)
+    with pytest.raises(ValueError, match="early_exit"):
+        itd_sift(x, 3, backend="pallas_fused", early_exit=True)

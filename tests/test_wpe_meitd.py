@@ -88,6 +88,25 @@ def test_meitd_reconstructs():
     assert hi.shape[0] + lo.shape[0] <= 21
 
 
+def test_meitd_degenerate_returns_two_zero_rows():
+    """Reference quirk (MEITD.py:413-414): < 4 extrema returns TWO zero
+    components (not empty stacks), so XITD sees 3 rows; the jitted
+    variant mirrors it through its counts."""
+    from pyitd_tpu.decomp.meitd_jit import meitd_jit
+
+    s = np.linspace(0.0, 1.0, 256)  # monotone: 0 extrema
+    hi, lo, resid = meitd(s)
+    assert hi.shape == (1, 256) and lo.shape == (1, 256)
+    assert not np.any(np.asarray(hi)) and not np.any(np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(resid), s)
+    rows = xitd(s)
+    assert rows.shape == (3, 256)
+    res = meitd_jit(jnp.asarray(s))
+    assert int(res.high_count) == 1 and int(res.low_count) == 1
+    np.testing.assert_array_equal(np.asarray(res.residual), s)
+    assert not np.any(np.asarray(res.high[0]))
+
+
 def test_xitd_sorted_by_entropy():
     s = _test_signal()
     rows = xitd(s)
