@@ -45,6 +45,7 @@ class SegmentResult(NamedTuple):
     bounds: jax.Array   # (..., n_bands + 3) int32; slots beyond count+3 repeat n
     cerf: jax.Array     # (..., n_bands) center frequencies; zero-padded
     count: jax.Array    # actual number of kept maxima (int32)
+    raw_peaks: jax.Array  # maxima count BEFORE dedup (EFD.py:29's guard input)
 
 
 def spectral_segments(f: jax.Array, n_bands: int) -> SegmentResult:
@@ -123,7 +124,8 @@ def spectral_segments(f: jax.Array, n_bands: int) -> SegmentResult:
 
     half = round(n) if isinstance(n, int) else n
     cerf = jnp.where(k < cnt, d, jnp.zeros_like(d)).astype(dtype) * jnp.pi / half
-    return SegmentResult(bounds=bounds, cerf=cerf, count=count)
+    return SegmentResult(bounds=bounds, cerf=cerf, count=count,
+                         raw_peaks=jnp.sum(peak, axis=-1).astype(jnp.int32))
 
 
 class EFDResult(NamedTuple):
@@ -173,7 +175,19 @@ def efd(x: jax.Array, n_bands: int) -> EFDResult:
     ft = jnp.where(mask, ffz[..., None, :], jnp.zeros_like(ffz[..., None, :]))
     rx = jnp.fft.irfft(ft, n=z.shape[-1], axis=-1)
     bands = rx[..., l:-l].astype(dtype)
-    return EFDResult(bands=bands, cerf=seg.cerf, bounds=bounds_norm, count=seg.count + 2)
+    # EFD.py:29+81: fewer than 2 raw spectral maxima -> segm_tec returns a
+    # 2-element bounds stub and EFD returns the INPUT unchanged.  Fixed
+    # shape here: band row 0 carries x, everything else zero, count = 1.
+    passthrough = seg.raw_peaks < 2
+    row0 = lax.broadcasted_iota(jnp.int32, bands.shape[:-1], bands.ndim - 2)
+    bands = jnp.where(
+        passthrough[..., None, None],
+        jnp.where((row0 == 0)[..., None], x[..., None, :],
+                  jnp.zeros_like(bands)),
+        bands,
+    )
+    count = jnp.where(passthrough, 1, seg.count + 2)
+    return EFDResult(bands=bands, cerf=seg.cerf, bounds=bounds_norm, count=count)
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +208,9 @@ def _flipped_segments(robust: jax.Array, n_req: int):
     vals = jnp.where(peak, half, jnp.zeros_like(half))
     order = jnp.flip(jnp.argsort(jnp.where(peak, half, -jnp.inf), axis=-1, stable=True), axis=-1).astype(jnp.int32)
     npeaks = jnp.sum(peak, axis=-1).astype(jnp.int32)
-    count = jnp.minimum(npeaks, n_req)
+    # modified_efd.py:65: fewer than 4 maxima -> no bands at all (the
+    # reference returns its zero-filled bounds and count 0)
+    count = jnp.where(npeaks < 4, 0, jnp.minimum(npeaks, n_req))
 
     kept = jnp.where(
         lax.broadcasted_iota(jnp.int32, order[..., :n_req].shape, order.ndim - 1) < count[..., None],
@@ -230,6 +246,9 @@ def _flipped_segments(robust: jax.Array, n_req: int):
     pos = lax.broadcasted_iota(jnp.int32, bounds.shape, bounds.ndim - 1)
     bounds = jnp.where(pos >= 2, filled, bounds)
     bounds = jnp.where(pos == cnt + 2, jnp.full_like(bounds, n), bounds)
+    # count == 0 (incl. the < 4-maxima guard): the reference's zbounds —
+    # all-zero bounds make every band slice empty, so bands come out zero
+    bounds = jnp.where(cnt == 0, jnp.zeros_like(bounds), bounds)
 
     # strength order of kept maxima: argsort(half[d])[::-1]
     strength = jnp.where(k < cnt, jnp.take_along_axis(half, jnp.clip(d, 0, n - 1), axis=-1), -jnp.inf)
@@ -239,13 +258,14 @@ def _flipped_segments(robust: jax.Array, n_req: int):
 
 def _band_slice(robust: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     """z[lo:hi] = robust[lo:hi]; z[-hi:-lo] = robust[-hi:-lo]; rfft(z).real
-    (modified_efd.py:119-124)."""
+    (modified_efd.py:119-124).  Unlike EFD.py, modified_efd has NO
+    ``lo == 0`` special case: ``z[-hi:-0]`` is an empty numpy slice, so a
+    band starting at bound 0 gets no mirror tail."""
     n = robust.shape[-1]
     bins = lax.broadcasted_iota(jnp.int32, robust.shape, robust.ndim - 1)
     main = (bins >= lo[..., None]) & (bins < hi[..., None])
     mirror = (bins >= n - hi[..., None]) & (bins < n - lo[..., None]) & (hi[..., None] > lo[..., None]) & (lo[..., None] > 0)
-    mirror0 = (bins >= n - hi[..., None]) & (lo[..., None] == 0)
-    z = jnp.where(main | mirror | mirror0, robust, jnp.zeros_like(robust))
+    z = jnp.where(main | mirror, robust, jnp.zeros_like(robust))
     return jnp.fft.rfft(z).real
 
 

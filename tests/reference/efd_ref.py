@@ -11,6 +11,10 @@ def segments(f: np.ndarray, n_req: int):
     dxf = np.concatenate([dx, [0.0]])
     dxb = np.concatenate([[0.0], dx])
     peak = (dxf <= 0) & (dxb > 0)
+    if peak.sum() < 2:
+        # EFD.py:29: a 2-element bounds stub whose size<3 makes EFD
+        # return the input unchanged
+        return None, None, 0
     locmax = np.where(peak, f, 0.0)
     locmax[0] = 0.0
     locmax[-1] = 0.0
@@ -39,6 +43,8 @@ def efd(x: np.ndarray, n_req: int):
     ff = np.fft.rfft(x)
     half = round(ff.size / 2)
     bounds, cerf, m = segments(np.abs(ff[:half]), n_req)
+    if bounds is None:  # EFD.py:81 'if bounds.size < 3: return x'
+        return x[None, :], np.zeros(0), np.zeros(0), None
     bn = bounds * np.pi / round(ff.size / 2)
 
     l = round(n / 2)

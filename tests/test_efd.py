@@ -60,3 +60,61 @@ def test_efd_real_band_count():
     bands, count, sort = efd_real(jnp.asarray(row), 4)
     assert bands.shape[0] == 6
     assert 0 <= int(count) <= 4
+
+
+def test_efd_passthrough_below_two_raw_maxima():
+    """EFD.py:29+81: a half-spectrum with < 2 raw maxima makes the
+    reference return the input unchanged; fixed-shape encoding here is
+    band row 0 == x, count == 1, all other rows zero."""
+    x = np.exp(-5 * np.linspace(0, 1, 512))  # monotone |rfft|: 0 raw peaks
+    want_bands, _, _, m = ref_efd(x, 3)
+    assert m is None and want_bands.shape == (1, 512)
+    np.testing.assert_array_equal(want_bands[0], x)
+    res = efd(jnp.asarray(x), 3)
+    assert int(res.count) == 1
+    np.testing.assert_allclose(np.asarray(res.bands)[0], x, atol=1e-12)
+    assert np.allclose(np.asarray(res.bands)[1:], 0.0)
+
+
+def test_efd_real_matches_modified_oracle():
+    """Band contents of the flipped-domain family pinned against an
+    independent numpy port of modified_efd.py — including band 0's
+    EMPTY lo==0 mirror (the reference's z[-hi:-0] slice)."""
+    from reference.modified_efd_ref import (
+        efd_real as ref_real, efd_slice_max as ref_max)
+
+    rng = np.random.default_rng(5)
+    row = rng.normal(size=257)
+    want_bands, want_count, want_sort = ref_real(row, 4)
+    bands, count, sort = efd_real(jnp.asarray(row), 4)
+    assert int(count) == want_count
+    for i in range(want_count + 2):
+        np.testing.assert_allclose(np.asarray(bands)[i], want_bands[i],
+                                   atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(sort)[:want_count], want_sort)
+    np.testing.assert_allclose(
+        np.asarray(efd_slice_max(jnp.asarray(row), 4)), ref_max(row, 4),
+        atol=1e-9)
+
+
+def test_efd_real_fewer_than_four_maxima_yields_no_bands():
+    """modified_efd.py:65: < 4 maxima in the flipped half-signal -> zero
+    bounds, count 0, zero bands; efd_slice_max passes the row through."""
+    from reference.modified_efd_ref import segm_tec as ref_segm
+
+    t = np.linspace(0, 1, 64)
+    # choose a row whose irfft half-signal has 1-3 interior maxima
+    row = np.fft.rfft(np.sin(2 * np.pi * 3 * t) + 0.2 * t).real
+    robust = np.fft.irfft(row)
+    _, want_count, _ = ref_segm(robust[: robust.size // 2], 4)
+    assert want_count == 0  # the guard case, by construction
+    nmax = len(
+        [i for i in range(1, robust.size // 2 - 1)
+         if robust[i] >= robust[i - 1] and robust[i] > robust[i + 1]]
+    )
+    assert 1 <= nmax < 4
+    bands, count, _ = efd_real(jnp.asarray(row), 4)
+    assert int(count) == 0
+    assert np.allclose(np.asarray(bands), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(efd_slice_max(jnp.asarray(row), 4)), row, atol=1e-12)
