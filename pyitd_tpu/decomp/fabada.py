@@ -64,7 +64,11 @@ def fabada(data: jax.Array, data_variance, max_iter: int = 3000) -> jax.Array:
     array of ``data``'s shape."""
     x = jnp.where(jnp.isnan(data), 0.0, jnp.asarray(data, jnp.float64))
     dv = jnp.broadcast_to(jnp.asarray(data_variance, jnp.float64), x.shape)
-    dv = jnp.where(jnp.isnan(data), 1e-15, dv)
+    # NO 1e-15 substitution at NaN positions: the canonical cell zeroes
+    # data's NaNs IN PLACE before `data_variance[np.isnan(data)] = 1e-15`,
+    # so that line sees an all-False mask and is a provable no-op — NaN
+    # samples keep the caller's variance.  (The numba tier works on a
+    # copy, so ITS substitution is real — see :func:`pfabada`.)
     size = float(x.size)
 
     ev0 = _evidence(0.0, jnp.sqrt(dv), 0.0, dv)

@@ -65,7 +65,12 @@ def sine_template_positions(sample_rate: int, n: int):
         for i in range(1, s.size - 1):
             if (s[i] > 0 > s[i + 1]) or (s[i] < 0 < s[i + 1]):
                 p.append(i)
-        p.append(2 * p[-1] - p[-2])
+        # the reference extrapolates the final knot on a zero-filled int
+        # buffer (find_extrema's `extrema[idx-1]*2 - extrema[idx-2]`); with
+        # NO crossings idx-2 wraps to the buffer's trailing zero, so it
+        # appends a degenerate 0 knot rather than crashing — mirrored here
+        second_last = p[-2] if len(p) >= 2 else 0
+        p.append(2 * p[-1] - second_last)
         pos_list.append(np.asarray(p, np.int64))
         counts.append(len(p))
     cap = max(counts) + 2

@@ -66,7 +66,9 @@ def dft_centered_stft(x: jax.Array, n_fft: int, hop_len: int, window: jax.Array)
     frames = jax.vmap(frame, out_axes=-1)(starts)
     shift = window.shape[0] // 2 if window.shape[0] % 2 == 0 else (window.shape[0] + 1) // 2
     win = jnp.concatenate([window[shift:], window[:shift]])
-    return jnp.fft.rfft(frames * win[:, None], axis=0)
+    # frame axis is second-to-last (axis=0 would be the batch axis for
+    # (channels, n) inputs)
+    return jnp.fft.rfft(frames * win[:, None], axis=-2)
 
 
 def time_causal_stft(x: jax.Array, n_fft: int = 512, hop_len: int = 128,

@@ -62,7 +62,9 @@ def stirft(x: jax.Array, window: jax.Array, *, n_fft: int = 512, hop_len: int = 
         lambda s: lax.dynamic_slice_in_dim(xp, s, n_fft, axis=-1), out_axes=-1
     )(starts)
     sx = frames * window[:, None]
-    return jnp.fft.irfft(sx, axis=0)[:n_fft]
+    # transform along the frame axis (second-to-last): axis=0 would hit
+    # the batch axis for (channels, n) inputs and silently scramble them
+    return jnp.fft.irfft(sx, axis=-2)[..., :n_fft, :]
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_len"))
@@ -72,6 +74,11 @@ def istirft(sx: jax.Array, persistent_buffer: jax.Array, window: jax.Array,
 
     Returns ``(x, buffer)``; thread ``buffer`` into the next call to stream
     block-by-block (the reference's 384-sample persistent buffer)."""
+    if sx.ndim != 2:
+        raise ValueError(
+            "istirft streams one channel: sx must be (n_fft, n_segs); "
+            "vmap over channels for banks"
+        )
     keep = n_fft - hop_len
     xbuf = jnp.fft.rfft(sx, n=n_fft * 2 - 2, axis=0).real  # (n_fft, segs)
 

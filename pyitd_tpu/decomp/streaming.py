@@ -65,6 +65,35 @@ def streaming_init(hop: int, batch_shape=(), dtype=jnp.float64, *,
     return state
 
 
+def _frei_osorio_spline(sig: jax.Array, pos: jax.Array, count: jax.Array):
+    """Frei-Osorio knot values over ``sig`` (ends pinned to the signal at
+    the boundary knots, itd.cpp semantics) + natural moment-spline
+    evaluation — the shared core of the scalar streaming tier and the IQ
+    tier.  Returns ``(baseline, knots, k, cnt)`` where ``k``/``cnt`` are
+    the knot-slot iota and broadcast count used for masking."""
+    dtype = sig.dtype
+    k = lax.broadcasted_iota(jnp.int32, pos.shape, pos.ndim - 1)
+    cnt = jnp.broadcast_to(count, sig.shape[:-1])[..., None]
+    xe = take_last_axis(sig, pos)
+
+    e_prev = jnp.concatenate([jnp.zeros_like(pos[..., :1]), pos[..., :-1]], axis=-1)
+    e_next = jnp.concatenate([pos[..., 1:], jnp.zeros_like(pos[..., :1])], axis=-1)
+    x_prev = jnp.concatenate([jnp.zeros_like(xe[..., :1]), xe[..., :-1]], axis=-1)
+    x_next = jnp.concatenate([xe[..., 1:], jnp.zeros_like(xe[..., :1])], axis=-1)
+    span = (e_next - e_prev).astype(dtype)
+    w = (pos - e_prev).astype(dtype) / jnp.where(span == 0, jnp.ones_like(span), span)
+    knots = 0.5 * (x_prev + w * (x_next - x_prev)) + 0.5 * xe
+    knots = jnp.where((k == 0) | (k == cnt - 1), xe, knots)  # ends pinned
+    knots = jnp.where(k >= cnt, jnp.zeros_like(knots), knots)
+
+    moments = spline_moments(pos.astype(dtype), knots, count, bc="natural")
+    h = (e_next - pos).astype(dtype)
+    h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
+    seg = segment_index(sig, pos, count, cap_to_last_interval=True)
+    lin, cub = eval_moment_spline(sig, pos, knots, moments, h, seg)
+    return lin + cub, knots, k, cnt
+
+
 def _inner_baseline(window: jax.Array, hop: int, mask: jax.Array | None = None) -> jax.Array:
     """Baseline of the inner third from the windowed knot set.
 
@@ -86,27 +115,7 @@ def _inner_baseline(window: jax.Array, hop: int, mask: jax.Array | None = None) 
     active = active | (it == lo[..., None]) | (it == hi[..., None])
 
     pos, count = compact_indices(active, n)
-    k = lax.broadcasted_iota(jnp.int32, pos.shape, pos.ndim - 1)
-    cnt = count[..., None]
-    xe = take_last_axis(window, pos)
-
-    e_prev = jnp.concatenate([jnp.zeros_like(pos[..., :1]), pos[..., :-1]], axis=-1)
-    e_next = jnp.concatenate([pos[..., 1:], jnp.zeros_like(pos[..., :1])], axis=-1)
-    x_prev = jnp.concatenate([jnp.zeros_like(xe[..., :1]), xe[..., :-1]], axis=-1)
-    x_next = jnp.concatenate([xe[..., 1:], jnp.zeros_like(xe[..., :1])], axis=-1)
-    span = (e_next - e_prev).astype(window.dtype)
-    w = (pos - e_prev).astype(window.dtype) / jnp.where(span == 0, jnp.ones_like(span), span)
-    knots = 0.5 * (x_prev + w * (x_next - x_prev)) + 0.5 * xe
-    # ends pinned to the signal at the boundary extrema (itd.cpp semantics)
-    knots = jnp.where((k == 0) | (k == cnt - 1), xe, knots)
-    knots = jnp.where(k >= cnt, jnp.zeros_like(knots), knots)
-
-    moments = spline_moments(pos.astype(window.dtype), knots, count, bc="natural")
-    h = (e_next - pos).astype(window.dtype)
-    h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
-    seg = segment_index(window, pos, count, cap_to_last_interval=True)
-    lin, cub = eval_moment_spline(window, pos, knots, moments, h, seg)
-    baseline = lin + cub
+    baseline, _, _, _ = _frei_osorio_spline(window, pos, count)
     # degenerate window (fewer than 2 usable knots): baseline 0
     usable = (count >= 2)[..., None]
     baseline = jnp.where(usable, baseline, jnp.zeros_like(baseline))
@@ -193,7 +202,6 @@ def iq_baseline_extract(
     n = re.shape[-1]
     cap = capacity or n
     avg = 0.5 * (re + im)
-    dtype = avg.dtype
 
     if extrema is None:
         mask = iq_extrema_mask(re, im)
@@ -201,26 +209,7 @@ def iq_baseline_extract(
     else:
         pos, count = extrema
 
-    k = lax.broadcasted_iota(jnp.int32, pos.shape, pos.ndim - 1)
-    cnt = jnp.broadcast_to(count, avg.shape[:-1])[..., None]
-    xe = take_last_axis(avg, pos)
-
-    e_prev = jnp.concatenate([jnp.zeros_like(pos[..., :1]), pos[..., :-1]], axis=-1)
-    e_next = jnp.concatenate([pos[..., 1:], jnp.zeros_like(pos[..., :1])], axis=-1)
-    x_prev = jnp.concatenate([jnp.zeros_like(xe[..., :1]), xe[..., :-1]], axis=-1)
-    x_next = jnp.concatenate([xe[..., 1:], jnp.zeros_like(xe[..., :1])], axis=-1)
-    span = (e_next - e_prev).astype(dtype)
-    w = (pos - e_prev).astype(dtype) / jnp.where(span == 0, jnp.ones_like(span), span)
-    knots = 0.5 * (x_prev + w * (x_next - x_prev)) + 0.5 * xe
-    knots = jnp.where((k == 0) | (k == cnt - 1), xe, knots)  # ends pinned
-    knots = jnp.where(k >= cnt, jnp.zeros_like(knots), knots)
-
-    moments = spline_moments(pos.astype(dtype), knots, count, bc="natural")
-    h = (e_next - pos).astype(dtype)
-    h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
-    seg = segment_index(avg, pos, count, cap_to_last_interval=True)
-    lin, cub = eval_moment_spline(avg, pos, knots, moments, h, seg)
-    baseline = lin + cub
+    baseline, knots, _, cnt = _frei_osorio_spline(avg, pos, count)
 
     # outside the knot span: clamp to the end knots (itd_native.cpp edge rule)
     it = lax.broadcasted_iota(jnp.int32, avg.shape, avg.ndim - 1)

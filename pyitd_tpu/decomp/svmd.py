@@ -286,6 +286,10 @@ def svmd(signal, max_alpha: float = 200.0, tau: float = 0.5, tol: float = 1e-6,
                 if abs(polm[l] - polm[l - 1]) < tol:
                     done = True
 
+        # Part 6 (svmd.py:332-336): counters reset after every saved mode —
+        # the omega-draw attempt budget (n2 < 300) is per mode, not global
+        n2 = 0
+
     # Part 7: reconstruction (svmd.py:338-360)
     L = len(modes_u)
     u_stack = jnp.stack(modes_u, axis=0)  # (L, T) one-sided

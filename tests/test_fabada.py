@@ -124,3 +124,17 @@ def test_auto_sigma_estimates_noise():
     t = np.linspace(0, 1, 4096)
     est2 = float(auto_sigma(jnp.asarray(100 * np.sin(2 * np.pi * 3 * t) + 7.0 * rng.normal(size=4096))))
     assert 5.5 < est2 < 9.0
+
+
+def test_fabada_nan_keeps_caller_variance():
+    """Canonical-cell NaN semantics: NaNs are zeroed in the data BEFORE
+    the reference's `data_variance[np.isnan(data)] = 1e-15` line, so that
+    substitution is a no-op — NaN positions keep the caller's variance.
+    (The numba tier, pfabada, substitutes for real; it works on a copy.)"""
+    clean, noisy = noisy_arp()
+    noisy = noisy.copy()
+    noisy[40:43] = np.nan
+    want = ref_fabada(noisy, 10.0**2)
+    got = np.asarray(fabada(jnp.asarray(noisy), 10.0**2))
+    np.testing.assert_allclose(got, want, atol=1e-8, rtol=1e-8)
+    assert np.isfinite(got).all()

@@ -92,3 +92,18 @@ def test_lean_cascade_reconstructs():
     assert len(comps) % 2 == 1
     total = np.sum(np.stack(comps), axis=0)
     np.testing.assert_allclose(total, x, atol=1e-8)
+
+
+def test_sine_template_no_crossings_degenerate_knot():
+    """A comb frequency whose template has no interior zero crossing gets
+    the reference's degenerate [0, 0] knot pair (find_extrema extrapolates
+    on a zero-filled buffer, wrapping idx-2 to a trailing zero) instead of
+    crashing."""
+    from pyitd_tpu.decomp.itd_fourier import sine_template_positions
+
+    # n << sample_rate/4: the 2 Hz template never crosses zero interior
+    pos, counts, freqs = sine_template_positions(1000, 200)
+    assert int(freqs[-1]) == 2
+    row = np.asarray(pos)[-1]
+    assert int(counts[-1]) == 2
+    np.testing.assert_array_equal(row[:2], [0, 0])

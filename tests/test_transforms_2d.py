@@ -180,3 +180,28 @@ def test_2d_ensemble_fixed_noise_parity_with_reference():
         noise=jnp.asarray(noise))
     atol = 5e-8 if jax.config.jax_enable_x64 else 5e-3
     np.testing.assert_allclose(np.asarray(got, np.float64), want, atol=atol)
+
+
+def test_stirft_batched_matches_per_row():
+    """The forward transform is batch-generic: a (channels, n) input must
+    equal per-row 1-D transforms (the frame axis is second-to-last; the
+    old axis=0 irfft transformed across channels)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3, 4096))
+    win = compute_synthesis_window(np.hanning(512), 128)
+    got = np.asarray(stirft(jnp.asarray(x), jnp.asarray(win)))
+    for c in range(3):
+        want = np.asarray(stirft(jnp.asarray(x[c]), jnp.asarray(win)))
+        np.testing.assert_allclose(got[c], want, atol=1e-12)
+
+
+def test_dft_centered_stft_batched_matches_per_row():
+    from pyitd_tpu.decomp.lindeberg import dft_centered_stft
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 2048))
+    win = jnp.ones(256)
+    got = np.asarray(dft_centered_stft(jnp.asarray(x), 256, 64, win))
+    for c in range(2):
+        want = np.asarray(dft_centered_stft(jnp.asarray(x[c]), 256, 64, win))
+        np.testing.assert_allclose(got[c], want, atol=1e-12)
