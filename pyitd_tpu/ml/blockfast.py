@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .phase import add_hypersphere_phase_heads
+from .phase import Mixer, add_hypersphere_phase_heads
 
 __all__ = [
     "circular_student_t",
@@ -70,34 +70,15 @@ class MOEMLP(nn.Module):
         return jnp.sum(w[..., None] * outs, axis=-2)
 
 
-class _MixerCore(nn.Module):
-    """FFT-over-channels phase heads + causal depthwise conv, with params
-    exposed for the step path."""
-
-    num_segs: int
-    dw_kernel: int = 3
-    eps: float = 1e-16
-
-    @nn.compact
-    def __call__(self, x):
-        b, t, c = x.shape
-        w = self.param("dw", nn.initializers.lecun_normal(), (self.dw_kernel, c))
-        y = jnp.fft.fft(x.astype(jnp.float32), axis=2)
-        s = add_hypersphere_phase_heads(y, self.num_segs, self.eps)
-        z = jnp.fft.ifft(s, axis=2).real
-        k = self.dw_kernel
-        zp = jnp.pad(z, ((0, 0), (k - 1, 0), (0, 0)))
-        out = sum(zp[:, i : i + t, :] * w[i] for i in range(k))
-        return out.astype(x.dtype)
-
-
 class BlockFastBlock(nn.Module):
     num_heads: int
     dw_kernel: int = 3
 
     @nn.compact
     def __call__(self, x):
-        x_attn = _MixerCore(self.num_heads, self.dw_kernel, name="attn")(x)
+        # phase.Mixer IS the mixer core; the step path reads its "dw"
+        # param directly from params["attn"]["dw"]
+        x_attn = Mixer(self.num_heads, self.dw_kernel, name="attn")(x)
         x_phase, scalar = add_hypersphere_phase_heads(
             x_attn, self.num_heads, return_scalar=True
         )

@@ -158,10 +158,16 @@ class ModCRTMoE(nn.Module):
         eid = (best % self.num_experts).astype(jnp.int32)
         eid = jax.lax.stop_gradient(eid)
 
-        # expert bank (RowWiseExpertsMLP): gathered per-token weights
+        # expert bank (RowWiseExpertsMLP): gathered per-token weights.
+        # The expert axis is a BATCH axis for init purposes — plain
+        # he_uniform would fold it (and the output dim) into fan_in,
+        # under-scaling the init by sqrt(2*E); torch's kaiming computes
+        # fan_in from the contraction dim alone.
+        he_expert = nn.initializers.variance_scaling(
+            2.0, "fan_in", "uniform", in_axis=-1, out_axis=-2, batch_axis=0)
         e, hdim = self.num_experts, 2 * d
-        w1 = self.param("W1", nn.initializers.he_uniform(), (e, hdim, d))
-        w2 = self.param("W2", nn.initializers.he_uniform(), (e, d, hdim))
+        w1 = self.param("W1", he_expert, (e, hdim, d))
+        w2 = self.param("W2", he_expert, (e, d, hdim))
         b2 = self.param("b2", nn.initializers.zeros, (e, d))
         w1_t = w1[eid]  # (N, H, D)
         h = nn.gelu(jnp.einsum("nhd,nd->nh", w1_t, xf))
@@ -223,6 +229,9 @@ class FastLearnedCellX3(nn.Module):
     k3: int = 3
     tau: float = 1.0
     d_addr: int = 32
+    seed: int = 0  # fixed address-projection seed; give each instance its
+    # own (the reference draws fresh torch randomness per instance, so two
+    # stacked cells must not share routing geometry)
 
     @nn.compact
     def __call__(self, x):
@@ -230,7 +239,7 @@ class FastLearnedCellX3(nn.Module):
         d_in = x.shape[-1]
         xf = x.reshape(-1, d_in)
 
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(self.seed)
         p = jnp.asarray(rng.normal(size=(d_in, self.d_addr)) / math.sqrt(d_in), x.dtype)
 
         def init_u(key, shape):

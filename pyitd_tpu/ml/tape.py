@@ -54,7 +54,8 @@ def sinusoidal_embedding(seq_len: int, embed_dim: int) -> np.ndarray:
     div = np.exp(np.arange(0, embed_dim, 2) * -(math.log(10000.0) / embed_dim))
     out = np.zeros((seq_len, embed_dim))
     out[:, 0::2] = np.sin(pos * div)
-    out[:, 1::2] = np.cos(pos * div)
+    # odd embed_dim: the cos lane has one fewer column than div
+    out[:, 1::2] = np.cos(pos * div)[:, : embed_dim // 2]
     return out
 
 
@@ -114,8 +115,13 @@ class TapeHeadBlock(nn.Module):
         h = x + pos[None, offset : offset + s]
         if self.use_rope:
             h = apply_rope(h, offset)
+        # one tensor for q, k, AND v like the reference's
+        # `cached_attn(attn_input, attn_input, attn_input)` — normalizing
+        # only the query would compute logits between a normalized and an
+        # unnormalized representation and scale them with the stream norm
+        hn = nn.LayerNorm(name="ln_attn")(h)
         attn_out, new_kv = CachedMultiheadAttention(self.num_heads, name="attn")(
-            nn.LayerNorm(name="ln_attn")(h), h, h, past_kv
+            hn, hn, hn, past_kv
         )
         x = x + attn_out
         x = x + RectifiedKAN(name="mlp")(nn.LayerNorm(name="ln_mlp")(x))

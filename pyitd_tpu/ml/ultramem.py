@@ -124,7 +124,10 @@ class _MemLayer(nn.Module):
         k_col_sel = jnp.moveaxis(s.k_col[:, col_idx], 1, 0)
 
         qrow_mixed = jnp.einsum("ij,brk->bjk", s.core.T, qrow)
-        a_sel = jnp.einsum("brpk,brk->brp", k_row_sel, qrow_mixed)
+        # RMLP.py:570 'brpk,bjk->bjp': the key bank's rank axis is SUMMED
+        # independently of the mixed-q rank axis j (a full r x j mixing),
+        # not a per-rank diagonal contraction
+        a_sel = jnp.einsum("brpk,bjk->bjp", k_row_sel, qrow_mixed)
         b_sel = jnp.einsum("brqk,brk->brq", k_col_sel, qcol)
         grid = jnp.einsum("brp,brn->bpn", a_sel, b_sel)  # (B, Pr, Pc)
 

@@ -44,6 +44,12 @@ __all__ = [
     "soft_shrink",
     "LowRankShift",
     "frft_time",
+    "subspace_iteration_linop",
+    "ManifoldStage",
+    "AutoencoderBlock",
+    "BlockFastGPT",
+    "dynmix",
+    "ar1_filter",
 ]
 
 
@@ -240,7 +246,14 @@ def frft_time(z, alpha: float, *, t_min: float = -1.0, t_max: float = 1.0, eps: 
         return phase * jnp.flip(zc, axis=1)
 
     s = math.copysign(1.0 / max(eps, abs(math.sin(a))), math.sin(a))
-    c = math.cos(a) / max(eps, math.sin(a))
+    # DELIBERATE deviation from VTE.py:626, which floors NEGATIVE sines at
+    # +eps (`cos(a)/max(eps, sin(a))`), turning cot into ~1/eps for every
+    # inverse transform (alpha < 0 — komega's frft_time(..., -alpha) hits
+    # it on every call).  The resulting exp(i*pi*1e7*t^2) phases are pure
+    # float-rounding chaos — not reproducible across platforms/dtypes —
+    # so there is no meaningful behavior to preserve; the sign-preserving
+    # guard below is what the adjacent csc line already does.
+    c = math.cos(a) / math.copysign(max(eps, abs(math.sin(a))), math.sin(a))
 
     t = np.linspace(t_min, t_max, t_len)
     dt = (t_max - t_min) / (t_len - 1) if t_len > 1 else 1.0
@@ -390,8 +403,10 @@ class AutoencoderBlock(nn.Module):
         z = nn.LayerNorm()(x)
         z = z + phase_transport(z, 1)
         z1 = _Cell(name="enc1")(z)
+        # n_alphas defaults to rank — the reference's fixed grid
+        # (VTE.py:736 linspace(0.15, 2.99, steps=rank))
         z1 = ManifoldStage(rank=self.rank, k_iters=3, shift_rank=8,
-                           shrink_lambda=0.01, use_frft=True, n_alphas=4,
+                           shrink_lambda=0.01, use_frft=True,
                            name="convolve1")(z1)
         z1 = ManifoldStage(rank=self.rank, k_iters=2, shift_rank=8,
                            shrink_lambda=0.01, use_frft=False,
@@ -412,12 +427,9 @@ class BlockFastGPT(nn.Module):
 
     @nn.compact
     def __call__(self, idx, targets=None):
-        rng = np.random.default_rng(self.seed)
-        w = rng.normal(size=(self.vocab_size, self.n_embd))
-        w = w - w.mean(axis=1, keepdims=True)
-        w = w / (np.linalg.norm(w, axis=1, keepdims=True) + 1e-8)
-        wte = jnp.asarray(w, jnp.float32)
+        from .zoo import fixed_embedding
 
+        wte = fixed_embedding(self.vocab_size, self.n_embd, self.seed)
         x = wte[idx]
         for i in range(self.n_layer):
             x = AutoencoderBlock(rank=self.rank, name=f"block_{i}")(x)

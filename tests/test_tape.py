@@ -89,3 +89,18 @@ def test_lie_mlayer_blocks():
     r2 = np.asarray(m.apply(pt, x))
     for i in range(4):
         np.testing.assert_allclose(r2[i] @ r2[i].T, np.eye(6), atol=1e-4)
+
+
+def test_sinusoidal_embedding_odd_dim():
+    import math
+
+    from pyitd_tpu.ml.tape import sinusoidal_embedding
+
+    d = 63
+    emb = sinusoidal_embedding(16, d)
+    assert emb.shape == (16, d)  # crashed with a broadcast error pre-fix
+    div = np.exp(np.arange(0, d, 2) * -(math.log(10000.0) / d))
+    pos = np.arange(16)[:, None]
+    np.testing.assert_allclose(emb[:, 0::2], np.sin(pos * div), atol=0)
+    np.testing.assert_allclose(emb[:, 1::2], np.cos(pos * div)[:, : d // 2],
+                               atol=0)

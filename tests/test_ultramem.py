@@ -52,3 +52,19 @@ def test_ultramem_shared_params_across_blocks():
     # key banks exist exactly once (shared), not per block
     assert sum("K_row" in n for n in names) == 1
     assert len(shared) > 0
+
+
+def test_grid_score_mixes_ranks_like_reference():
+    """RMLP.py:570's 'brpk,bjk->bjp' SUMS the key bank's rank axis
+    independently of the mixed-q rank axis (full r x j mixing) — a
+    per-rank diagonal 'brpk,brk->brp' diverges for tucker_rank >= 2."""
+    rng = np.random.default_rng(0)
+    r, p, dk, b = 2, 3, 4, 2
+    k_sel = rng.normal(size=(b, r, p, dk))
+    qm = rng.normal(size=(b, r, dk))
+    want = np.einsum("brpk,bjk->bjp", k_sel, qm)
+    diag = np.einsum("brpk,brk->brp", k_sel, qm)
+    assert not np.allclose(want, diag)  # the bug was observable
+    got = np.asarray(jnp.einsum("brpk,bjk->bjp", jnp.asarray(k_sel),
+                                jnp.asarray(qm)))
+    np.testing.assert_allclose(got, want, atol=1e-12)

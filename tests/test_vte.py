@@ -177,3 +177,21 @@ def test_dynmix_cooperative_contraction():
     # stacked-array API agrees
     st = np.asarray(dynmix(jnp.stack(comps, 0), loop_iters=2))
     np.testing.assert_allclose(st[0], np.asarray(out[0]), atol=1e-12)
+
+
+def test_frft_negative_alpha_sign_preserved():
+    """cot(alpha) must keep its sign for alpha < 0 — the reference's
+    max(eps, sin(a)) floor turned inverse transforms (komega's
+    frft_time(..., -alpha)) into exp(i*pi*1e7*t^2) float chaos.  Documented
+    deviation: we guard with copysign.  The inverse output must stay O(1)
+    and conjugate-symmetric with the forward: frft(x, -a) == conj(frft(conj(x), a))."""
+    from pyitd_tpu.ml.vte import frft_time
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 2)))
+    for a in (0.7, 1.3, 2.5):
+        inv = frft_time(x, -a)
+        assert float(jnp.abs(inv).max()) < 50.0  # was ~3300 pre-fix
+        alt = jnp.conj(frft_time(jnp.conj(x.astype(jnp.complex128)), a))
+        np.testing.assert_allclose(np.asarray(inv), np.asarray(alt),
+                                   atol=1e-8)
