@@ -31,10 +31,12 @@ class KalmanSweepMHGains(nn.Module):
         v_resh = v.reshape(b, n, h, dh)
         v_shared = jnp.broadcast_to(v_resh[:, :, :1, :], (b, n, h, dh)).reshape(b, n, d)
 
-        qkv = jnp.concatenate(
-            [q.reshape(b, n, h, dh), k.reshape(b, n, h, dh),
-             v_shared.reshape(b, n, h, dh)], axis=-1
-        )
+        # reference layout quirk (AGI_(1).ipynb: `cat([Q,K,V], -1).view(
+        # B*N*H, 3dh)`): the fused projection's per-"head" input is a
+        # CONTIGUOUS 3dh slice of the full [Q | K | V_broadcast] embedding
+        # — head 0 sees Q channels of several heads, later heads see mixed
+        # K/V channels — NOT the per-head [Q_h, K_h, V_h].  Preserved.
+        qkv = jnp.concatenate([q, k, v_shared], axis=-1).reshape(b, n, h, 3 * dh)
         out = nn.Dense(5 * dh, name="fused_proj")(qkv)  # (B,N,H,5dh)
         h_raw, y, r_raw, a_mod, sink_raw = jnp.split(out, 5, axis=-1)
 
@@ -62,10 +64,17 @@ class KalmanSweepMHGains(nn.Module):
         x = k_gain * y
         p = p - k_gain * hp
 
+        # reference quirk: the modulation rows come from the FLAT prefix
+        # `A[:B*(N-1)*H]` (b-major order), not the per-batch [:, :-1]
+        # slice — for B > 1 the rows misalign across batch elements.
+        # Deterministic and trained-through in the reference; preserved.
+        a_mod_rows = a_sig.reshape(b * n * h, dh)[: b * (n - 1) * h]
+        a_mod_rows = a_mod_rows.reshape(b, n - 1, h, dh)
+
         for _ in range(1, self.n_passes):
             # predict: shift state forward one step through the modulated A
             # (the reference scales A's *rows* by the modulation: mod * (A x))
-            x_pred = a_sig[:, :-1] * jnp.einsum(
+            x_pred = a_mod_rows * jnp.einsum(
                 "ed,bnhd->bnhe", a_base, x[:, :-1]
             )
             x_prev = jnp.concatenate(

@@ -20,8 +20,16 @@ import numpy as np
 __all__ = ["ITDLinear", "ITDMLP", "VanillaMLP", "ITDRNNForecaster"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def _scale_constants(input_length: int, output_dim: int):
-    """Precompute (grid indices, segment ids, hermite basis) per scale."""
+    """Precompute (grid indices, segment ids, hermite basis) per scale.
+
+    Cached by (L, output_dim) — the reference builds these once as
+    buffers in __init__; without the cache every eager forward and every
+    re-trace pays the O(output_dim * L) host-side numpy work again."""
     positions = np.arange(input_length, dtype=np.float64)
     consts = []
     for grid_size in np.linspace(2, input_length // 2, output_dim):

@@ -271,6 +271,7 @@ struct pyitd_pool {
   std::atomic<int> next{0};
   int total = 0;
   std::atomic<int> finished{0};
+  int active = 0;  // workers inside a batch's claim loop (guarded by mu)
   bool stop = false;
   uint64_t generation = 0;
   // current batch
@@ -299,15 +300,18 @@ struct pyitd_pool {
     Scratch scratch;
     uint64_t seen = 0;
     for (;;) {
+      int my_total;
       {
         std::unique_lock<std::mutex> l(mu);
         cv_work.wait(l, [&] { return stop || generation != seen; });
         if (stop) return;
         seen = generation;
+        ++active;
+        my_total = total;  // batch snapshot: no unlocked reads of total
       }
       for (;;) {
         const int i = next.fetch_add(1);
-        if (i >= total) break;
+        if (i >= my_total) break;
         if (spin_us > 0) {
           const auto end = std::chrono::steady_clock::now() +
                            std::chrono::microseconds(spin_us);
@@ -324,22 +328,33 @@ struct pyitd_pool {
             for (int k = 0; k < siglen; ++k) r[k] = x[k] - b[k];
           }
         }
-        if (finished.fetch_add(1) + 1 == total) cv_done.notify_all();
+        if (finished.fetch_add(1) + 1 == my_total) cv_done.notify_all();
       }
+      {
+        std::lock_guard<std::mutex> l(mu);
+        --active;
+      }
+      cv_done.notify_all();  // a run() may be waiting for the pool to park
     }
   }
 
   void run(int ntasks) {
-    {
-      std::lock_guard<std::mutex> l(mu);
-      next.store(0);
-      finished.store(0);
-      total = ntasks;
-      ++generation;
-    }
-    cv_work.notify_all();
     std::unique_lock<std::mutex> l(mu);
-    cv_done.wait(l, [&] { return finished.load() >= total; });
+    // Park barrier: a straggler suspended between next.fetch_add and its
+    // bounds check must never observe a reset counter/total from the
+    // NEXT batch (it would execute an unclaimed task and double-count
+    // `finished`, letting run() return with a task still in flight).
+    // Resetting only once every worker has left the previous batch's
+    // claim loop makes stale claims impossible.
+    cv_done.wait(l, [&] { return active == 0; });
+    next.store(0);
+    finished.store(0);
+    total = ntasks;
+    ++generation;
+    l.unlock();
+    cv_work.notify_all();
+    l.lock();
+    cv_done.wait(l, [&] { return finished.load() >= ntasks; });
   }
 };
 

@@ -223,7 +223,11 @@ def linear_baseline_extract(
     if backend == "auto":
         if jax.default_backend() == "cpu":
             backend = "gather"
-        elif x.dtype == jnp.float32 and n >= 4096:
+        elif (jax.default_backend() == "tpu"
+              and x.dtype == jnp.float32 and n >= 4096):
+            # only TPU runs the Mosaic kernel compiled; elsewhere the
+            # pallas path would fall back to interpret mode — far slower
+            # than the scan backend
             backend = "pallas"
         else:
             backend = "scan"

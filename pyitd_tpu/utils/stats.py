@@ -37,12 +37,16 @@ def fingerprint(data: jax.Array) -> jax.Array:
         a, d = _haar_split(x)
         coeff = jnp.concatenate([a, d])
     elif x.ndim == 2:
-        a, d = _haar_split(x)
-        aa, ad = _haar_split(jnp.moveaxis(a, -1, 0))
-        da, dd = _haar_split(jnp.moveaxis(d, -1, 0))
+        # pywt.dwtn key order is aa, ad, da, dd with the FIRST letter on
+        # axis 0 — splitting axis 1 first means our second split's detail
+        # output is pywt's 'da', so the middle bands must be concatenated
+        # swapped relative to the local variable order
+        a, d = _haar_split(x)          # along axis 1: a=*a, d=*d
+        aa, da_ = _haar_split(jnp.moveaxis(a, -1, 0))  # axis 0: aa, da
+        ad_, dd = _haar_split(jnp.moveaxis(d, -1, 0))  # axis 0: ad, dd
         coeff = jnp.concatenate(
-            [c.ravel() for c in (jnp.moveaxis(aa, 0, -1), jnp.moveaxis(ad, 0, -1),
-                                 jnp.moveaxis(da, 0, -1), jnp.moveaxis(dd, 0, -1))]
+            [c.ravel() for c in (jnp.moveaxis(aa, 0, -1), jnp.moveaxis(ad_, 0, -1),
+                                 jnp.moveaxis(da_, 0, -1), jnp.moveaxis(dd, 0, -1))]
         )
     else:
         raise ValueError("fingerprint supports 1-D and 2-D data")
@@ -63,7 +67,9 @@ def sorted_median_index(data: jax.Array):
     scaled = -6.0 + (a - lo) * 12.0 / jnp.where(hi == lo, 1.0, hi - lo)
     xg = jnp.linspace(0.0, 1.0, data.size)
     y = jax.scipy.special.logit(xg)
-    y = jnp.clip(y, -6.0, 6.0)
+    # the reference replaces only the +-inf ENDPOINTS with +-6; finite
+    # interior values beyond |6| (data.size >= ~406) are kept
+    y = jnp.where(jnp.isinf(y), jnp.sign(y) * 6.0, y)
     sc = scaled - jnp.mean(scaled)
     yc = y - jnp.mean(y)
     completeness = jnp.sum(sc * yc) / jnp.sqrt(jnp.sum(sc**2) * jnp.sum(yc**2))

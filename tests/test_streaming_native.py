@@ -184,3 +184,26 @@ def test_native_pool_batch_and_bench():
     rate = pool.bench(ntasks=200, task_us=50)
     assert rate > 1000  # 200 x 50us on >=1 thread
     pool.close()
+
+
+def test_native_pool_back_to_back_batches():
+    """Generation/park-barrier regression: a worker suspended between
+    claiming an index and its bounds check must never leak into the next
+    batch (stale claim -> double execution + early return with a task
+    still writing).  Drive many back-to-back batches of varying size and
+    pin every row against the single-task path."""
+    from pyitd_tpu.runtime import NativePool, baseline_extract, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    pool = NativePool(4)
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        b = 1 + trial % 7
+        n = 256 + 16 * (trial % 5)
+        x = rng.normal(size=(b, n))
+        rot, base = pool.extract_batch(x)
+        for i in range(b):
+            r1, b1, _ = baseline_extract(x[i])
+            np.testing.assert_array_equal(base[i], b1)
+            np.testing.assert_array_equal(rot[i], r1)

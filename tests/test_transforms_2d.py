@@ -205,3 +205,53 @@ def test_dft_centered_stft_batched_matches_per_row():
     for c in range(2):
         want = np.asarray(dft_centered_stft(jnp.asarray(x[c]), 256, 64, win))
         np.testing.assert_allclose(got[c], want, atol=1e-12)
+
+
+def test_fingerprint_2d_matches_pywt_band_order():
+    """2-D fingerprint concatenates subbands in pywt.dwtn key order
+    (aa, ad, da, dd — first letter is axis 0); the DCT-then-sum is not
+    permutation invariant, so a swapped middle pair changes the scalar."""
+    from scipy import fftpack
+
+    def np_haar(x, axis):
+        x = np.moveaxis(x, axis, -1)
+        if x.shape[-1] % 2:
+            x = np.concatenate([x, x[..., -1:]], axis=-1)
+        a = (x[..., 0::2] + x[..., 1::2]) / np.sqrt(2.0)
+        d = (x[..., 0::2] - x[..., 1::2]) / np.sqrt(2.0)
+        return np.moveaxis(a, -1, axis), np.moveaxis(d, -1, axis)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(17, 23))
+    a0, d0 = np_haar(x, 0)
+    aa, ad = np_haar(a0, 1)
+    da, dd = np_haar(d0, 1)
+    coeff = np.concatenate([c.ravel() for c in (aa, ad, da, dd)])
+    want = np.sum(fftpack.dct(coeff, axis=0)) / 0.6616518484657332
+    got = float(fingerprint(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    # the swap was observable: the wrong order gives a different scalar
+    wrong = np.concatenate([c.ravel() for c in (aa, da, ad, dd)])
+    assert not np.isclose(
+        np.sum(fftpack.dct(wrong, axis=0)) / 0.6616518484657332, want)
+
+
+def test_sorted_median_completeness_large_ensemble():
+    """helperfunctions.getsortedindex replaces only the logit ramp's
+    +-inf ENDPOINTS with +-6; interior values beyond |6| (n >= ~406) are
+    kept, and the completeness is the plain correlation coefficient."""
+    from scipy.special import logit as np_logit
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=500)
+    a = np.sort(data)
+    scaled = np.interp(a, (a.min(), a.max()), (-6, 6))
+    y = np_logit(np.linspace(0, 1, data.size))
+    y[np.isneginf(y)] = -6
+    y[np.isposinf(y)] = 6
+    want = np.corrcoef(scaled, y)[0, 1]
+    idx, got = sorted_median_index(jnp.asarray(data))
+    np.testing.assert_allclose(float(got), want, rtol=1e-12)
+    sort = np.argsort(data)
+    want_idx = sort[np.searchsorted(a, np.mean(a), side="left")]
+    assert int(idx) == int(want_idx)
