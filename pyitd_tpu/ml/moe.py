@@ -14,9 +14,11 @@
 
 TPU design notes: expert application uses per-token gathered weight tensors
 (einsum over an (assignments, out, in) gather) — the XLA-friendly
-formulation of the reference's grouped GEMMs; routing runs in pure int32
-arithmetic (no host sync).  The UltraMemv5 shared-memory-bank family is the
-remaining piece of RMLP.py, planned for a later round.
+formulation of the reference's grouped GEMMs — or, with
+``dispatch="capacity"``, GShard-style one-hot dispatch buffers whose dense
+per-expert GEMMs ride the MXU and shard over an expert-parallel mesh axis
+(``parallel/train.py``); routing runs in pure int32 arithmetic (no host
+sync).  The UltraMemv5 shared-memory-bank family lives in ``ultramem.py``.
 """
 from __future__ import annotations
 
@@ -32,6 +34,7 @@ __all__ = [
     "LinearBilinear",
     "BiMLP",
     "ModCRTMoE",
+    "capacity_dispatch",
     "router_topk",
     "FastLearnedCellX3",
     "first_primes",
@@ -104,12 +107,42 @@ class BiMLP(nn.Module):
         return nn.Dense(d, use_bias=True, name="fc2")(h) - 1.0
 
 
+def capacity_dispatch(eid: jax.Array, num_experts: int, capacity: int) -> jax.Array:
+    """GShard-style dispatch tensor for hard single-expert routing.
+
+    Returns a 0/1 float ``(tokens, num_experts, capacity)`` tensor D with
+    ``D[n, e, c] = 1`` iff token n is the c-th token routed to expert e and
+    ``c < capacity`` (tokens beyond an expert's capacity are dropped — they
+    contribute zeros, the standard capacity-factor semantics).  Dispatch and
+    combine are then dense einsums (``nec,nd->ecd`` / ``nec,ecd->nd``), which
+    is the MXU-friendly TPU formulation of the reference's per-token weight
+    gathers (RMLP.py:162-197) and the one that shards over an expert mesh
+    axis: with the expert banks laid out ``P('model', ...)`` GSPMD keeps the
+    per-expert GEMMs local and inserts the token all-to-alls.
+    """
+    one = jax.nn.one_hot(eid, num_experts, dtype=jnp.int32)  # (N, E)
+    pos = jnp.cumsum(one, axis=0) * one - 1  # slot within expert, -1 if unrouted
+    slot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # (N, E, C); -1 -> 0s
+    return slot * one[..., None].astype(jnp.float32)
+
+
 class ModCRTMoE(nn.Module):
-    """Hard CRT-consensus hash router + expert bank (RMLP.py:198-345)."""
+    """Hard CRT-consensus hash router + expert bank (RMLP.py:198-345).
+
+    ``dispatch="gather"`` (default) reproduces the reference exactly: every
+    token is served by its routed expert via per-token gathered weights.
+    ``dispatch="capacity"`` uses :func:`capacity_dispatch` buffers instead —
+    identical outputs whenever no expert overflows ``capacity``, and the
+    formulation to use under an expert-parallel mesh (see
+    ``parallel/train.py``).
+    """
 
     num_experts: int
     moduli: Sequence[int] | None = None
     seed: int = 0
+    dispatch: str = "gather"
+    capacity: int | None = None
+    capacity_factor: float = 2.0
 
     def _moduli(self) -> List[int]:
         if self.moduli is not None:
@@ -169,9 +202,23 @@ class ModCRTMoE(nn.Module):
         w1 = self.param("W1", he_expert, (e, hdim, d))
         w2 = self.param("W2", he_expert, (e, d, hdim))
         b2 = self.param("b2", nn.initializers.zeros, (e, d))
-        w1_t = w1[eid]  # (N, H, D)
-        h = nn.gelu(jnp.einsum("nhd,nd->nh", w1_t, xf))
-        y = jnp.einsum("noh,nh->no", w2[eid], h) + b2[eid]
+
+        if self.dispatch == "capacity":
+            n = xf.shape[0]
+            cap = self.capacity
+            if cap is None:
+                cap = max(1, int(math.ceil(n / e * self.capacity_factor)))
+            disp = capacity_dispatch(eid, e, cap).astype(x.dtype)  # (N, E, C)
+            xe = jnp.einsum("nec,nd->ecd", disp, xf)
+            h = nn.gelu(jnp.einsum("ehd,ecd->ech", w1, xe))
+            ye = jnp.einsum("edh,ech->ecd", w2, h) + b2[:, None, :]
+            y = jnp.einsum("nec,ecd->nd", disp, ye)
+        elif self.dispatch == "gather":
+            w1_t = w1[eid]  # (N, H, D)
+            h = nn.gelu(jnp.einsum("nhd,nd->nh", w1_t, xf))
+            y = jnp.einsum("noh,nh->no", w2[eid], h) + b2[eid]
+        else:
+            raise ValueError(f"unknown dispatch {self.dispatch!r}")
         return y.reshape(orig_shape[:-1] + (d,))
 
 
