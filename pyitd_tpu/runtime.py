@@ -95,6 +95,10 @@ def baseline_extract(data, extrema_state=None):
         compute = 1
     else:
         extrema, count = extrema_state
+        if extrema.size != n + 2:
+            raise ValueError(
+                f"extrema_state was built for n={extrema.size - 2}, got n={n}"
+            )
         compute = 0
     lib.pyitd_baseline_extract(_dp(x), _dp(baseline), n, _ipp(extrema), _ipp(count), compute)
     return x - baseline, baseline, (extrema, count)
@@ -107,6 +111,8 @@ def baseline_extract_iq(re, im, extrema_state=None):
         raise RuntimeError(f"native library unavailable: {_build_error}")
     re = np.ascontiguousarray(re, np.float64)
     im = np.ascontiguousarray(im, np.float64)
+    if re.size != im.size:
+        raise ValueError(f"re/im length mismatch: {re.size} vs {im.size}")
     n = re.size
     baseline = np.zeros(n)
     if extrema_state is None:
@@ -115,6 +121,10 @@ def baseline_extract_iq(re, im, extrema_state=None):
         compute = 1
     else:
         extrema, count = extrema_state
+        if extrema.size != n + 2:
+            raise ValueError(
+                f"extrema_state was built for n={extrema.size - 2}, got n={n}"
+            )
         compute = 0
     lib.pyitd_baseline_extract_iq(_dp(re), _dp(im), _dp(baseline), n, _ipp(extrema), _ipp(count), compute)
     return baseline, (extrema, count)
