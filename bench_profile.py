@@ -19,6 +19,7 @@ cancels the dispatch floor and the chain prologue.
 Prints a stage table to stderr and one JSON summary line to stdout.
 """
 import json
+import os
 import sys
 import time
 

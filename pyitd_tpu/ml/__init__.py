@@ -12,7 +12,15 @@ from .parseval import (
     ParsevalGPT,
     softcap,
 )
-from .moe import BiMLP, LinearBilinear, ModCRTMoE, router_topk, FastLearnedCellX3
+from .moe import (
+    BiMLP,
+    LinearBilinear,
+    ModCRTMoE,
+    capacity_dispatch,
+    router_topk,
+    FastLearnedCellX3,
+)
+from .checkpoint import save_state, restore_state
 from .ultramem import UltraMemCfg, UltraMemClassifier
 from .vte import (
     dynmix,
@@ -53,7 +61,8 @@ __all__ = [
     "variance_scaled_softmax", "build_haar_wavelet_basis",
     "SingleHeadWaveletAttention", "UnitaryAncillaAttention", "AnchorModule",
     "GPTConfig", "ParsevalGPT", "softcap",
-    "BiMLP", "LinearBilinear", "ModCRTMoE", "router_topk", "FastLearnedCellX3",
+    "BiMLP", "LinearBilinear", "ModCRTMoE", "capacity_dispatch",
+    "router_topk", "FastLearnedCellX3", "save_state", "restore_state",
     "UltraMemCfg", "UltraMemClassifier",
     "pairwise_rot_spiral", "spiral_mix", "phase_tap", "phase_transport",
     "subspace_iteration", "frft_time", "ManifoldStage", "AutoencoderBlock",
