@@ -58,10 +58,12 @@ def streaming_init(hop: int, batch_shape=(), dtype=jnp.float64, *,
     if like is not None:
         vma = tuple(getattr(jax.typeof(like), "vma", ()))
         if vma:
-            state = StreamState(
-                window=lax.pvary(state.window, vma),
-                filled=lax.pvary(state.filled, vma),
+            vary = (
+                (lambda a: lax.pcast(a, vma, to="varying"))
+                if hasattr(lax, "pcast")
+                else (lambda a: lax.pvary(a, vma))
             )
+            state = StreamState(window=vary(state.window), filled=vary(state.filled))
     return state
 
 

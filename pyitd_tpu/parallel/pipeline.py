@@ -97,8 +97,10 @@ def gpipe_apply(
 
         # the carries vary over 'pp' from the first hop on; declare that on
         # the zero-init too or the scan's carry types mismatch (check_vma)
-        state0 = lax.pcast(jnp.zeros_like(x[0]), pp_axis, to="varying")
-        outs0 = lax.pcast(jnp.zeros_like(x), pp_axis, to="varying")
+        from .sharded import _vary
+
+        state0 = _vary(jnp.zeros_like(x[0]), (pp_axis,))
+        outs0 = _vary(jnp.zeros_like(x), (pp_axis,))
         (state, outs), _ = lax.scan(
             tick, (state0, outs0), jnp.arange(n_micro + pp - 1)
         )
