@@ -109,9 +109,15 @@ def _l2n(x, eps=1e-8):
 
 
 def _dual_wk(wq: jax.Array) -> jax.Array:
-    """QR-based dual frame: W_K with W_Q @ W_K^H = I (T.py:173-183)."""
+    """QR-based dual frame: W_K with W_Q @ W_K^H = I (T.py:173-183).
+
+    The factorization always runs in >=f32 (QR/inv are not defined for
+    bf16 and would be ill-conditioned there anyway); under bf16 mixed
+    precision only the result is cast back."""
+    dt = wq.dtype
+    wq = wq.astype(jnp.promote_types(dt, jnp.float32))
     qm, rm = jnp.linalg.qr(wq.conj().T)
-    return jnp.linalg.inv(rm) @ qm.conj().T
+    return (jnp.linalg.inv(rm) @ qm.conj().T).astype(dt)
 
 
 @dataclass

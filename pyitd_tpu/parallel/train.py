@@ -138,6 +138,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     specs,
+    compute_dtype=None,
 ) -> Callable:
     """One jitted SGD step with the param layout pinned across steps.
 
@@ -146,12 +147,33 @@ def make_train_step(
     over the whole run (optimizer state initialized from sharded params
     inherits the layout; without the constraint XLA may locally prefer a
     replicated output and re-shard every step).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables the TPU
+    mixed-precision recipe: the forward/backward pass runs with floating
+    params cast to that dtype (MXU-native GEMMs), while the master
+    weights, gradients, and optimizer state stay in the params' own
+    precision — the cast is inside the differentiated function, so grads
+    come back in master precision.
     """
+    import jax.numpy as jnp
+
     constraint = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+    def cast(p):
+        if compute_dtype is None:
+            return p
+        return jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            p,
+        )
 
     @jax.jit
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        loss, grads = jax.value_and_grad(
+            lambda p, b: loss_fn(cast(p), b)
+        )(params, batch)
         grads = jax.lax.with_sharding_constraint(grads, constraint)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

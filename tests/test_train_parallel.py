@@ -166,3 +166,39 @@ def test_tp_train_step_matches_single_device():
         p_sh,
         p_ref,
     )
+
+
+def test_mixed_precision_step_keeps_master_weights():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(8, 8, 16)), jnp.float32)
+    tgt = 0.5 * x
+    model = ModCRTMoE(num_experts=8, seed=3, dispatch="capacity", capacity=80)
+    params = model.init(jax.random.PRNGKey(3), x)
+    mesh = make_tp_mesh(8, model=4)
+    specs = param_specs(params, MOE_EP_RULES)
+    tx = optax.adam(1e-2)
+
+    def loss_fn(p, batch):
+        return jnp.mean(
+            (model.apply(p, batch[0].astype(batch[1].dtype)) - batch[1]) ** 2
+        )
+
+    def run(compute_dtype):
+        step = make_train_step(loss_fn, tx, mesh, specs,
+                               compute_dtype=compute_dtype)
+        p = shard_params(params, mesh, MOE_EP_RULES)
+        s = jax.jit(tx.init)(p)
+        batch = shard_batch((x, tgt), mesh)
+        losses = []
+        for _ in range(5):
+            p, s, loss = step(p, s, batch)
+            losses.append(float(loss))
+        return p, losses
+
+    p_bf, l_bf = run(jnp.bfloat16)
+    _, l_f32 = run(None)
+    # master weights keep their own precision; bf16 tracks full precision
+    for a, b in zip(jax.tree.leaves(p_bf), jax.tree.leaves(params)):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+    assert l_bf[-1] < l_bf[0]
+    np.testing.assert_allclose(l_bf, l_f32, rtol=0.1, atol=5e-3)
