@@ -378,17 +378,30 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
     )
 
 
-def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
+def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines,
+                    fold_emit=None):
     """TPU fast path v2: ONE reverse-walking kernel per trip
     (``sift_level_fused_padded``) — the reverse scan chains its suffix
     through the kernel's SMEM carry, the forward scan is seeded from an
     XLA per-block fill-state fold (one 5-channel reduce incl. the extrema
     count), and the 4 forward fill channels never touch HBM.  Loop
     semantics and outputs are bit-identical to the two-kernel emit path
-    (the fold is pure selects, so association order is irrelevant)."""
+    (the fold is pure selects, so association order is irrelevant).
+
+    ``fold_emit`` (default: the ``PYITD_FOLD_EMIT`` env flag) sources
+    each trip's forward folds + extrema count from the PREVIOUS trip's
+    kernel (which computes the next level's partial block folds while the
+    baseline is still in registers) instead of the per-trip full-array
+    XLA reduce — bit-identical outputs, pinned in tests; kept opt-in
+    until the on-chip A/B records a win."""
+    import os as _os
+
     from ..ops.pallas_fill import (
-        _pad_edges, block_edge_scalars, level_block_states_fwd,
-        sift_level_fused_padded)
+        _pad_edges, block_edge_scalars, fold_emit_states,
+        level_block_states_fwd, sift_level_fused_padded)
+
+    if fold_emit is None:
+        fold_emit = bool(_os.environ.get("PYITD_FOLD_EMIT"))
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -414,10 +427,11 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
 
     # initial extraction: all-off flags -> row/compensation outputs inert
     _, fp0 = level_block_states_fwd(x3, n)
-    base3, rot3, perr3, _row, _c = sift_level_fused_padded(
+    (base3, rot3, perr3, _row, _c, *fold_raw) = sift_level_fused_padded(
         x3, pe, ne, bf, bl, fp0, ffalse, ffalse, ffalse,
         zero3, zero3, zero3, zero3, n, endpoint_mode=endpoint_mode,
-        interpret=interp, donate_input=True)  # x3 dies here
+        interpret=interp, donate_input=True,  # x3 dies here
+        fold_emit=fold_emit)
 
     out_rot = jnp.zeros((levels,) + x3.shape, jnp.float32) + zero3
     base_levels = levels if store_baselines else 1
@@ -429,16 +443,20 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines):
     comp3 = zero3
 
     for i in range(levels):
-        nex, fp = level_block_states_fwd(base3, n)
+        pe, ne, bf, bl = edges(base3)
+        if fold_emit:
+            nex, fp = fold_emit_states(fold_raw[0], base3, pe, n)
+        else:
+            nex, fp = level_block_states_fwd(base3, n)
         stop_a = (~done) & (nex < 2)
         stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
-        pe, ne, bf, bl = edges(base3)
-        new_base, new_rot, new_err, out_rot, comp3 = sift_level_fused_padded(
+        (new_base, new_rot, new_err, out_rot, comp3,
+         *fold_raw) = sift_level_fused_padded(
             base3, pe, ne, bf, bl, fp, stop_a, stop_b, cont,
             rot3, prev_base3, perr3, comp3, n,
             endpoint_mode=endpoint_mode, interpret=interp,
-            out_levels=out_rot, level_idx=i)
+            out_levels=out_rot, level_idx=i, fold_emit=fold_emit)
         if store_baselines:
             base_row = jnp.where(cont[:, None, None], base3,
                                  jnp.zeros_like(base3))

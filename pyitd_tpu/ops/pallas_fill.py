@@ -849,7 +849,7 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
 
 @lru_cache(maxsize=None)
 def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
-                             row_4d: bool = False):
+                             row_4d: bool = False, fold_emit: bool = False):
     """ONE kernel per sift level: both direction scans + epilogue + emit.
 
     The grid walks each row's blocks in REVERSE, so the reverse scan's
@@ -859,7 +859,19 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
     (rows, nblk*4) — computed with the extrema count in one XLA reduce,
     :func:`level_block_states_fwd`).  Vs the both-directions-prefetched
     form this halves the XLA summary pass, which cost ~0.7 ms/level at
-    8x1M (~25%% of the whole sift)."""
+    8x1M (~25%% of the whole sift).
+
+    ``fold_emit`` additionally emits, per block, the NEXT level's partial
+    forward fill fold — the top-2-marked (position, value) of the freshly
+    computed baseline over this block EXCLUDING its first sample (whose
+    knot mask needs the previous block's last baseline value, which the
+    reverse walk has not produced yet) — plus the partial mark count.
+    :func:`fold_emit_states` resolves the one excluded sample per block
+    from tiny strided slices, replacing the next trip's full-array XLA
+    pass (``level_block_states_fwd``) with (rows, nblk)-sized work.  The
+    fold is 5 native reductions over values already in registers; the
+    baseline's block-first value crosses grid steps in one extra SMEM
+    carry slot."""
     nm1 = float(n_real - 1)
 
     def kernel(fp_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
@@ -867,16 +879,26 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
         if row_4d:
             (_li_ref, x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
              _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
-             carry) = rest
+             *tail) = rest
         else:
             (x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             base_ref, rot_ref, err_ref, row_ref, compo_ref, carry) = rest
+             base_ref, rot_ref, err_ref, row_ref, compo_ref, *tail) = rest
+        if fold_emit:
+            fold_ref, carry = tail
+        else:
+            (carry,) = tail
         r = pl.program_id(0)
         g = pl.program_id(1)
 
         @pl.when(g == 0)
         def _():
             _init_carry(carry)
+            if fold_emit:
+                # next-block-first baseline value: no next block at the
+                # reverse walk's first step.  0.0 is safe — it can only
+                # reach the mask of the last block's final sample, whose
+                # mark is position-determined (endpoint or padding).
+                carry[4] = 0.0
 
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
@@ -895,6 +917,32 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
             base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d)
         for i in range(4):
             carry[i] = carry_out[i]
+
+        if fold_emit:
+            b = base_ref[0]  # the baseline just written (next level's x)
+            nf = carry[4]    # baseline[(blk+1)*BLK], from the previous step
+            # same mask formula as the next trip's _knot_state will apply;
+            # the prev-edge dummy (0.0) only reaches the block's FIRST
+            # sample, which the partial fold excludes
+            _, _, _, mb, _ = _knot_state(b, blk, n_real, jnp.float32(0.0),
+                                         nf)
+            mp = mb & ~((row == 0) & (lane == 0))
+            posf = pos.astype(jnp.float32)
+            mpp = jnp.where(mp, posf, _NONE)
+            p1 = jnp.max(mpp)
+            p2 = jnp.max(jnp.where(mpp == p1, _NONE, mpp))
+            # one-hot value picks: positions are unique, so the sum has
+            # exactly one (or zero: p==_NONE never matches) contributor
+            v1 = jnp.sum(jnp.where(posf == p1, b, 0.0))
+            v2 = jnp.sum(jnp.where(posf == p2, b, 0.0))
+            cnt = jnp.sum(mp.astype(jnp.float32))
+            fr = lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+            fl = lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+            vec = jnp.zeros((8, _LANES), jnp.float32)
+            for k, s in enumerate((p1, v1, p2, v2, cnt)):
+                vec = jnp.where((fr == 0) & (fl == k), s, vec)
+            fold_ref[0] = vec
+            carry[4] = b[0, 0]
 
     return kernel
 
@@ -1079,6 +1127,54 @@ def level_block_states_fwd(x3, n: int):
     )
     nex = jnp.sum(cnt, axis=-1).astype(jnp.int32) - 2
     return nex, _exclusive_fwd_folds((l1, v1, l2, v2))
+
+
+def fold_emit_states(fold_raw, base3, prev_edge, n: int):
+    """``(nex, fwd_prefix)`` for the next sift trip from the fused
+    kernel's in-kernel partial folds (``fold_emit=True``) — bitwise-equal
+    to ``level_block_states_fwd(base3, n)`` with only (rows, nblk)-sized
+    XLA work in place of its full-array reduce pass.
+
+    Each kernel-emitted block fold excludes the block's FIRST sample
+    (its knot mask needs the previous block's last baseline value, which
+    the reverse-walking kernel had not produced yet).  That one sample
+    per block is resolved here from tiny strided slices: its neighbors
+    are ``prev_edge[b] = B[b*BLK-1]`` (the driver's existing per-block
+    edge scalars) and the block's second sample, and its state is folded
+    in FRONT of the partial fold (``_combine`` is ordered, positions are
+    unique, values are selected not combined — so association with the
+    in-kernel reduction is exact).
+    """
+    rows, nsub, _ = base3.shape
+    npad = nsub * _LANES
+    nblk = npad // BLK
+    f = fold_raw.reshape(rows, nblk, 8, _LANES)
+    p1, v1, p2, v2, cnt = (f[:, :, 0, k] for k in range(5))
+
+    flat = base3.reshape(rows, npad)
+    b0 = flat[:, ::BLK]   # first sample of each block
+    b1 = flat[:, 1::BLK]  # its next neighbor (in-block)
+    bm1 = prev_edge       # its previous neighbor (b=0: B[0], see _pad_edges)
+    pos0 = (jnp.arange(nblk, dtype=jnp.float32) * BLK)[None, :]
+
+    # the _knot_mask_flat formula restricted to the blocks' first samples
+    dxb = jnp.where(jnp.isnan(b0 - bm1), jnp.inf, b0 - bm1)
+    dxf = jnp.where(jnp.isnan(b1 - b0), jnp.inf, b1 - b0)
+    near_nan = jnp.isnan(b0) | jnp.isnan(bm1) | jnp.isnan(b1)
+    interior = (pos0 > 0) & (pos0 < n - 1)
+    is_min = (dxb <= 0) & (dxf > 0)
+    is_max = (dxb >= 0) & (dxf < 0)
+    m0 = ((is_min | is_max) & interior & ~near_nan) | (pos0 == 0) | (
+        pos0 == n - 1
+    )
+
+    first = (jnp.where(m0, jnp.broadcast_to(pos0, b0.shape), _NONE),
+             jnp.where(m0, b0, 0.0),
+             jnp.full_like(b0, _NONE), jnp.zeros_like(b0))
+    folds = _combine(first, (p1, v1, p2, v2))
+    nex = (jnp.sum(cnt, axis=-1)
+           + jnp.sum(m0.astype(jnp.float32), axis=-1)).astype(jnp.int32) - 2
+    return nex, _exclusive_fwd_folds(folds)
 
 
 def ksite_block_states(x3, ksite3, n: int):
@@ -1277,11 +1373,14 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
                             endpoint_mode: str = "reference",
                             interpret: bool = False,
                             out_levels=None, level_idx=None,
-                            donate_input: bool = False):
+                            donate_input: bool = False,
+                            fold_emit: bool = False):
     """One sift trip as ONE reverse-walking kernel (see
     ``_make_level_fused_kernel``); stop flags and the forward block folds
     arrive precomputed from :func:`level_block_states_fwd`.  Returns
-    ``(base3, rot3, err3, row, comp3)``.
+    ``(base3, rot3, err3, row, comp3)``; with ``fold_emit``, appends the
+    raw (rows, nblk*8, 128) per-block partial-fold planes for
+    :func:`fold_emit_states`.
 
     ``donate_input=True`` donates ``x3``'s buffer to the baseline output;
     only pass it when ``x3`` genuinely dies at this call.  The sift trip
@@ -1337,19 +1436,32 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
         aliases = {8: 0} if donate_input else {}
         required_aliases = {}
+    out_specs = [rspec, rspec, rspec, row_spec, rspec]
+    out_shape = [_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3 + [
+        row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)]
+    if fold_emit:
+        # one (8, 128) plane per block: row 0 lanes 0-4 carry
+        # (p1, v1, p2, v2, cnt) — a full f32 tile so the write stays
+        # tile-aligned; ~0.5 MB/trip at 8x1M vs the 32 MB XLA pass it
+        # replaces
+        out_specs.append(pl.BlockSpec(
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
         in_specs=in_specs,
-        out_specs=[rspec, rspec, rspec, row_spec, rspec],
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((5 if fold_emit else 4,), jnp.float32)],
     )
     return pl.pallas_call(
         _make_level_fused_kernel(n, nblk, endpoint_mode,
-                                 row_4d=row_into_levels),
+                                 row_4d=row_into_levels,
+                                 fold_emit=fold_emit),
         grid_spec=rgrid,
-        out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
-        + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
+        out_shape=out_shape,
         # the ablation gate drops donations but keeps the REQUIRED
         # out_levels->row pass-through alias (without it the unwritten
         # levels of the row output are garbage, not a comparable ablation)

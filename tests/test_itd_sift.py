@@ -241,3 +241,33 @@ def test_pallas_fused_rejects_early_exit():
     x = jnp.ones((2, 8192), jnp.float32)
     with pytest.raises(ValueError, match="early_exit"):
         itd_sift(x, 3, backend="pallas_fused", early_exit=True)
+
+
+def test_fold_emit_sift_bit_identical():
+    """The fold-emit fused variant (per-trip forward folds sourced from
+    the previous trip's kernel instead of the full-array XLA reduce) is
+    bit-identical to the default fused backend on every output field —
+    including NaN rows, a spike AT a block boundary, a monotone row
+    (stop A at trip 0), and a constant row."""
+    from pyitd_tpu.decomp.itd import _itd_sift_fused
+    from pyitd_tpu.ops.pallas_fill import BLK
+
+    rng = np.random.default_rng(5)
+    n = BLK + 700
+    t = np.linspace(0, 2 * np.pi, n)
+    x = np.stack([
+        np.sin(20 * t) + 0.1 * rng.normal(size=n),
+        np.sin(7 * t) * (1 + 0.1 * t) + 0.05 * rng.normal(size=n),
+        t,                      # monotone: stop A, zero rows
+        np.ones(n),             # constant
+    ]).astype(np.float32)
+    x[1, BLK - 1 : BLK + 2] = np.nan
+    x[0, BLK] = 9.0
+    xj = jnp.asarray(x)
+
+    a = _itd_sift_fused(xj, 5, "reference", True, fold_emit=True)
+    b = _itd_sift_fused(xj, 5, "reference", True, fold_emit=False)
+    for f in ("rotations", "baselines", "num_components", "stop_reason",
+              "correction"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)

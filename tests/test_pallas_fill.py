@@ -222,3 +222,47 @@ def test_block_fill_summaries_cnt_matches_two_pass():
         np.testing.assert_array_equal(g, np.asarray(w))
     np.testing.assert_array_equal(
         np.asarray(cnt), m.sum(axis=-1).astype(np.float32))
+
+
+def test_fold_emit_states_matches_full_pass():
+    """The fused kernel's in-kernel partial folds (fold_emit=True), once
+    resolved by ``fold_emit_states`` (one block-first sample per block
+    from strided edge slices), are bitwise ``level_block_states_fwd`` on
+    the baseline the kernel produced — including engineered extrema AT
+    block-first samples, NaN quarantine across a block boundary, and
+    non-BLK-multiple padding."""
+    from pyitd_tpu.ops.pallas_fill import (
+        _knot_mask_flat, _pad_edges, block_edge_scalars, fold_emit_states,
+        level_block_states_fwd, sift_level_fused_padded)
+
+    rng = np.random.default_rng(7)
+    n = 2 * BLK + 513  # 3 blocks, padded tail
+    x = 0.05 * rng.normal(size=(2, n)).astype(np.float32)
+    x[0] += np.sin(np.linspace(0, 40 * np.pi, n)).astype(np.float32)
+    # a tall spike exactly at a block-first sample: the baseline keeps a
+    # local max there, so the resolver's one-excluded-sample path must
+    # mark it
+    x[0, BLK] = 10.0
+    x[1, 2 * BLK] = -8.0
+    x[1, BLK + 1] = np.nan  # quarantines the block-first sample at BLK
+
+    x3, pe, ne, npad, nblk = _pad_edges(jnp.asarray(x))
+    bf = 0.5 * (x[:, 0] + x[:, 1])
+    bl = 0.5 * (x[:, n - 2] + x[:, n - 1])
+    _, fp0 = level_block_states_fwd(x3, n)
+    zero3 = x3 * 0
+    ffalse = (x3[:, 0, 0] * 0) != 0
+    base3, _rot, _err, _row, _c, fold_raw = sift_level_fused_padded(
+        x3, pe, ne, jnp.asarray(bf), jnp.asarray(bl), fp0,
+        ffalse, ffalse, ffalse, zero3, zero3, zero3, zero3, n,
+        interpret=True, fold_emit=True)
+
+    # the engineered spike really does land a baseline knot at pos BLK
+    m, _ = _knot_mask_flat(base3.reshape(2, npad), n)
+    assert bool(m[0, BLK])
+
+    want_nex, want_fp = level_block_states_fwd(base3, n)
+    pe2, _ = block_edge_scalars(base3, nblk)
+    got_nex, got_fp = fold_emit_states(fold_raw, base3, pe2, n)
+    np.testing.assert_array_equal(np.asarray(got_nex), np.asarray(want_nex))
+    np.testing.assert_array_equal(np.asarray(got_fp), np.asarray(want_fp))

@@ -1,0 +1,107 @@
+"""Same-process on-chip A/B: fold-emit fused sift vs the default fused
+sift.
+
+fold_emit=True sources each trip's forward block folds + extrema count
+from the PREVIOUS trip's kernel (computed while the baseline is still in
+registers) instead of the per-trip full-array XLA reduce
+(``level_block_states_fwd``, ~0.33 ms/level at 8x1M).  The in-kernel cost
+is ~5 native reductions + one knot-mask recompute per block, so the sign
+of the trade is an empirical question — this script answers it.
+
+The ratio (fold / default) cancels chip-era drift.  Also asserts bitwise
+identity on all outputs (the same contract the CPU tests pin).
+
+Timing discipline per bench.py: one jitted call chaining data-dependent
+salted repetitions; per-iteration time is the difference of two chain
+lengths (cancels the relay dispatch floor).  Salts are O(1) values.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyitd_tpu.decomp.itd import _itd_sift_fused
+
+
+def main():
+    batch, n = 8, 1_000_000
+    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, n)
+    x = jnp.asarray(
+        np.sin(20 * t[None] * (1 + 0.2 * t[None]))
+        + 0.3 * rng.normal(size=(batch, n)),
+        dtype=jnp.float32,
+    )
+
+    def chk(outs):
+        return jnp.sum(outs[..., :8].astype(jnp.float32))
+
+    def chained(fn, inner):
+        @jax.jit
+        def run(a, salt):
+            def body(i, carry):
+                s, seed = carry
+                out = fn(a + (seed * 1e-12 + salt))
+                c = chk(out)
+                return s + c, c * 1e-9
+            s, _ = jax.lax.fori_loop(0, inner, body, (0.0, jnp.float32(0)))
+            return s
+        return run
+
+    def stage_time(fn, k_lo=1, k_hi=6, reps=3):
+        lo, hi = chained(fn, k_lo), chained(fn, k_hi)
+        t0 = time.time(); float(lo(x, 0.0)); print(
+            f"  compile lo: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time(); float(hi(x, 1.0)); print(
+            f"  compile hi: {time.time()-t0:.1f}s", file=sys.stderr)
+        best = np.inf
+        for r in range(reps):
+            t0 = time.time(); float(lo(x, 2.0 + r)); t_lo = time.time() - t0
+            t0 = time.time(); float(hi(x, 5.0 + r)); t_hi = time.time() - t0
+            best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
+        return best
+
+    def run_default(a):
+        return _itd_sift_fused(a, 8, "reference", False,
+                               fold_emit=False).rotations[0]
+
+    def run_fold(a):
+        return _itd_sift_fused(a, 8, "reference", False,
+                               fold_emit=True).rotations[0]
+
+    print("timing default fused sift...", file=sys.stderr)
+    t_def = stage_time(run_default)
+    print("timing fold-emit fused sift...", file=sys.stderr)
+    t_fold = stage_time(run_fold)
+    print(
+        f"default: {t_def*1e3:.2f} ms   fold-emit: {t_fold*1e3:.2f} ms"
+        f"   ratio: {t_fold/t_def:.3f}",
+        file=sys.stderr,
+    )
+
+    # bitwise gate (small n so the parity run is cheap)
+    xs = x[:, :65536]
+    a = _itd_sift_fused(xs, 6, "reference", False, fold_emit=True)
+    b = _itd_sift_fused(xs, 6, "reference", False, fold_emit=False)
+    ok = (
+        bool(jnp.all(a.rotations == b.rotations))
+        and bool(jnp.all(a.correction == b.correction))
+        and bool(jnp.all(a.num_components == b.num_components))
+        and bool(jnp.all(a.stop_reason == b.stop_reason))
+    )
+    print(f"bitwise fold==default at 8x65536: {ok}", file=sys.stderr)
+    print(
+        {"default_ms": round(t_def * 1e3, 2),
+         "fold_ms": round(t_fold * 1e3, 2),
+         "ratio": round(t_fold / t_def, 4),
+         "bitwise": ok}
+    )
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
