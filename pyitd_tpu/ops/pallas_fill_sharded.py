@@ -90,7 +90,8 @@ def _knot_state_sharded(x, blk, n_loc, n_global, offset, prev_scalar,
 
 @lru_cache(maxsize=None)
 def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
-                                     endpoint_mode: str, row_4d: bool):
+                                     endpoint_mode: str, row_4d: bool,
+                                     fold_emit: bool = False):
     """Shard-aware one-kernel fused level: ``_make_level_fused_kernel``
     with global positions and halo patches.  Like the single-chip kernel,
     the grid walks each row's blocks in REVERSE and chains the reverse
@@ -98,8 +99,21 @@ def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
     first grid step from the CROSS-SHARD suffix (``rs_ref``, the folded
     "first two knots after this shard", (rows, 4)).  Only the forward
     folds ride the per-block prefetch (cross-shard prefix already
-    combined in by the caller)."""
+    combined in by the caller).
+
+    ``fold_emit``: the sharded twin of the single-chip lever (see
+    ``pallas_fill._make_level_fused_kernel``) — emits per block the NEXT
+    level's partial fill-state folds of the freshly computed baseline in
+    BOTH directions plus the partial mark count (9 lanes: fwd last-two
+    sign-encoded, rev first-two big-encoded, count).  The partial fold
+    excludes each block's FIRST sample (its mask needs the previous
+    block's last baseline value — not yet produced by the reverse walk)
+    and the SHARD's last real sample (its mask needs the next shard's
+    first baseline value, a cross-shard output of this very trip);
+    ``parallel/sharded.py`` resolves both from halos and strided
+    slices."""
     nm1 = float(n_global - 1)
+    bigf = float(n_global + nblk * BLK + 1)  # matches the driver's big
 
     def kernel(off_ref, hl_ref, hr_ref, fp_ref, rs_ref, xprev_ref,
                xnext_ref, bfirst_ref, blast_ref, fa_ref, fb_ref, fc_ref,
@@ -107,10 +121,14 @@ def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
         if row_4d:
             (_li_ref, x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
              _orot, base_ref, rot_ref, err_ref, row_ref, compo_ref,
-             carry) = rest
+             *tail) = rest
         else:
             (x_ref, rotp_ref, pbase_ref, perr_ref, comp_ref,
-             base_ref, rot_ref, err_ref, row_ref, compo_ref, carry) = rest
+             base_ref, rot_ref, err_ref, row_ref, compo_ref, *tail) = rest
+        if fold_emit:
+            fold_ref, carry = tail
+        else:
+            (carry,) = tail
         r = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -118,6 +136,12 @@ def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
         def _():
             for i in range(4):
                 carry[i] = rs_ref[r, i]
+            if fold_emit:
+                # next-block-first baseline value: none at the reverse
+                # walk's first step; 0.0 is safe — it can only reach the
+                # mask of the shard's last real sample (excluded from the
+                # partial fold) or padding (never marked)
+                carry[4] = 0.0
 
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
@@ -136,6 +160,38 @@ def _make_level_fused_sharded_kernel(n_global: int, n_loc: int, nblk: int,
         for i in range(4):
             carry[i] = carry_out[i]
 
+        if fold_emit:
+            b = base_ref[0]  # the baseline just written (next level's x)
+            nf = carry[4]    # baseline[(blk+1)*BLK], from the previous step
+            # same mask formula the next trip will apply; the dummy
+            # prev/halo scalars (0.0) only reach the excluded samples
+            _, _, _, mb, _ = _knot_state_sharded(
+                b, blk, n_loc, n_global, off_ref[0], jnp.float32(0.0), nf,
+                jnp.float32(0.0), jnp.float32(0.0))
+            lpos = blk * BLK + row * _LANES + lane
+            mp = mb & ~((row == 0) & (lane == 0)) & (lpos != n_loc - 1)
+            gposf = gpos.astype(jnp.float32)
+            mpp = jnp.where(mp, gposf, _NONE)
+            p1 = jnp.max(mpp)
+            p2 = jnp.max(jnp.where(mpp == p1, _NONE, mpp))
+            # one-hot value picks: global positions are unique and the
+            # empty sentinels (_NONE / bigf) never match a real position
+            v1 = jnp.sum(jnp.where(gposf == p1, b, 0.0))
+            v2 = jnp.sum(jnp.where(gposf == p2, b, 0.0))
+            mrr = jnp.where(mp, gposf, bigf)
+            q1 = jnp.min(mrr)
+            q2 = jnp.min(jnp.where(mrr == q1, bigf, mrr))
+            w1 = jnp.sum(jnp.where(gposf == q1, b, 0.0))
+            w2 = jnp.sum(jnp.where(gposf == q2, b, 0.0))
+            cnt = jnp.sum(mp.astype(jnp.float32))
+            fr = lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+            fl = lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+            vec = jnp.zeros((8, _LANES), jnp.float32)
+            for k, s in enumerate((p1, v1, p2, v2, q1, w1, q2, w2, cnt)):
+                vec = jnp.where((fr == 0) & (fl == k), s, vec)
+            fold_ref[0] = vec
+            carry[4] = b[0, 0]
+
     return kernel
 
 
@@ -146,13 +202,17 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
                              endpoint_mode: str = "reference",
                              interpret: bool = False,
                              out_levels=None, level_idx=None,
-                             donate_input: bool = False):
+                             donate_input: bool = False,
+                             fold_emit: bool = False):
     """Sharded counterpart of ``pallas_fill.sift_level_fused_padded``:
     one reverse-walking kernel per trip.  ``fwd_prefix`` is the flattened
     (rows, nblk*4) per-block forward folds with the cross-shard prefix
     already combined in by the caller; ``shard_suffix`` (rows, 4) is the
     cross-shard REVERSE state that seeds the kernel's SMEM carry — the
-    per-block reverse folds are never materialized.
+    per-block reverse folds are never materialized.  With ``fold_emit``,
+    appends the raw (rows, nblk*8, 128) partial-fold planes of the NEW
+    baseline (9 used lanes: fwd last-two, rev first-two big-encoded,
+    count) for the driver's ``states_from_folds`` resolver.
 
     ``donate_input=True`` donates ``x3`` to the baseline output; only the
     initial extraction (where the input dies) may pass it — the trip loop
@@ -197,19 +257,28 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         row_shape = _out_struct(x3.shape, jnp.float32, x3, rot3)
         aliases = {12: 0} if donate_input else {}
         required_aliases = {}
+    out_specs = [rspec, rspec, rspec, row_spec, rspec]
+    out_shape = [_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3 + [
+        row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)]
+    if fold_emit:
+        out_specs.append(pl.BlockSpec(
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))
     rgrid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(rows, nblk),
         in_specs=in_specs,
-        out_specs=[rspec, rspec, rspec, row_spec, rspec],
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((5 if fold_emit else 4,), jnp.float32)],
     )
     return pl.pallas_call(
         _make_level_fused_sharded_kernel(n_global, n_loc, nblk,
-                                         endpoint_mode, row_into_levels),
+                                         endpoint_mode, row_into_levels,
+                                         fold_emit=fold_emit),
         grid_spec=rgrid,
-        out_shape=[_out_struct(x3.shape, jnp.float32, x3, comp3)] * 3
-        + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],
+        out_shape=out_shape,
         # same PYITD_NO_ALIAS ablation gate as the single-chip kernels:
         # drop donations, keep the required row pass-through alias
         input_output_aliases=required_aliases if _NO_ALIAS else aliases,

@@ -338,7 +338,7 @@ def _block_edges(base3, nblk):
 
 
 def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
-                       interpret):
+                       interpret, fold_emit=None):
     """Sequence-parallel sift trip loop on the fused Pallas level kernel.
 
     Same loop semantics as ``_sift_local`` / ``decomp.itd._itd_sift_fused``;
@@ -346,11 +346,24 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
     output row is written in place (aliased 4-D output, dynamic level
     index).  Per trip: one XLA mask/summary pass (which also yields the
     extrema count and the per-block fill-state folds, seeded with the
-    cross-shard states), then ONE block-parallel kernel."""
+    cross-shard states), then ONE block-parallel kernel.
+
+    ``fold_emit`` (default: the ``PYITD_FOLD_EMIT`` env flag, shared with
+    the single-chip lever) sources each trip's per-block fill-state folds
+    + mark count from the PREVIOUS trip's kernel instead of the 9-channel
+    full-shard XLA reduce; the kernel excludes each block's first sample
+    and the shard's last sample (their masks need values the reverse walk
+    / this trip hasn't produced), which ``states_from_folds`` resolves
+    from halos and strided slices.  Bit-identical outputs, pinned in
+    tests; opt-in until the on-chip A/B records a win."""
+    import os as _os
+
     from ..ops.pallas_fill import (
         BLK, _combine, _pad_edges, _top2_comp, block_fill_summaries_cnt)
     from ..ops.pallas_fill_sharded import sharded_sift_level_fused
 
+    if fold_emit is None:
+        fold_emit = bool(_os.environ.get("PYITD_FOLD_EMIT"))
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
     n_loc = x.shape[-1]
@@ -401,8 +414,13 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         # ``level_block_states_fwd`` scheme + the reverse channels the
         # cross-shard interface needs): per-block forward last-two,
         # per-block reverse first-two, per-block mark counts.
-        big = n_global + npad + 1
-        fwd_sum, rev_blk, cnt = block_fill_summaries_cnt(mb, pf, xb, big)
+        fwd_sum, rev_blk, cnt = block_fill_summaries_cnt(
+            mb, pf, xb, n_global + npad + 1)
+        return _finish_states(fwd_sum, rev_blk, cnt)
+
+    def _finish_states(fwd_sum, rev_blk, cnt):
+        """Shared tail: exclusive forward folds, shard totals for both
+        directions, and the mark count, from per-block states."""
         marks = jnp.sum(cnt, axis=-1).astype(jnp.int32)
 
         inc = lax.associative_scan(_combine, fwd_sum, axis=1)
@@ -420,7 +438,7 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         # (the cross-shard interface).  Fold the per-block first-two
         # states across blocks (top-2 merge is order-exact, so this is
         # bitwise the whole-shard reduce) and decode empties to -1.
-        bigf = jnp.float32(big)
+        bigf = jnp.float32(n_global + npad + 1)
         zero = jnp.float32(0)
         tr = lax.reduce(rev_blk, (bigf, zero, bigf, zero),
                         _top2_comp(-1), (1,))
@@ -430,6 +448,77 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
                  jnp.where(tr[2] >= bigf, zero, tr[3]))
         return marks, (exc_f, tot_f), tot_r
 
+    def states_from_folds(fold_raw, flat_pad, halo_l, halo_r):
+        """``block_states`` from the previous kernel's partial folds
+        (``fold_emit``): resolve each block's first sample (neighbors:
+        halo_l / the previous block's last sample, and the block's second
+        sample) and the shard's last real sample (neighbors: its
+        predecessor and halo_r), fold them into the partials in position
+        order, then run the shared tail.  Bitwise ``block_states`` —
+        positions are unique and values are selected, never combined."""
+        f = fold_raw.reshape(rows, nblk_, 8, 128)
+        ch = [f[:, :, 0, k] for k in range(9)]
+        big = jnp.float32(n_global + npad + 1)
+
+        b0 = flat_pad[:, ::BLK]
+        b1 = flat_pad[:, 1::BLK]
+        bm1 = jnp.concatenate(
+            [halo_l[:, None], flat_pad[:, BLK - 1 : npad - 1 : BLK]],
+            axis=-1)
+        lpos0 = np.arange(nblk_) * BLK
+        last_is_block_first = (n_loc - 1) % BLK == 0
+        bL = (n_loc - 1) // BLK
+        if last_is_block_first:
+            # the shard-last sample IS block bL's first: its next
+            # neighbor is the next shard's first sample, not padding
+            b1 = b1.at[:, bL].set(halo_r)
+        gpos0 = off[0].astype(jnp.float32) + jnp.asarray(
+            lpos0, jnp.float32)[None, :]
+        dxb = jnp.where(jnp.isnan(b0 - bm1), jnp.inf, b0 - bm1)
+        dxf = jnp.where(jnp.isnan(b1 - b0), jnp.inf, b1 - b0)
+        near = jnp.isnan(b0) | jnp.isnan(bm1) | jnp.isnan(b1)
+        interior = (gpos0 > 0) & (gpos0 < n_global - 1)
+        m0 = ((((dxb <= 0) & (dxf > 0)) | ((dxb >= 0) & (dxf < 0)))
+              & interior & ~near) | (gpos0 == 0) | (gpos0 == n_global - 1)
+        fwd_sum = _combine(
+            (jnp.where(m0, gpos0, -1.0), jnp.where(m0, b0, 0.0),
+             jnp.full_like(b0, -1.0), jnp.zeros_like(b0)),
+            tuple(ch[:4]))
+        rev_blk = _top2_comp(-1)(
+            (jnp.where(m0, gpos0, big), jnp.where(m0, b0, 0.0),
+             jnp.full_like(b0, big), jnp.zeros_like(b0)),
+            tuple(ch[4:8]))
+        cnt = ch[8] + m0.astype(jnp.float32)
+
+        if not last_is_block_first:
+            vl = flat_pad[:, n_loc - 1]
+            vlm1 = flat_pad[:, n_loc - 2]
+            gl = off[0].astype(jnp.float32) + jnp.float32(n_loc - 1)
+            dxbL = jnp.where(jnp.isnan(vl - vlm1), jnp.inf, vl - vlm1)
+            dxfL = jnp.where(jnp.isnan(halo_r - vl), jnp.inf, halo_r - vl)
+            nearL = jnp.isnan(vl) | jnp.isnan(vlm1) | jnp.isnan(halo_r)
+            interiorL = (gl > 0) & (gl < n_global - 1)
+            mL = ((((dxbL <= 0) & (dxfL > 0)) | ((dxbL >= 0) & (dxfL < 0)))
+                  & interiorL & ~nearL) | (gl == 0) | (gl == n_global - 1)
+            # fold the last sample into block bL in position order: it has
+            # the largest position of the block (forward: appended; the
+            # reverse top-2 merge is order-insensitive)
+            updF = _combine(
+                tuple(c[:, bL] for c in fwd_sum),
+                (jnp.where(mL, gl, -1.0), jnp.where(mL, vl, 0.0),
+                 jnp.full_like(vl, -1.0), jnp.zeros_like(vl)))
+            fwd_sum = tuple(
+                c.at[:, bL].set(u) for c, u in zip(fwd_sum, updF))
+            updR = _top2_comp(-1)(
+                tuple(c[:, bL] for c in rev_blk),
+                (jnp.where(mL, gl, big), jnp.where(mL, vl, 0.0),
+                 jnp.full_like(vl, big), jnp.zeros_like(vl)))
+            rev_blk = tuple(
+                c.at[:, bL].set(u) for c, u in zip(rev_blk, updR))
+            cnt = cnt.at[:, bL].add(mL.astype(jnp.float32))
+
+        return _finish_states(fwd_sum, rev_blk, cnt)
+
     def seed(exc, shard_state):
         """Combine the cross-shard state into every block's local fold
         (it is farther than anything local, so local marks win)."""
@@ -438,17 +527,24 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         return jnp.stack(seeded, axis=-1).reshape(rows, nblk_ * 4)
 
     def level(base3, pe, ne, rot3, pbase3, perr3, comp3,
-              out_rot, static_i, done, over_budget, donate_input=False):
+              out_rot, static_i, done, over_budget, donate_input=False,
+              fold_raw=None):
         """One trip: XLA mask/summary pass (extrema count, block folds,
         shard interface states), cross-shard fold, stop flags, then ONE
         fused kernel.  Cross-shard traffic: 2 halo ppermutes, 1 stacked
         all_gather (both fold directions), 1 stacked psum (mark count +
-        the two global end-knot values)."""
+        the two global end-knot values).  ``fold_raw`` (fold_emit mode):
+        the previous trip's in-kernel partial folds, resolved instead of
+        the full-shard summary pass."""
         flat_pad = base3.reshape(rows, npad)
         halo_l, halo_r = _shard_halos(flat_pad[:, :n_loc], axis_name,
                                       rank, size, both)
-        marks, (exc_f, tot_f), tot_r = block_states(
-            flat_pad, halo_l, halo_r)
+        if fold_raw is not None:
+            marks, (exc_f, tot_f), tot_r = states_from_folds(
+                fold_raw, flat_pad, halo_l, halo_r)
+        else:
+            marks, (exc_f, tot_f), tot_r = block_states(
+                flat_pad, halo_l, halo_r)
         if size > 1:
             shard_prefix, shard_suffix = _fold_states_both(
                 tot_f, tot_r, rank, size, axis_name, both)
@@ -481,13 +577,13 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
             rot3, pbase3, perr3, comp3, n_loc, n_global,
             endpoint_mode=endpoint_mode, interpret=interpret,
             out_levels=out_rot, level_idx=static_i,
-            donate_input=donate_input)
+            donate_input=donate_input, fold_emit=fold_emit)
         return outs, (stop_a, stop_b)
 
     # initial extraction: flags all false -> row/compensation outputs inert
     zero3 = _vary(jnp.zeros_like(x3), both)
     tdone = _vary(jnp.ones((rows,), bool), ("data",))
-    (base3, rot3, perr3, _row, _c), _ = level(
+    (base3, rot3, perr3, _row, _c, *fold_raw), _ = level(
         x3, pe, ne, zero3, zero3, zero3, zero3, None, None,
         tdone, jnp.asarray(False), donate_input=True)  # x3 dies here
 
@@ -502,9 +598,11 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         pe, ne = _block_edges(base3, nblk)
         over = jnp.broadcast_to(jnp.asarray(i >= max_iteration + 1),
                                 done.shape)
-        (new_base, new_rot, new_err, out_rot, comp3), (stop_a, stop_b) = \
+        ((new_base, new_rot, new_err, out_rot, comp3, *fold_raw),
+         (stop_a, stop_b)) = \
             level(base3, pe, ne, rot3, prev_base3, perr3, comp3,
-                  out_rot, i, done, over)
+                  out_rot, i, done, over,
+                  fold_raw=fold_raw[0] if fold_emit else None)
         stopping = stop_a | stop_b
         ncomp = jnp.where(stopping, i + 1, ncomp)
         reason = jnp.where(stop_a, 1, jnp.where(stop_b, 2, reason))

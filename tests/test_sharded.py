@@ -283,3 +283,41 @@ def test_sharded_cubic_collective_budget():
     }
     assert counts == {"all_gather": 7, "collective_permute": 9,
                       "all_reduce": 4}, counts
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_loc", [8892, 8193])
+def test_sharded_fold_emit_bit_identical(n_loc):
+    """The sharded fold-emit variant (per-trip block folds sourced from
+    the previous trip's kernel, block-first + shard-last samples resolved
+    from halos/strided slices) is bit-identical to the default sharded
+    Pallas path — with multiple blocks per shard, a spike AT an interior
+    block-first sample, NaN spanning a shard boundary, and both
+    shard-last-sample layouts (mid-block at n_loc=8892; exactly a
+    block-first sample at n_loc=8193)."""
+    from pyitd_tpu.ops.pallas_fill import BLK
+
+    assert n_loc > BLK  # two blocks per shard: exercises bm1 resolution
+    n = 2 * n_loc
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 2 * np.pi, n)
+    x = np.stack([
+        np.sin(15 * t) + 0.1 * rng.normal(size=n),
+        np.sin(5 * t * (1 + 0.2 * t)) + 0.05 * rng.normal(size=n),
+    ]).astype(np.float32)
+    x[0, BLK] = 8.0          # spike at shard 0's second block's first sample
+    x[1, n_loc - 1 : n_loc + 2] = np.nan  # NaN across the shard boundary
+    xj = jnp.asarray(x)
+    mesh = make_mesh(2, seq=2)
+
+    import os
+    os.environ["PYITD_FOLD_EMIT"] = "1"
+    try:
+        a = sharded_itd_sift(xj, mesh, 4, backend="pallas")
+    finally:
+        del os.environ["PYITD_FOLD_EMIT"]
+    b = sharded_itd_sift(xj, mesh, 4, backend="pallas")
+    names = ("rotations", "num_components", "stop_reason", "correction")
+    for ga, gb, name in zip(a, b, names):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb),
+                                      err_msg=name)

@@ -82,8 +82,37 @@ def main():
         file=sys.stderr,
     )
 
-    # bitwise gate (small n so the parity run is cheap)
-    xs = x[:, :65536]
+    # sharded (1x1 mesh) twin: the lever replaces the 9-channel
+    # full-shard reduce there, the identified remainder of the
+    # sharded-vs-plain gap
+    import os
+
+    from pyitd_tpu.parallel.sharded import make_mesh, sharded_itd_sift
+
+    mesh1 = make_mesh(1, seq=1)
+
+    def run_sharded(a):
+        return sharded_itd_sift(a, mesh1, 8)[0][0]
+
+    print("timing sharded 1x1 (default)...", file=sys.stderr)
+    t_sdef = stage_time(run_sharded)
+    os.environ["PYITD_FOLD_EMIT"] = "1"
+    try:
+        print("timing sharded 1x1 (fold-emit)...", file=sys.stderr)
+        t_sfold = stage_time(run_sharded)
+        # bitwise gates (small n so the parity runs are cheap)
+        xs = x[:, :65536]
+        sa = sharded_itd_sift(xs, mesh1, 6)
+    finally:
+        del os.environ["PYITD_FOLD_EMIT"]
+    sb = sharded_itd_sift(xs, mesh1, 6)
+    ok_sh = all(bool(jnp.all(ga == gb)) for ga, gb in zip(sa, sb))
+    print(
+        f"sharded default: {t_sdef*1e3:.2f} ms   fold-emit:"
+        f" {t_sfold*1e3:.2f} ms   ratio: {t_sfold/t_sdef:.3f}",
+        file=sys.stderr,
+    )
+
     a = _itd_sift_fused(xs, 6, "reference", False, fold_emit=True)
     b = _itd_sift_fused(xs, 6, "reference", False, fold_emit=False)
     ok = (
@@ -92,14 +121,18 @@ def main():
         and bool(jnp.all(a.num_components == b.num_components))
         and bool(jnp.all(a.stop_reason == b.stop_reason))
     )
-    print(f"bitwise fold==default at 8x65536: {ok}", file=sys.stderr)
+    print(f"bitwise fold==default at 8x65536: plain {ok} sharded {ok_sh}",
+          file=sys.stderr)
     print(
         {"default_ms": round(t_def * 1e3, 2),
          "fold_ms": round(t_fold * 1e3, 2),
          "ratio": round(t_fold / t_def, 4),
-         "bitwise": ok}
+         "sharded_default_ms": round(t_sdef * 1e3, 2),
+         "sharded_fold_ms": round(t_sfold * 1e3, 2),
+         "sharded_ratio": round(t_sfold / t_sdef, 4),
+         "bitwise": ok and ok_sh}
     )
-    if not ok:
+    if not (ok and ok_sh):
         sys.exit(1)
 
 
