@@ -110,3 +110,29 @@ def test_compensated_reconstruction_onchip():
     s, c = neumaier_sum_parts(res.rotations, axis=0)
     ec = float(jnp.max(jnp.abs((s - x) + (c + res.correction))))
     assert ec <= 1e-10, ec
+
+
+def test_fold_emit_matches_default_onchip():
+    """The fold-emit Mosaic lowerings (single-chip and sharded: the
+    in-kernel partial-fold reductions + the XLA resolvers) are bitwise
+    the default paths on the real chip — the CI-side parity runs
+    interpret mode only."""
+    from pyitd_tpu.decomp.itd import _itd_sift_fused
+    from pyitd_tpu.parallel.sharded import make_mesh, sharded_itd_sift
+
+    x = _sig(2, 16384, seed=11)
+    a = _itd_sift_fused(x, 6, "reference", False, fold_emit=True)
+    b = _itd_sift_fused(x, 6, "reference", False, fold_emit=False)
+    assert bool(jnp.all(a.rotations == b.rotations))
+    assert bool(jnp.all(a.correction == b.correction))
+    assert bool(jnp.all(a.num_components == b.num_components))
+
+    mesh = make_mesh(1, seq=1)
+    os.environ["PYITD_FOLD_EMIT"] = "1"
+    try:
+        sa = sharded_itd_sift(x, mesh, 6)
+    finally:
+        del os.environ["PYITD_FOLD_EMIT"]
+    sb = sharded_itd_sift(x, mesh, 6)
+    for ga, gb in zip(sa, sb):
+        assert bool(jnp.all(ga == gb))
