@@ -5,8 +5,12 @@
 #   1. parity gates (cheap, certify correctness of the current tree)
 #   2. sharded-vs-plain ratio A/B (queued since the one-pass-reduce and
 #      donation-gating changes; ratio cancels chip-era drift)
-#   3. headline bench (driver-comparable JSON)
-#   4. stage table (bench_profile)
+#   3. fold-emit A/B (queued since the sixth session: in-kernel next-level
+#      folds vs the per-trip XLA reduce, plain + sharded; flip the
+#      PYITD_FOLD_EMIT default in decomp/itd.py and parallel/sharded.py
+#      if both ratios < 1)
+#   4. headline bench (driver-comparable JSON)
+#   5. stage table (bench_profile)
 # Each step is bounded; a hung relay fails the step, not the session.
 set -u
 cd "$(dirname "$0")/.."
@@ -23,18 +27,22 @@ if ! probe; then
 fi
 echo "relay UP: $(tail -1 "$OUT/probe.log")"
 
-echo "== 1/4 on-chip parity gates =="
+echo "== 1/5 on-chip parity gates =="
 PYITD_ONCHIP_TESTS=1 timeout 3000 python -m pytest tests/test_onchip.py -q \
   2>&1 | tee "$OUT/onchip_tests.log" | tail -3
 
-echo "== 2/4 sharded-vs-plain ratio =="
+echo "== 2/5 sharded-vs-plain ratio =="
 timeout 3000 python tools/ab_sharded_gap.py 2>&1 \
   | tee "$OUT/ab_sharded_gap.log" | tail -3
 
-echo "== 3/4 headline bench =="
+echo "== 3/5 fold-emit A/B =="
+timeout 3000 python tools/ab_fold_emit.py 2>&1 \
+  | tee "$OUT/ab_fold_emit.log" | tail -3
+
+echo "== 4/5 headline bench =="
 timeout 3000 python bench.py 2>&1 | tee "$OUT/bench.log" | tail -4
 
-echo "== 4/4 stage table =="
+echo "== 5/5 stage table =="
 timeout 3000 python bench_profile.py 2>&1 \
   | tee "$OUT/bench_profile.log" | tail -12
 
