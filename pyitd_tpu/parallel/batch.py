@@ -41,6 +41,17 @@ def pjit_itd_sift(mesh: Mesh, max_iteration: int = 11, **kwargs):
     """
     sharding = NamedSharding(mesh, P("data", None))
 
+    # check_vma must relax when an explicitly-requested Pallas backend will
+    # run in INTERPRET mode (non-TPU): jax's HLO interpreter slices kernel
+    # blocks with unvaried loop indices, which the vma checker rejects
+    # (jax-ml/jax: "dynamic_slice requires varying manual axes to match").
+    # Real-TPU lowerings type-check fine (the kernels declare out-shape
+    # vma), and the local sift has no collectives over 'data', so relaxing
+    # the check here only affects the interpret-parity path.
+    interpret_pallas = (jax.default_backend() != "tpu"
+                        and str(kwargs.get("backend", "auto")).startswith(
+                            "pallas"))
+
     local = lambda x: itd_sift(x, max_iteration, **kwargs)
     fn = shard_map(
         lambda x: tuple(local(x)),
@@ -48,6 +59,7 @@ def pjit_itd_sift(mesh: Mesh, max_iteration: int = 11, **kwargs):
         in_specs=P("data", None),
         out_specs=(P(None, "data", None), P(None, "data", None),
                    P("data"), P("data"), P("data", None)),
+        check_vma=not interpret_pallas,
     )
 
     @jax.jit

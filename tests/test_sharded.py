@@ -321,3 +321,37 @@ def test_sharded_fold_emit_bit_identical(n_loc):
     for ga, gb, name in zip(a, b, names):
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb),
                                       err_msg=name)
+
+
+@pytest.mark.slow
+def test_pjit_fused_backend_interpret_under_shard_map():
+    """An explicitly-forced Pallas backend inside pjit_itd_sift must run
+    (interpret mode) under shard_map off-TPU: jax's HLO interpreter slices
+    kernel blocks with unvaried indices, which check_vma rejects, so the
+    wrapper relaxes the check for interpret-pallas only.  Bitwise vs the
+    single-chip XLA sift, with and without fold-emit."""
+    import os
+
+    from pyitd_tpu.ops.pallas_fill import BLK
+    from pyitd_tpu.parallel.batch import pjit_itd_sift, shard_bank
+
+    rng = np.random.default_rng(1)
+    n = BLK + 512
+    t = np.linspace(0, 2 * np.pi, n)
+    x = jnp.asarray(np.sin(18 * t)[None] + 0.2 * rng.normal(size=(4, n)),
+                    jnp.float32)
+    mesh = make_mesh(4, seq=1)
+    ref = itd_sift(x, 3, backend="xla", store_baselines=False)
+    for fold in (False, True):
+        if fold:
+            os.environ["PYITD_FOLD_EMIT"] = "1"
+        try:
+            fb = pjit_itd_sift(mesh, 3, store_baselines=False,
+                               backend="pallas_fused")
+            rot, _base, ncomp, reason = fb(shard_bank(x, mesh))
+        finally:
+            os.environ.pop("PYITD_FOLD_EMIT", None)
+        np.testing.assert_array_equal(np.asarray(rot),
+                                      np.asarray(ref.rotations))
+        np.testing.assert_array_equal(np.asarray(ncomp),
+                                      np.asarray(ref.num_components))
