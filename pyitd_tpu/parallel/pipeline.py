@@ -51,6 +51,7 @@ def gpipe_apply(
     n_micro: int,
     pp_axis: str = "pp",
     data_axis: str | None = "data",
+    compute_dtype=None,
 ):
     """Build a pipelined apply: ``f(stacked_params, x) -> y``.
 
@@ -65,6 +66,12 @@ def gpipe_apply(
 
     Semantically ``f(params, x)[m] == block_(pp-1)(... block_0(x[m]))`` —
     the sequential fold — which is what the tests pin, grads included.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) applies the same
+    mixed-precision recipe as ``parallel.train.make_train_step``: floating
+    stage params are cast inside the pipelined function (so callers'
+    grads come back in master precision) and the stage contract
+    (activation shape/dtype preserved) is checked against the cast dtype.
     """
     pp = mesh.shape[pp_axis]
     data_axis = data_axis if data_axis in mesh.shape else None
@@ -73,6 +80,12 @@ def gpipe_apply(
     def local(params, x):
         # params: this stage's tree (leading axis already stripped to 1)
         params = jax.tree.map(lambda a: a[0], params)
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            x = x.astype(compute_dtype) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x
         idx = lax.axis_index(pp_axis)
 
         def tick(carry, t):

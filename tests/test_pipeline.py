@@ -143,3 +143,29 @@ def test_pipeline_train_step_learns():
         p, s, loss = step(p, s)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_pipeline_mixed_precision():
+    """compute_dtype=bfloat16 runs the pipelined forward/backward in bf16
+    (activations and stage params cast inside the pipelined function)
+    while the caller's master params and grads keep f32; values track the
+    f32 pipeline within bf16 tolerance."""
+    block, stacked = _stages(jax.random.PRNGKey(2))
+    stacked = jax.tree.map(lambda a: a.astype(jnp.float32), stacked)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(M, 4, D)), jnp.float32
+    )
+    mesh = _mesh(2, PP)
+    f32 = gpipe_apply(lambda p, h: block.apply(p, h), mesh, M)
+    fbf = gpipe_apply(lambda p, h: block.apply(p, h), mesh, M,
+                      compute_dtype=jnp.bfloat16)
+    y32, ybf = f32(stacked, x), fbf(stacked, x)
+    assert ybf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ybf, np.float32), np.asarray(y32), rtol=0.1, atol=0.05)
+
+    loss = lambda p: jnp.mean(fbf(p, x).astype(jnp.float32) ** 2)
+    g = jax.jit(jax.grad(loss))(stacked)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(stacked)):
+        assert a.dtype == b.dtype  # grads in master precision
+        assert bool(jnp.isfinite(a).all())
