@@ -429,9 +429,14 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     reverse grid walk through an SMEM suffix carry, and only the forward
     per-block folds are precomputed — one XLA reduce pass per round.
     """
+    import os as _os
+
     from .pallas_fill import (
-        _LANES, _knot_mask_flat, _pad_edges, cubic_ksite_padded,
-        cubic_neighbors_padded, ksite_block_states, level_block_states_fwd)
+        _LANES, _knot_mask_flat, _pad_edges, cubic_fold_states,
+        cubic_ksite_padded, cubic_neighbors_padded, ksite_block_states,
+        level_block_states_fwd)
+
+    fold_emit = bool(_os.environ.get("PYITD_FOLD_EMIT"))
     from .pallas_spike import (
         SPIKE_BLK, spike_backsub_eval, spike_factors_padded)
     from .chained_pcr import reduced_interface_solve
@@ -458,11 +463,21 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     nex, fwd_prefix = level_block_states_fwd(x3, n)
     b_first = 0.5 * (3.0 * x2[:, 0] - x2[:, 1])
     b_last = 0.5 * (3.0 * x2[:, n - 1] - x2[:, n - 2])
-    ks3 = cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
-                             fwd_prefix, n, interpret=interpret)
+    ks = cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
+                            fwd_prefix, n, interpret=interpret,
+                            fold_emit=fold_emit)
 
-    # round 2: neighbor knot positions + values per sample in one kernel
-    kfwd_prefix = ksite_block_states(x3, ks3, n)
+    # round 2: neighbor knot positions + values per sample in one kernel;
+    # its forward folds come from round 1's kernel when fold_emit is on
+    # (the ksite kernel has the mask AND the values in-register — no
+    # excluded samples, unlike the sift's baseline folds), else from the
+    # two-array XLA sweep
+    if fold_emit:
+        ks3, ks_folds = ks
+        kfwd_prefix = cubic_fold_states(ks_folds)
+    else:
+        ks3 = ks
+        kfwd_prefix = ksite_block_states(x3, ks3, n)
     p1p3, p2p3, n1p3, kj3, kjm13, kj13 = cubic_neighbors_padded(
         x3, ks3, prev_edge, next_edge, kfwd_prefix, n, interpret=interpret)
     k_site = flat(ks3)

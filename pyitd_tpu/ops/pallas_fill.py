@@ -1213,11 +1213,16 @@ def ksite_block_states(x3, ksite3, n: int):
 
 
 @lru_cache(maxsize=None)
-def _make_cubic_ksite_kernel(n_real: int, nblk: int):
+def _make_cubic_ksite_kernel(n_real: int, nblk: int,
+                             fold_emit: bool = False):
     sub = BLK // _LANES
 
     def kernel(fp_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
-               x_ref, k_ref, carry):
+               x_ref, k_ref, *rest):
+        if fold_emit:
+            fold_ref, carry = rest
+        else:
+            (carry,) = rest
         r = pl.program_id(0)
         g = pl.program_id(1)
 
@@ -1228,7 +1233,7 @@ def _make_cubic_ksite_kernel(n_real: int, nblk: int):
 
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
-        pos, row, lane, _, state0 = _knot_state(
+        pos, row, lane, m, state0 = _knot_state(
             x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
         )
         fwd_in = tuple(fp_ref[r, blk * 4 + i] for i in range(4))
@@ -1260,33 +1265,74 @@ def _make_cubic_ksite_kernel(n_real: int, nblk: int):
         k = jnp.where(pos == n_real - 1, blast_ref[r], k)
         k_ref[0] = k
 
+        if fold_emit:
+            # the (position, k_site) per-block forward fold the neighbor
+            # kernel needs — NO excluded samples: the mask is on x, whose
+            # block edges arrived via scalar prefetch, so the fold is
+            # complete in-block (unlike the sift's baseline folds)
+            posf = pos.astype(jnp.float32)
+            mpp = jnp.where(m, posf, _NONE)
+            p1 = jnp.max(mpp)
+            p2 = jnp.max(jnp.where(mpp == p1, _NONE, mpp))
+            v1 = jnp.sum(jnp.where(posf == p1, k, 0.0))
+            v2 = jnp.sum(jnp.where(posf == p2, k, 0.0))
+            fr = lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+            fl = lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+            vec = jnp.zeros((8, _LANES), jnp.float32)
+            for kk, s in enumerate((p1, v1, p2, v2)):
+                vec = jnp.where((fr == 0) & (fl == kk), s, vec)
+            fold_ref[0] = vec
+
     return kernel
 
 
 def cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
-                       fwd_prefix, n: int, *, interpret: bool = False):
+                       fwd_prefix, n: int, *, interpret: bool = False,
+                       fold_emit: bool = False):
     """Frei-Osorio knot values in ONE both-direction kernel.  Returns
-    padded 3-D ``k_site``."""
+    padded 3-D ``k_site``; with ``fold_emit``, also the raw per-block
+    (position, k_site) forward-fold planes — run them through
+    :func:`cubic_fold_states` to replace the ``ksite_block_states``
+    full-array pass."""
     rows = x3.shape[0]
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
     main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
+    out_specs = [spec]
+    out_shape = [_out_struct(x3.shape, jnp.float32, x3)]
+    if fold_emit:
+        out_specs.append(pl.BlockSpec(
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(rows, nblk),
         in_specs=[spec],
-        out_specs=[spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
-    return pl.pallas_call(
-        _make_cubic_ksite_kernel(n, nblk),
+    outs = pl.pallas_call(
+        _make_cubic_ksite_kernel(n, nblk, fold_emit=fold_emit),
         grid_spec=grid_spec,
-        out_shape=[_out_struct(x3.shape, jnp.float32, x3)],
+        out_shape=out_shape,
         interpret=interpret,
     )(fwd_prefix, prev_edge, next_edge,
-      b_first.astype(jnp.float32), b_last.astype(jnp.float32), x3)[0]
+      b_first.astype(jnp.float32), b_last.astype(jnp.float32), x3)
+    return outs if fold_emit else outs[0]
+
+
+def cubic_fold_states(fold_raw):
+    """Exclusive (rows, nblk*4) forward prefixes from the ksite kernel's
+    complete per-block folds — bitwise ``ksite_block_states(x3, ks3, n)``
+    without its two-array full sweep."""
+    rows = fold_raw.shape[0]
+    nblk = fold_raw.shape[1] // 8
+    f = fold_raw.reshape(rows, nblk, 8, _LANES)
+    return _exclusive_fwd_folds(tuple(f[:, :, 0, k] for k in range(4)))
 
 
 @lru_cache(maxsize=None)

@@ -256,3 +256,48 @@ def test_fills_fused_matches_chained_interpret():
     p = cubic_baseline_extract(y, capacity=n + 2, min_extrema=10,
                                eval_backend="fills_fused")
     assert bool(jnp.all(p.baseline == y)) and bool(jnp.all(p.rotation == 0))
+
+
+def test_cubic_fold_emit_bit_identical():
+    """With PYITD_FOLD_EMIT, the ksite kernel's complete per-block folds
+    (cubic_fold_states) replace the ksite_block_states two-array sweep:
+    both the fold prefixes and the full fills-route extraction must be
+    bitwise the default path (NaN rows included)."""
+    import os
+
+    from pyitd_tpu.ops.pallas_fill import (
+        BLK, _pad_edges, cubic_fold_states, cubic_ksite_padded,
+        ksite_block_states, level_block_states_fwd)
+
+    rng = np.random.default_rng(13)
+    n = BLK + 600
+    t = np.linspace(0, 4 * np.pi, n)
+    x = np.stack([
+        np.sin(9 * t) + 0.1 * rng.normal(size=n),
+        np.cos(4 * t) + 0.05 * rng.normal(size=n),
+    ]).astype(np.float32)
+    x[1, BLK - 1 : BLK + 2] = np.nan
+    xj = jnp.asarray(x)
+
+    # fold prefixes: kernel-emitted == the XLA sweep, bitwise
+    x3, pe, ne, npad, nblk = _pad_edges(xj)
+    _, fp0 = level_block_states_fwd(x3, n)
+    bf = jnp.asarray(0.5 * (3.0 * x[:, 0] - x[:, 1]))
+    bl = jnp.asarray(0.5 * (3.0 * x[:, n - 1] - x[:, n - 2]))
+    ks3, folds = cubic_ksite_padded(x3, pe, ne, bf, bl, fp0, n,
+                                    interpret=True, fold_emit=True)
+    np.testing.assert_array_equal(
+        np.asarray(cubic_fold_states(folds)),
+        np.asarray(ksite_block_states(x3, ks3, n)))
+
+    # full extraction: env-gated path == default, bitwise
+    os.environ["PYITD_FOLD_EMIT"] = "1"
+    try:
+        a = cubic_baseline_extract(xj, capacity=n, eval_backend="fills")
+    finally:
+        del os.environ["PYITD_FOLD_EMIT"]
+    b = cubic_baseline_extract(xj, capacity=n, eval_backend="fills")
+    np.testing.assert_array_equal(np.asarray(a.baseline), np.asarray(b.baseline))
+    np.testing.assert_array_equal(np.asarray(a.rotation), np.asarray(b.rotation))
+    np.testing.assert_array_equal(np.asarray(a.num_extrema),
+                                  np.asarray(b.num_extrema))

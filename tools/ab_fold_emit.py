@@ -113,6 +113,33 @@ def main():
         file=sys.stderr,
     )
 
+    # cubic tier twin: the ksite kernel's fold replaces the
+    # ksite_block_states two-array sweep (zero excluded samples there)
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+
+    def run_cubic(a):
+        return cubic_baseline_extract(a, capacity=a.shape[-1],
+                                      eval_backend="fills").baseline
+
+    print("timing cubic fills (default)...", file=sys.stderr)
+    t_cdef = stage_time(run_cubic)
+    os.environ["PYITD_FOLD_EMIT"] = "1"
+    try:
+        print("timing cubic fills (fold-emit)...", file=sys.stderr)
+        t_cfold = stage_time(run_cubic)
+        ca = cubic_baseline_extract(xs, capacity=xs.shape[-1],
+                                    eval_backend="fills")
+    finally:
+        del os.environ["PYITD_FOLD_EMIT"]
+    cb = cubic_baseline_extract(xs, capacity=xs.shape[-1],
+                                eval_backend="fills")
+    ok_cu = bool(jnp.all(ca.baseline == cb.baseline))
+    print(
+        f"cubic default: {t_cdef*1e3:.2f} ms   fold-emit:"
+        f" {t_cfold*1e3:.2f} ms   ratio: {t_cfold/t_cdef:.3f}",
+        file=sys.stderr,
+    )
+
     a = _itd_sift_fused(xs, 6, "reference", False, fold_emit=True)
     b = _itd_sift_fused(xs, 6, "reference", False, fold_emit=False)
     ok = (
@@ -121,8 +148,8 @@ def main():
         and bool(jnp.all(a.num_components == b.num_components))
         and bool(jnp.all(a.stop_reason == b.stop_reason))
     )
-    print(f"bitwise fold==default at 8x65536: plain {ok} sharded {ok_sh}",
-          file=sys.stderr)
+    print(f"bitwise fold==default at 8x65536: plain {ok} sharded {ok_sh} "
+          f"cubic {ok_cu}", file=sys.stderr)
     print(
         {"default_ms": round(t_def * 1e3, 2),
          "fold_ms": round(t_fold * 1e3, 2),
@@ -130,9 +157,12 @@ def main():
          "sharded_default_ms": round(t_sdef * 1e3, 2),
          "sharded_fold_ms": round(t_sfold * 1e3, 2),
          "sharded_ratio": round(t_sfold / t_sdef, 4),
-         "bitwise": ok and ok_sh}
+         "cubic_default_ms": round(t_cdef * 1e3, 2),
+         "cubic_fold_ms": round(t_cfold * 1e3, 2),
+         "cubic_ratio": round(t_cfold / t_cdef, 4),
+         "bitwise": ok and ok_sh and ok_cu}
     )
-    if not (ok and ok_sh):
+    if not (ok and ok_sh and ok_cu):
         sys.exit(1)
 
 
