@@ -60,7 +60,8 @@ def main():
     t0 = time.time()
     n_dev = len(jax.devices())
     tp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-    batch = max(8, 2 * (n_dev // tp))
+    dp = n_dev // tp
+    batch = max(2, -(-8 // dp)) * dp  # >=8-ish, divisible by the data axis
     mesh = make_tp_mesh(n_dev, model=tp)
     print(f"devices: {n_dev} x {jax.devices()[0].platform}   "
           f"mesh: data={n_dev // tp} x model={tp}   batch={batch}")

@@ -58,12 +58,11 @@ def streaming_init(hop: int, batch_shape=(), dtype=jnp.float64, *,
     if like is not None:
         vma = tuple(getattr(jax.typeof(like), "vma", ()))
         if vma:
-            vary = (
-                (lambda a: lax.pcast(a, vma, to="varying"))
-                if hasattr(lax, "pcast")
-                else (lambda a: lax.pvary(a, vma))
+            from ..utils.vma import vary
+
+            state = StreamState(
+                window=vary(state.window, vma), filled=vary(state.filled, vma)
             )
-            state = StreamState(window=vary(state.window), filled=vary(state.filled))
     return state
 
 

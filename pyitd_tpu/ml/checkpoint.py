@@ -14,9 +14,17 @@ import os
 from typing import Any
 
 import jax
-import orbax.checkpoint as ocp
 
 __all__ = ["save_state", "restore_state"]
+
+
+def _ocp():
+    # Lazy: orbax is part of the optional [ml] extra, and environments that
+    # predate it must still be able to import pyitd_tpu.ml for the rest of
+    # the model family.
+    import orbax.checkpoint as ocp
+
+    return ocp
 
 
 def save_state(path: str | os.PathLike, state: Any) -> None:
@@ -24,7 +32,7 @@ def save_state(path: str | os.PathLike, state: Any) -> None:
 
     Overwrites an existing checkpoint at the same path.
     """
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _ocp().StandardCheckpointer()
     ckptr.save(os.path.abspath(os.fspath(path)), state, force=True)
     ckptr.wait_until_finished()
 
@@ -42,5 +50,5 @@ def restore_state(path: str | os.PathLike, like: Any) -> Any:
         else a,
         like,
     )
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _ocp().StandardCheckpointer()
     return ckptr.restore(os.path.abspath(os.fspath(path)), abstract)

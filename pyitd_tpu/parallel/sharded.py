@@ -25,6 +25,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops.fill import prev_index, next_index, take_last_axis
+from ..utils.vma import vary
 # the shared Knuth two-sum residual (single definition)
 from ..ops.linear_baseline import two_sum_err as _two_sum_err
 
@@ -203,20 +204,10 @@ def _level(x, axis_name, n_global, endpoint_mode):
     return x - baseline, baseline, nex
 
 
-def _vary(a, axes):
-    """Promote ``a``'s varying-mesh-axes set to include ``axes``.
-
-    Initial loop carries / freshly created constants must carry the vma
-    their updates will have (fori_loop needs carry-in == carry-out), and
-    elementwise ops under ``check_vma`` require operands with equal vma.
-    """
-    have = jax.typeof(a).vma
-    need = tuple(ax for ax in axes if ax not in have)
-    if not need:
-        return a
-    if hasattr(lax, "pcast"):
-        return lax.pcast(a, need, to="varying")
-    return lax.pvary(a, need)
+# Initial loop carries / freshly created constants must carry the vma
+# their updates will have (fori_loop needs carry-in == carry-out), and
+# elementwise ops under ``check_vma`` require operands with equal vma.
+_vary = vary
 
 
 

@@ -25,12 +25,14 @@ Typical use (see ``tests/test_train_parallel.py`` and
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple, TYPE_CHECKING
 
 import jax
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+if TYPE_CHECKING:  # annotation-only; optax is an optional [ml] dependency
+    import optax
 
 __all__ = [
     "make_tp_mesh",
@@ -156,6 +158,7 @@ def make_train_step(
     come back in master precision.
     """
     import jax.numpy as jnp
+    import optax  # deferred: callers constructing a `tx` already have it
 
     constraint = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
