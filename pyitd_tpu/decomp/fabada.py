@@ -52,6 +52,13 @@ def _running_mean(d: jax.Array) -> jax.Array:
     raise ValueError("fabada supports 1-D and 2-D data")
 
 
+def _f64():
+    """float64 when x64 is on (reference numpy semantics), else the f32 the
+    backend would truncate to anyway — avoids the per-trace truncation
+    warning without changing any computed value."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _evidence(mu1, mu2, var1, var2):
     return jnp.exp(-((mu1 - mu2) ** 2) / (2.0 * (var1 + var2))) / jnp.sqrt(
         2.0 * jnp.pi * (var1 + var2)
@@ -62,8 +69,8 @@ def _evidence(mu1, mu2, var1, var2):
 def fabada(data: jax.Array, data_variance, max_iter: int = 3000) -> jax.Array:
     """Canonical FABADA (1-D or 2-D).  ``data_variance`` may be scalar or an
     array of ``data``'s shape."""
-    x = jnp.where(jnp.isnan(data), 0.0, jnp.asarray(data, jnp.float64))
-    dv = jnp.broadcast_to(jnp.asarray(data_variance, jnp.float64), x.shape)
+    x = jnp.where(jnp.isnan(data), 0.0, jnp.asarray(data, _f64()))
+    dv = jnp.broadcast_to(jnp.asarray(data_variance, _f64()), x.shape)
     # NO 1e-15 substitution at NaN positions: the canonical cell zeroes
     # data's NaNs IN PLACE before `data_variance[np.isnan(data)] = 1e-15`,
     # so that line sees an all-False mask and is a provable no-op — NaN
@@ -123,9 +130,9 @@ def fabada(data: jax.Array, data_variance, max_iter: int = 3000) -> jax.Array:
         "post_mean": x,
         "post_var": dv,
         "ev_prev": jnp.mean(ev0),
-        "chi2_pdf": jnp.asarray(0.0, jnp.float64),
-        "chi2_pdf_deriv": jnp.asarray(0.0, jnp.float64),
-        "chi2_min": jnp.asarray(size, jnp.float64),
+        "chi2_pdf": jnp.asarray(0.0, _f64()),
+        "chi2_pdf_deriv": jnp.asarray(0.0, _f64()),
+        "chi2_min": jnp.asarray(size, _f64()),
         "bayes_w": jnp.zeros_like(x),
         "bayes_m": jnp.zeros_like(x),
         "iteration": jnp.asarray(0, jnp.int32),
@@ -153,13 +160,13 @@ def pfabada(data: jax.Array, sigma, max_iterations: int = 1000) -> jax.Array:
     (``pfabada.py:228-255``): the prior is the average of the row-direction
     and column-direction 1-D smoothers.
     """
-    data = jnp.asarray(data, jnp.float64)
+    data = jnp.asarray(data, _f64())
     nan = jnp.isnan(data)
     x = jnp.where(nan, 0.0, data)
     n = float(x.size)
     tol = 1e-15
 
-    sigma = jnp.asarray(sigma, jnp.float64)
+    sigma = jnp.asarray(sigma, _f64())
     dv = jnp.broadcast_to(sigma**2, x.shape)
     dv = jnp.where(nan | (dv == 0), 1e-15, dv)
 
@@ -227,9 +234,9 @@ def pfabada(data: jax.Array, sigma, max_iterations: int = 1000) -> jax.Array:
         "post_mean": x,
         "post_var": dv,
         "ev_prev": jnp.mean(ev0),
-        "chi2_prev": jnp.asarray(0.0, jnp.float64),
-        "chi2_deriv_prev": jnp.asarray(0.0, jnp.float64),
-        "chi2_min": jnp.asarray(0.0, jnp.float64),
+        "chi2_prev": jnp.asarray(0.0, _f64()),
+        "chi2_deriv_prev": jnp.asarray(0.0, _f64()),
+        "chi2_min": jnp.asarray(0.0, _f64()),
         "bayes_w": jnp.zeros_like(x),
         "bayes_m": jnp.zeros_like(x),
         "iterations": jnp.asarray(1, jnp.int32),
@@ -274,7 +281,7 @@ def auto_sigma(x: jax.Array) -> jax.Array:
 
     For 2-D input the detail band is the separable high-pass along both
     axes (pywt ``dwtn`` 'dd')."""
-    x = jnp.asarray(x, jnp.float64)
+    x = jnp.asarray(x, _f64())
     d = _dwt_detail_1d(x)
     if x.ndim == 2:
         d = jnp.moveaxis(_dwt_detail_1d(jnp.moveaxis(d, 0, -1)), -1, 0)
