@@ -286,18 +286,18 @@ def test_sharded_cubic_collective_budget():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_loc", [8892, 8193])
+@pytest.mark.parametrize("n_loc", [8892, 8193, 512])
 def test_sharded_fold_emit_bit_identical(n_loc):
     """The sharded fold-emit variant (per-trip block folds sourced from
     the previous trip's kernel, block-first + shard-last samples resolved
     from halos/strided slices) is bit-identical to the default sharded
     Pallas path — with multiple blocks per shard, a spike AT an interior
-    block-first sample, NaN spanning a shard boundary, and both
+    block-first sample, NaN spanning a shard boundary, and all three
     shard-last-sample layouts (mid-block at n_loc=8892; exactly a
-    block-first sample at n_loc=8193)."""
+    block-first sample at n_loc=8193; a single partial block per shard
+    at n_loc=512, where every block is both shard-first and shard-last)."""
     from pyitd_tpu.ops.pallas_fill import BLK
 
-    assert n_loc > BLK  # two blocks per shard: exercises bm1 resolution
     n = 2 * n_loc
     rng = np.random.default_rng(3)
     t = np.linspace(0, 2 * np.pi, n)
@@ -305,7 +305,10 @@ def test_sharded_fold_emit_bit_identical(n_loc):
         np.sin(15 * t) + 0.1 * rng.normal(size=n),
         np.sin(5 * t * (1 + 0.2 * t)) + 0.05 * rng.normal(size=n),
     ]).astype(np.float32)
-    x[0, BLK] = 8.0          # spike at shard 0's second block's first sample
+    # spike AT a block-first sample: shard 0's second block when the shard
+    # has one (exercises the in-shard excluded-sample resolution), else
+    # shard 1's first sample (the cross-shard halo resolution)
+    x[0, BLK if n_loc > BLK else n_loc] = 8.0
     x[1, n_loc - 1 : n_loc + 2] = np.nan  # NaN across the shard boundary
     xj = jnp.asarray(x)
     mesh = make_mesh(2, seq=2)
