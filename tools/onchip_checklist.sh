@@ -14,6 +14,8 @@
 # Each step is bounded; a hung relay fails the step, not the session.
 set -u
 cd "$(dirname "$0")/.."
+# `python tools/x.py` puts tools/ (not the repo root) on sys.path
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 STAMP=$(date +%Y%m%d_%H%M%S)
 OUT=profiles/onchip_$STAMP
 mkdir -p "$OUT"
