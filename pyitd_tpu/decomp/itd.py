@@ -112,6 +112,17 @@ def itd_sift(
             "early_exit is not supported by the fused (unrolled) backend; "
             "use backend='pallas_emit' (or 'auto') with early_exit"
         )
+    # f32 position ceiling: every f32 backend (the Pallas kernels always;
+    # the XLA scan fills when x is f32) carries knot POSITIONS in f32
+    # channels, exact only while positions fit a 24-bit significand.
+    # Past it, distinct positions collide and knots silently corrupt —
+    # so refuse loudly.  The f64 XLA path is exact to 2^53.
+    if x.dtype == jnp.float32 and x.shape[-1] > (1 << 24):
+        raise ValueError(
+            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
+            f"(2^24={1 << 24}): positions would alias and produce wrong "
+            "knots. Cast the input to float64 (uses the XLA backend)."
+        )
     if backend == "auto":
         on_tpu = (
             jax.default_backend() == "tpu"
@@ -191,6 +202,8 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
         nex = new.num_extrema
 
         stop_a = (~done) & (nex < 2)
+        # PLATFORM-WA(strict-gt): budget checks use >= forms, never
+        # integer strict > inside lax loops (docs/PLATFORM.md)
         stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b

@@ -114,6 +114,7 @@ def meitd_jit(data, wpemax: float = 0.6, *, capacity: int | None = None) -> Meit
     )
 
     def cond(c):
+        # PLATFORM-WA(strict-gt): >= / <= forms, see docs/PLATFORM.md
         return (c.nex >= 6) & (c.highc + c.lowc <= 20)
 
     def body(c):

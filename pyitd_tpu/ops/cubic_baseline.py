@@ -711,6 +711,18 @@ def cubic_baseline_extract(
     fills backends have no compact buffers and ignore it — pass a
     capacity covering the worst case (interior extrema + 2) when
     cross-backend agreement matters."""
+    # f32 position ceiling: the fills backends compute in f32 end to end
+    # (any input dtype), and the gather/scan backends carry positions in
+    # the INPUT dtype — past 2^24 samples f32 positions alias and the
+    # spline silently corrupts, so refuse loudly.  f64 inputs via
+    # gather/scan are exact to 2^53.
+    if x.shape[-1] > (1 << 24) and (
+            x.dtype == jnp.float32 or eval_backend not in ("gather", "scan")):
+        raise ValueError(
+            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
+            f"(2^24={1 << 24}); use a float64 input with "
+            "eval_backend='gather' or 'scan'."
+        )
     if eval_backend == "auto":
         if jax.default_backend() == "cpu":
             eval_backend = "gather"

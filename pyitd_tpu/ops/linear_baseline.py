@@ -100,8 +100,11 @@ def _interp(x, it, n, b_l, x_l, b_r, x_r, endpoint_mode):
 
 
 def _knot_values(x, it, n, prev_x, next_x, prev_pos, next_pos):
+    # positions are i32 indices: difference FIRST (exact at any n), cast
+    # once — casting each position individually would round above 2^24
+    # in f32 and skew the weight
     span = (next_pos - prev_pos).astype(x.dtype)
-    w = (it.astype(x.dtype) - prev_pos.astype(x.dtype)) / jnp.where(
+    w = (it - prev_pos).astype(x.dtype) / jnp.where(
         span == 0, jnp.ones_like(span), span
     )
     knot_val = 0.5 * (prev_x + w * (next_x - prev_x)) + 0.5 * x
@@ -233,6 +236,18 @@ def linear_baseline_extract(
             backend = "scan"
     if backend not in ("gather", "scan", "pallas"):
         raise ValueError(f"unknown backend: {backend!r}")
+    # f32 position ceiling: the pallas kernels (always) and the scan
+    # backend (for f32 inputs) carry knot positions in f32 channels —
+    # exact only to 2^24, aliasing silently past it.  The gather backend
+    # selects by integer index and is exact at any n.
+    if n > (1 << 24) and (
+            backend == "pallas"
+            or (backend == "scan" and x.dtype == jnp.float32)):
+        raise ValueError(
+            f"n={n} exceeds the f32 knot-position ceiling (2^24={1 << 24}) "
+            f"of the {backend!r} backend; use backend='gather' or a "
+            "float64 input with backend='scan'."
+        )
 
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
 

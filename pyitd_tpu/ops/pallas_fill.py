@@ -41,8 +41,11 @@ BLK = 8192
 _LANES = 128
 _NONE = -1.0  # "no mark yet" sentinel in the position channels
 
-# diagnostic escape hatch: disable all input->output buffer donation in the
-# sift kernels (set PYITD_NO_ALIAS=1) to isolate aliasing from numerics
+# PLATFORM-WA(donation): still-live/multiply-donated Pallas operands
+# corrupt on the pinned backend — kernels declare structural aliases only
+# (docs/PLATFORM.md).  PYITD_NO_ALIAS=1 is the diagnostic escape hatch:
+# drop all donations (keep required aliases) to isolate aliasing from
+# numerics.
 _NO_ALIAS = bool(os.environ.get("PYITD_NO_ALIAS"))
 
 

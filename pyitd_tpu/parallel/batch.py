@@ -41,7 +41,8 @@ def pjit_itd_sift(mesh: Mesh, max_iteration: int = 11, **kwargs):
     """
     sharding = NamedSharding(mesh, P("data", None))
 
-    # check_vma must relax when an explicitly-requested Pallas backend will
+    # PLATFORM-WA(interpret-vma): check_vma must relax when an
+    # explicitly-requested Pallas backend will
     # run in INTERPRET mode (non-TPU): jax's HLO interpreter slices kernel
     # blocks with unvaried loop indices, which the vma checker rejects
     # (jax-ml/jax: "dynamic_slice requires varying manual axes to match").

@@ -232,6 +232,7 @@ def _sift_local(x, axis_name, n_global, max_iteration, endpoint_mode):
          pending_err, comp) = carry
         new_rot, new_base, nex = _level(baseline, axis_name, n_global, endpoint_mode)
         stop_a = (~done) & (nex < 2)
+        # PLATFORM-WA(strict-gt): >= form, see docs/PLATFORM.md
         stop_b = (~done) & (~stop_a) & (i >= max_iteration + 1)
         cont = (~done) & (~stop_a) & (~stop_b)
         stopping = stop_a | stop_b
@@ -631,6 +632,15 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
     if n_global % seq:
         raise ValueError(
             f"the seq mesh axis ({seq}) must divide n={n_global}")
+    if x.dtype == jnp.float32 and n_global > (1 << 24):
+        # both sharded backends currently carry GLOBAL knot positions in
+        # f32 channels (exact only to 2^24); past that, positions alias
+        # and knots silently corrupt — refuse loudly.
+        raise ValueError(
+            f"n={n_global} exceeds the f32 knot-position ceiling "
+            f"(2^24={1 << 24}) of the sharded sift's position channels; "
+            "cast the input to float64 (backend='xla')."
+        )
     if backend == "auto":
         use_pallas = (jax.default_backend() == "tpu"
                       and x.dtype == jnp.float32)
@@ -646,8 +656,9 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
             max_iteration=max_iteration, endpoint_mode=endpoint_mode,
             interpret=interpret)
         if interpret:
-            # the Pallas HLO interpreter cannot thread vma through its
-            # internal loops; compiled TPU runs keep full vma checking
+            # PLATFORM-WA(interpret-vma): the Pallas HLO interpreter cannot
+            # thread vma through its internal loops; compiled TPU runs keep
+            # full vma checking (docs/PLATFORM.md)
             extra["check_vma"] = False
     else:
         local = partial(_sift_local, axis_name="seq", n_global=n_global,
@@ -1010,6 +1021,14 @@ def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = No
     if n_global % seq:
         raise ValueError(
             f"the seq mesh axis ({seq}) must divide n={n_global}")
+    if x.dtype == jnp.float32 and n_global > (1 << 24):
+        # global knot positions ride f32 channels/scalars (exact to 2^24);
+        # past that they alias and the spline silently corrupts
+        raise ValueError(
+            f"n={n_global} exceeds the f32 knot-position ceiling "
+            f"(2^24={1 << 24}) of the sharded cubic tier; cast the input "
+            "to float64."
+        )
     n_loc = n_global // seq
     if method == "spike":
         local = partial(_cubic_local_spike, axis_name="seq",

@@ -1,5 +1,8 @@
 """Test configuration: force a virtual 8-device CPU mesh and 64-bit mode.
 
+PLATFORM-WA(relay-init): the backend re-point + clear_backends below is the
+working recipe for a dead relay (docs/PLATFORM.md).
+
 The session environment pins ``JAX_PLATFORMS=axon`` (a remote TPU reached
 through a relay) and a sitecustomize module imports jax and initializes that
 backend before any test code runs.  Running thousands of tiny test ops over

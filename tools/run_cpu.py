@@ -1,4 +1,4 @@
-"""Run a script on the local CPU backend even when the TPU relay is dead.
+"""PLATFORM-WA(relay-init): run a script on the local CPU backend even when the TPU relay is dead.
 
 The session's sitecustomize registers the axon PJRT plugin in every
 interpreter; when the relay is down, ANY ``jax.devices()`` — even with
