@@ -67,6 +67,17 @@ def _out_struct(shape, dtype, *operands):
         return jax.ShapeDtypeStruct(shape, dtype)
 
 
+def _roll(a, k, axis):
+    """``pltpu.roll`` with the shift pinned to i32.
+
+    Python-int shifts canonicalize to i64 under ``jax_enable_x64``, and
+    Mosaic's ``tpu.dynamic_rotate`` verifier requires an i32 operand —
+    so an x64 caller (e.g. the f64 MEITD tier driving the f32 cubic
+    kernels) would fail to lower.  ``np.int32`` restores the exact
+    non-x64 form."""
+    return pltpu.roll(a, np.int32(k) if isinstance(k, int) else k, axis)
+
+
 def _combine(a, b):
     """fill2 combine on sign-encoded (p1, x1, p2, x2) tuples.
 
@@ -120,7 +131,7 @@ def _shifted(arrs, k: int, axis: int, reverse: bool):
         keep = idx >= k
     out = []
     for i, a in enumerate(arrs):
-        rolled = pltpu.roll(a, size - k if reverse else k, axis)
+        rolled = _roll(a, size - k if reverse else k, axis)
         if i % 2 == 0:  # position channel: sentinel at the border
             rolled = jnp.where(keep, rolled, jnp.full_like(a, _NONE))
         out.append(rolled)
@@ -146,7 +157,7 @@ def _doubling_scan_rolled(state, axis: int, steps: int, reverse: bool):
     idx = lax.broadcasted_iota(jnp.int32, state[0].shape, axis)
 
     def body(s, st):
-        k = jnp.int32(1) << s
+        k = jnp.int32(1) << s.astype(jnp.int32)  # x64-proof (i32 rotate)
         if reverse:
             keep = idx < size - k
             sh = jnp.int32(size) - k
@@ -155,7 +166,7 @@ def _doubling_scan_rolled(state, axis: int, steps: int, reverse: bool):
             sh = k
         prev = []
         for i, a in enumerate(st):
-            rolled = pltpu.roll(a, sh, axis)
+            rolled = _roll(a, sh, axis)
             if i % 2 == 0:  # position channel: sentinel at the border
                 rolled = jnp.where(keep, rolled, jnp.full_like(a, _NONE))
             prev.append(rolled)
@@ -300,10 +311,10 @@ def fill2_padded(p3, v3, m3, *, reverse: bool = False,
     nblk = npad // BLK
     if reverse:
         # reverse scans walk the grid from the last block backwards
-        index_map = lambda r, b: (r, nblk - 1 - b, 0)
+        index_map = lambda r, b: (r, nblk - 1 - b, np.int32(0))
         kernel = _fill2_bwd
     else:
-        index_map = lambda r, b: (r, b, 0)
+        index_map = lambda r, b: (r, b, np.int32(0))
         kernel = _fill2_fwd
     spec = pl.BlockSpec((1, sub, _LANES), index_map, memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -326,8 +337,8 @@ def _roll_next(a, boundary, row, lane):
     """Row-major next element of a (sub, 128) block; the block's last
     element receives ``boundary`` (a scalar)."""
     sub = a.shape[0]
-    nxt = pltpu.roll(a, _LANES - 1, 1)
-    col_next = pltpu.roll(a[:, :1], sub - 1, 0)
+    nxt = _roll(a, _LANES - 1, 1)
+    col_next = _roll(a[:, :1], sub - 1, 0)
     nxt = jnp.where(lane == _LANES - 1, col_next, nxt)
     return jnp.where((lane == _LANES - 1) & (row == sub - 1), boundary, nxt)
 
@@ -342,8 +353,8 @@ def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
 
     # one-sample neighbors in row-major order; block-edge scalars come
     # from the scalar-prefetch SMEM arrays
-    xm1 = pltpu.roll(x, 1, 1)
-    col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
+    xm1 = _roll(x, 1, 1)
+    col_prev = _roll(x[:, _LANES - 1 :], 1, 0)
     xm1 = jnp.where(lane == 0, col_prev, xm1)
     xm1 = jnp.where((lane == 0) & (row == 0), prev_scalar, xm1)
     xp1 = _roll_next(x, next_scalar, row, lane)
@@ -442,9 +453,9 @@ def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
     rows = x3.shape[0]
     sub = BLK // _LANES
     if reverse:
-        main_map = lambda r, b, _pe, _ne: (r, nblk - 1 - b, 0)
+        main_map = lambda r, b, _pe, _ne: (r, nblk - 1 - b, np.int32(0))
     else:
-        main_map = lambda r, b, _pe, _ne: (r, b, 0)
+        main_map = lambda r, b, _pe, _ne: (r, b, np.int32(0))
 
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -568,7 +579,7 @@ def _linear_baseline_padded(x3, fwd3, prev_edge, next_edge, b_first, b_last,
     returns padded (baseline, rotation, sub_err)."""
     rows = x3.shape[0]
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1301,13 +1312,13 @@ def cubic_ksite_padded(x3, prev_edge, next_edge, b_first, b_last,
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     out_specs = [spec]
     out_shape = [_out_struct(x3.shape, jnp.float32, x3)]
     if fold_emit:
         out_specs.append(pl.BlockSpec(
-            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM))
         out_shape.append(
             _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))
@@ -1399,7 +1410,7 @@ def cubic_neighbors_padded(x3, ksite3, prev_edge, next_edge, kfwd_prefix,
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     spec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1441,7 +1452,7 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     row_into_levels = out_levels is not None
     operands = [
@@ -1457,7 +1468,7 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         in_specs = [rspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *refs: (refs[8][0], r, nblk - 1 - b, 0),
+            lambda r, b, *refs: (refs[8][0], r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
@@ -1494,7 +1505,7 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
         # tile-aligned; ~0.5 MB/trip at 8x1M vs the 32 MB XLA pass it
         # replaces
         out_specs.append(pl.BlockSpec(
-            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM))
         out_shape.append(
             _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))
@@ -1559,7 +1570,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
     stop_b = (~done) & (~stop_a) & over_budget
     cont = (~done) & (~stop_a) & (~stop_b)
 
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     row_into_levels = out_levels is not None
     operands = [
@@ -1582,7 +1593,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
         in_specs = [rspec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *refs: (refs[7][0], r, nblk - 1 - b, 0),
+            lambda r, b, *refs: (refs[7][0], r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,

@@ -30,13 +30,14 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fill import (
     BLK, _LANES, _NO_ALIAS, _NONE, _block_scan, _fused_scans_and_epilogue,
-    _mask_outputs, _out_struct, _roll_next,
+    _mask_outputs, _out_struct, _roll, _roll_next,
 )
 
 __all__ = ["sharded_sift_level_fused"]
@@ -58,8 +59,8 @@ def _knot_state_sharded(x, blk, n_loc, n_global, offset, prev_scalar,
     pos = blk * BLK + row * _LANES + lane     # local position
     gpos = pos + offset                        # global position
 
-    xm1 = pltpu.roll(x, 1, 1)
-    col_prev = pltpu.roll(x[:, _LANES - 1 :], 1, 0)
+    xm1 = _roll(x, 1, 1)
+    col_prev = _roll(x[:, _LANES - 1 :], 1, 0)
     xm1 = jnp.where(lane == 0, col_prev, xm1)
     xm1 = jnp.where((lane == 0) & (row == 0), prev_scalar, xm1)
     xm1 = jnp.where(pos == 0, halo_l, xm1)
@@ -222,7 +223,7 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
     npad = x3.shape[1] * _LANES
     nblk = npad // BLK
     sub = BLK // _LANES
-    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, 0)
+    main_map = lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0))
     rspec = pl.BlockSpec((1, sub, _LANES), main_map, memory_space=pltpu.VMEM)
     row_into_levels = out_levels is not None
     operands = [
@@ -239,7 +240,7 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         in_specs = [rspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)]
         row_spec = pl.BlockSpec(
             (1, 1, sub, _LANES),
-            lambda r, b, *refs: (refs[12][0], r, nblk - 1 - b, 0),
+            lambda r, b, *refs: (refs[12][0], r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM,
         )
         row_shape = _out_struct(out_levels.shape, jnp.float32, out_levels,
@@ -262,7 +263,7 @@ def sharded_sift_level_fused(x3, prev_edge, next_edge, offset, halo_l,
         row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)]
     if fold_emit:
         out_specs.append(pl.BlockSpec(
-            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, 0),
+            (1, 8, _LANES), lambda r, b, *_refs: (r, nblk - 1 - b, np.int32(0)),
             memory_space=pltpu.VMEM))
         out_shape.append(
             _out_struct((rows, nblk * 8, _LANES), jnp.float32, x3))

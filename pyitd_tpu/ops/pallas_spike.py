@@ -42,6 +42,12 @@ __all__ = ["chained_block_spike", "spike_factors_padded",
 
 SPIKE_BLK = 8192
 _LANES = 128
+
+def _roll(a, k, axis):
+    # i32-pinned pltpu.roll (x64-proof; see pallas_fill._roll)
+    return pltpu.roll(a, np.int32(k) if isinstance(k, int) else k, axis)
+
+
 _SUB = SPIKE_BLK // _LANES  # 64
 
 
@@ -59,13 +65,13 @@ def _shift_fwd(x, s, fill, flat):
     indices < s take ``fill``.  s is static."""
     q, rem = divmod(s, _LANES)
     if rem:
-        r = pltpu.roll(x, rem, 1)
-        a = pltpu.roll(r, q, 0) if q else r
-        b = pltpu.roll(r, q + 1, 0)
+        r = _roll(x, rem, 1)
+        a = _roll(r, q, 0) if q else r
+        b = _roll(r, q + 1, 0)
         lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
         out = jnp.where(lane >= rem, a, b)
     else:
-        out = pltpu.roll(x, q, 0)
+        out = _roll(x, q, 0)
     return jnp.where(flat >= s, out, jnp.full_like(x, fill))
 
 
@@ -73,13 +79,13 @@ def _shift_bwd(x, s, fill, flat):
     """Row-major ``out[k] = x[k + s]``; flat indices >= L - s take fill."""
     q, rem = divmod(s, _LANES)
     if rem:
-        r = pltpu.roll(x, _LANES - rem, 1)
-        a = pltpu.roll(r, (_SUB - q) % _SUB, 0) if q else r
-        b = pltpu.roll(r, (_SUB - q - 1) % _SUB, 0)
+        r = _roll(x, _LANES - rem, 1)
+        a = _roll(r, (_SUB - q) % _SUB, 0) if q else r
+        b = _roll(r, (_SUB - q - 1) % _SUB, 0)
         lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
         out = jnp.where(lane < _LANES - rem, a, b)
     else:
-        out = pltpu.roll(x, (_SUB - q) % _SUB, 0) if q else x
+        out = _roll(x, (_SUB - q) % _SUB, 0) if q else x
     return jnp.where(flat < SPIKE_BLK - s, out, jnp.full_like(x, fill))
 
 
@@ -174,7 +180,7 @@ def spike_factors_padded(m3, a3, b3, c3, d3, *, interpret: bool = False):
     rows)."""
     rows = m3.shape[0]
     nblk = (m3.shape[1] * _LANES) // SPIKE_BLK
-    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p: (r, p, 0),
+    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p: (r, p, np.int32(0)),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _spike_local_kernel,
@@ -265,7 +271,7 @@ def spike_backsub_eval(factors, e_prev, f_next, w_first_next, m0, m_last,
     """
     rows = x3.shape[0]
     nblk = (x3.shape[1] * _LANES) // SPIKE_BLK
-    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p, *_refs: (r, p, 0),
+    spec = pl.BlockSpec((1, _SUB, _LANES), lambda r, p, *_refs: (r, p, np.int32(0)),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

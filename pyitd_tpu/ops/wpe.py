@@ -9,8 +9,10 @@ Shannon entropy of the weight-normalized pattern distribution, optional
 TPU design: no dicts, no uniques.  Each window's permutation id is computed
 from pairwise comparisons (rank of each element = count of elements that
 sort before it, ties broken by position exactly like a stable argsort);
-pattern weights are accumulated with a one-hot matmul over the m! (encoded
-as m**m) hash space — an MXU-friendly (windows × patterns) contraction.
+pattern weights are accumulated as one masked reduction per hash bin over
+the m! (encoded as m**m) hash space — memory peaks at the (windows,)
+inputs regardless of batch width (a one-hot (windows × patterns) matmul
+materialized 80 GB at ensemble-MEITD widths).
 
 Tie-break note: numpy's quicksort argsort is *unstable*, so on windows with
 exactly-equal samples the reference's hash is platform-dependent; this
@@ -63,10 +65,21 @@ def weighted_permutation_entropy(
     mean = jnp.mean(emb, axis=-1, keepdims=True)
     var = jnp.mean((emb - mean) ** 2, axis=-1)  # (..., w)
 
-    # one-hot histogram over the order**order hash space (only m! codes hit)
+    # histogram over the order**order hash space (only m! codes hit) as
+    # nbins masked reductions.  The earlier one-hot matmul materialized a
+    # (..., w, nbins) intermediate — 80 GB for the ensemble-MEITD shape
+    # (32 realizations x 89 rows x 32k windows x 27 bins) — while this
+    # form peaks at the (..., w) inputs and is deterministic for every
+    # batch shape (one reduction semantics for the gate everywhere).
     nbins = order**order
-    onehot = jax.nn.one_hot(hashval, nbins, dtype=x.dtype)
-    counts = jnp.einsum("...w,...wb->...b", var, onehot)
+    counts0 = jnp.zeros(var.shape[:-1] + (nbins,), x.dtype)
+
+    def bin_body(b, acc):
+        c = jnp.sum(jnp.where(hashval == b, var, jnp.zeros_like(var)),
+                    axis=-1)
+        return lax.dynamic_update_index_in_dim(acc, c, b, acc.ndim - 1)
+
+    counts = lax.fori_loop(0, nbins, bin_body, counts0)
 
     total = jnp.sum(counts, axis=-1, keepdims=True)
     p = counts / jnp.where(total == 0, jnp.ones_like(total), total)

@@ -50,6 +50,13 @@ def fingerprint(data: jax.Array) -> jax.Array:
         )
     else:
         raise ValueError("fingerprint supports 1-D and 2-D data")
+    if jax.default_backend() == "tpu":
+        # TPU has no c128 FFT kernel, so the f64 DCT cannot lower there;
+        # compute it in f32 (fingerprints of distinct noise realizations
+        # differ at ~1e-2+, so the ~1e-7 relative perturbation cannot
+        # flip the median selection) — documented platform delta.
+        d = jax.scipy.fft.dct(coeff.astype(jnp.float32), axis=0)
+        return jnp.sum(d).astype(coeff.dtype) / 0.6616518484657332
     d = jax.scipy.fft.dct(coeff, axis=0)
     return jnp.sum(d) / 0.6616518484657332
 
