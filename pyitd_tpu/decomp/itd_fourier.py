@@ -61,10 +61,13 @@ def sine_template_positions(sample_rate: int, n: int):
     pos_list, counts = [], []
     for f in freqs:
         s = np.sin(2 * np.pi * f * t)
-        p = [0]
-        for i in range(1, s.size - 1):
-            if (s[i] > 0 > s[i + 1]) or (s[i] < 0 < s[i + 1]):
-                p.append(i)
+        # vectorized zero-crossing test, identical to the reference's
+        # per-i loop `(s[i] > 0 > s[i+1]) or (s[i] < 0 < s[i+1])` over
+        # i in [1, size-2] (a python loop here costs ~10 s per 1M-point
+        # comb entry)
+        si, sj = s[1:-1], s[2:]
+        cross = ((si > 0) & (sj < 0)) | ((si < 0) & (sj > 0))
+        p = [0] + (np.nonzero(cross)[0] + 1).tolist()
         # the reference extrapolates the final knot on a zero-filled int
         # buffer (find_extrema's `extrema[idx-1]*2 - extrema[idx-2]`); with
         # NO crossings idx-2 wraps to the buffer's trailing zero, so it

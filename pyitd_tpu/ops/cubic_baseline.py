@@ -265,22 +265,32 @@ def _chained_moments(x2, mask, it, iota_f, p1p, p2p, n1p, k_site, k_jm1,
     def at(arr, idx):
         return jnp.take_along_axis(arr, idx[..., None], axis=-1)
 
-    # one 4-channel reduce; empties map to the argmax conventions the
-    # serialized form produced (argmax of all-False = 0; the flipped
-    # far-end argmaxes = n - 1)
     il1f, il2f, i1f, i2f = _end_knot_positions(mask_int, iota_f, n)
     nnf = jnp.asarray(n, iota_f.dtype)
+    # degenerate contract, pinned to the compact solver's conventions
+    # (spline_moments reads its masked buffer, where a missing second
+    # interior moment is 0, and its h buffer, where the spacing reaches
+    # the END knot): with a single interior knot, m2/ml2 := 0, the first
+    # h1 spans to the right endpoint, and the last hl2 to the left one.
+    # Without this the end-moment extrapolation read the chained solution
+    # at argmax-convention positions — backend-defined garbage at nex==1.
+    has_i2 = (i2f < nnf)[..., None]
+    has_il2 = (il2f >= 0)[..., None]
     i1 = jnp.where(i1f >= nnf, 0, i1f).astype(jnp.int32)
     i2 = jnp.where(i2f >= nnf, 0, i2f).astype(jnp.int32)
     il1 = jnp.where(il1f < 0, n - 1, il1f).astype(jnp.int32)
     il2 = jnp.where(il2f < 0, n - 1, il2f).astype(jnp.int32)
 
-    m1, m2 = at(u, i1), at(u, i2)
-    ml1, ml2 = at(u, il1), at(u, il2)
+    m1 = at(u, i1)
+    m2 = jnp.where(has_i2, at(u, i2), 0.0)
+    ml1 = at(u, il1)
+    ml2 = jnp.where(has_il2, at(u, il2), 0.0)
     h0 = i1[..., None].astype(x2.dtype)
-    h1 = (i2 - i1)[..., None].astype(x2.dtype)
+    h1 = jnp.where(has_i2, (i2 - i1)[..., None],
+                   (n_real - 1 - i1)[..., None]).astype(x2.dtype)
     hl = (n_real - 1 - il1)[..., None].astype(x2.dtype)
-    hl2 = (il1 - il2)[..., None].astype(x2.dtype)
+    hl2 = jnp.where(has_il2, (il1 - il2)[..., None],
+                    il1[..., None]).astype(x2.dtype)
     m0 = m1 + sdiv(h0, h1) * (m1 - m2)
     m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
 
@@ -514,13 +524,15 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
     # end moments from the first/last two interior knots.  ONE 4-channel
     # top-2-positions reduce (both directions) instead of four chained
     # full-array masked reductions (i2/il2 each depended on the previous
-    # reduce, serializing four input passes); bitwise-identical ints —
-    # the raw sentinels (first* = npad, last* = -1) are exactly this
-    # call site's degenerate encodings.
+    # reduce, serializing four input passes).  Degenerate contract pinned
+    # to the compact solver (see _chained_moments): a missing second
+    # interior knot reads moment 0 and spans to the far end knot.
     il1f, il2f, i1f, i2f = _end_knot_positions(mask_int, iota_f, npad)
+    has_i2 = i2f < npad
+    has_il2 = il2f >= 0
     i1 = i1f.astype(jnp.int32)
     i2 = i2f.astype(jnp.int32)
-    il1 = il1f.astype(jnp.int32)
+    il1 = jnp.where(il1f < 0, n - 1, il1f).astype(jnp.int32)
     il2 = il2f.astype(jnp.int32)
 
     def u_at(idx):
@@ -531,12 +543,16 @@ def _eval_fills_fused(x, min_extrema, *, interpret=False):
         gf = jnp.take_along_axis(f_next, bof, axis=-1)[..., 0]
         return g(xp1) + g(vl1) * ge + g(vr1) * gf
 
-    m1, m2, ml1, ml2 = u_at(i1), u_at(i2), u_at(il1), u_at(il2)
+    m1 = u_at(jnp.where(i1 >= npad, 0, i1))
+    m2 = jnp.where(has_i2, u_at(i2), 0.0)
+    ml1 = u_at(il1)
+    ml2 = jnp.where(has_il2, u_at(il2), 0.0)
     fdt = jnp.float32
-    h0 = i1.astype(fdt)
-    h1 = (i2 - i1).astype(fdt)
+    i1c = jnp.where(i1 >= npad, 0, i1)
+    h0 = i1c.astype(fdt)
+    h1 = jnp.where(has_i2, i2 - i1c, n - 1 - i1c).astype(fdt)
     hl = (n - 1 - il1).astype(fdt)
-    hl2 = (il1 - il2).astype(fdt)
+    hl2 = jnp.where(has_il2, il1 - il2, il1).astype(fdt)
     m0 = m1 + sdiv(h0, h1) * (m1 - m2)
     m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
 
@@ -678,9 +694,49 @@ def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array)
     h = jnp.where(k < cnt, h, jnp.zeros_like(h))
 
     moments = reference_spline_moments(knots, h, count)
-    seg = segment_index(x, pos, count, cap_to_last_interval=False)
-    lin, cub = eval_moment_spline(x, pos, knots, moments, h, seg)
-    last_lin = seg == (cnt - 2)
+
+    # Gather-free evaluation: the reference's segment id at sample t is
+    # the number of knots 1..count-1 at or before t, and every per-sample
+    # quantity the closed form reads — pos[seg], K[seg], K[seg+1],
+    # M[seg], M[seg+1], h[seg] — is piecewise-constant between knots.
+    # Scatter those channels onto the grid AT knots 1..count-1 and
+    # forward-fill once (defaults = the knot-0 channels for the region
+    # before the first interior knot).  Values are selected, never
+    # recombined, so this is bit-identical to the earlier per-sample
+    # gather route, which cost six capacity-sized gathers plus a
+    # scatter+cumsum segment pass per template frequency (~pathological
+    # on TPU at the 1M-knot audio combs of BASELINE config 5).
+    k_next = jnp.concatenate([knots[..., 1:], jnp.zeros_like(knots[..., :1])], axis=-1)
+    m_next = jnp.concatenate([moments[..., 1:], jnp.zeros_like(moments[..., :1])], axis=-1)
+    # marks at knots 0..count-1 (knot 0's slot carries the seg-0
+    # channels); samples before pos[0] are patched from the k=0 slots
+    valid_mark = k < cnt
+    chans = (pos_f, knots, k_next, moments, m_next, h)
+    scat = _scatter_channels(
+        x, pos, valid_mark, chans + (jnp.ones_like(knots),))
+    filled = forward_fill_scan(scat[:-1] + (scat[-1],), scat[-1] != 0,
+                               (0.0,) * 7)
+    seen = filled[-1] > 0
+
+    def at0(c):  # the k=0 slot, broadcast over samples (static slice)
+        return c[..., :1]
+
+    pos_j, k_j, k_j1, m_j, m_j1, h_j = (
+        jnp.where(seen, f, at0(c)) for f, c in zip(filled[:-1], chans)
+    )
+
+    it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1).astype(dtype)
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (it - pos_j) / h_safe
+    omt = 1.0 - s
+    lin = omt * k_j + s * k_j1
+    cub = h_j * h_j / 6.0 * ((omt**3 - omt) * m_j + (s**3 - s) * m_j1)
+
+    # the reference's last SEGMENT (seg == count-2) is linear-only:
+    # identified by its left knot's position (positions are unique ints,
+    # so the equality is unambiguous)
+    pos_cnt2 = jnp.take_along_axis(pos_f, jnp.maximum(cnt - 2, 0), axis=-1)
+    last_lin = pos_j == pos_cnt2
     return jnp.where(last_lin, lin, lin + cub)
 
 

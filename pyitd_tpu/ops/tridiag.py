@@ -54,7 +54,24 @@ def _safe_div(a, b):
     return a / jnp.where(b == 0, jnp.ones_like(b), b)
 
 
-def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array) -> jax.Array:
+def _affine_scan(A, B, reverse=False):
+    """Log-depth evaluation of ``c_i = A_i + B_i * c_{i-1}`` (zero init)
+    along the last axis via ``lax.associative_scan`` of affine-map
+    composition.  Matches the sequential recurrence up to reassociation
+    roundoff (products of the B factors are reassociated)."""
+    def comp(f, g):
+        # g after f: g(f(x)) = (gA + gB * fA) + (gB * fB) * x
+        fA, fB = f
+        gA, gB = g
+        return gA + gB * fA, gB * fB
+
+    outA, _ = lax.associative_scan(comp, (A, B), axis=A.ndim - 1,
+                                   reverse=reverse)
+    return outA
+
+
+def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
+                             method: str = "auto") -> jax.Array:
     """Moment vector ``b`` exactly as the reference native tier computes it.
 
     ``knots[..., c]``: knot values (slot ``count`` participates — the
@@ -67,6 +84,15 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array) -
     ``count-2 >= i >= 0`` for the backward pass; afterwards ``b[0]`` and
     ``b[count-1]`` are forced to zero (the numba port's natural-end fix,
     ``itd_fourier_decomposition.py:104-107``).
+
+    ``method``: "scan" — the sequential recurrence, bit-for-bit the
+    reference's arithmetic order; "affine" — both passes are first-order
+    AFFINE recurrences (their denominators never touch the carry), so
+    they run as log-depth ``lax.associative_scan``s of affine-map
+    composition — same recurrence, reassociation-level roundoff deltas
+    only (pinned in tests); "auto" — affine on TPU (a sequential scan
+    over ~1M template knots serializes ~1M dependent steps there), scan
+    elsewhere.
     """
     cap = knots.shape[-1]
     idx = _arange_like(knots)
@@ -90,43 +116,68 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array) -
     # v enters UN-normalized — that is the reference's recurrence.
     v_im1 = jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
 
-    def fwd(carry, xs):
-        b_i, u_i, v_prev, act = xs
-        d = 2.0 - u_i * v_prev
-        new = _safe_div(b_i - u_i * carry, d)
-        b_out = jnp.where(act, new, b_i)
-        return jnp.where(act, b_out, carry), b_out
+    if method == "auto":
+        method = "affine" if jax.default_backend() == "tpu" else "scan"
+    if method not in ("scan", "affine"):
+        raise ValueError(f"unknown method: {method!r}")
 
     mv = lambda a: jnp.moveaxis(a, -1, 0)
-    _, b_f = lax.scan(
-        fwd,
-        jnp.zeros_like(knots[..., 0]),
-        (mv(b0), mv(u), mv(v_im1), mv(active)),
-    )
-    b_f = jnp.moveaxis(b_f, 0, -1)
-
-    # Backward pass: b[i] -= v[i] * b[i+1], active for i <= count-2.
-    act_bwd = idx <= (cnt - 2)
 
     def rev(a):
         return jnp.flip(a, axis=-1)
 
-    init = jnp.zeros_like(knots[..., 0])
-    # walk from the top; inactive steps pass b[i] through as the carry so
-    # the first active step (i = count-2) sees b[count-1] from the forward
-    # pass, exactly like the reference's back-substitution seed.
-    def bwd_seed(carry, xs):
-        b_i, v_i, act = xs
-        new = b_i - v_i * carry
-        b_out = jnp.where(act, new, b_i)
-        return b_out, b_out
+    if method == "affine":
+        # the forward carry is affine in its predecessor:
+        #   active:   c' = b0/d + (-u/d) * c      (d is carry-free)
+        #   inactive: c' = c                       (A=0, B=1)
+        d = 2.0 - u * v_im1
+        A = jnp.where(active, _safe_div(b0, d), jnp.zeros_like(b0))
+        B = jnp.where(active, _safe_div(-u, d), jnp.ones_like(u))
+        c = _affine_scan(A, B)
+        b_f = jnp.where(active, c, b0)
 
-    _, b_b = lax.scan(
-        bwd_seed,
-        init,
-        (mv(rev(b_f)), mv(rev(v)), mv(rev(act_bwd))),
-    )
-    b = rev(jnp.moveaxis(b_b, 0, -1))
+        # backward carry (reverse order) is also affine:
+        #   active (i <= count-2): c' = b_f[i] - v[i] * c
+        #   inactive:              c' = b_f[i]  (B=0); output = carry
+        act_bwd = idx <= (cnt - 2)
+        A2 = b_f
+        B2 = jnp.where(act_bwd, -v, jnp.zeros_like(v))
+        b = _affine_scan(A2, B2, reverse=True)
+    else:
+        def fwd(carry, xs):
+            b_i, u_i, v_prev, act = xs
+            d = 2.0 - u_i * v_prev
+            new = _safe_div(b_i - u_i * carry, d)
+            b_out = jnp.where(act, new, b_i)
+            return jnp.where(act, b_out, carry), b_out
+
+        _, b_f = lax.scan(
+            fwd,
+            jnp.zeros_like(knots[..., 0]),
+            (mv(b0), mv(u), mv(v_im1), mv(active)),
+        )
+        b_f = jnp.moveaxis(b_f, 0, -1)
+
+        # Backward pass: b[i] -= v[i] * b[i+1], active for i <= count-2.
+        act_bwd = idx <= (cnt - 2)
+
+        init = jnp.zeros_like(knots[..., 0])
+        # walk from the top; inactive steps pass b[i] through as the
+        # carry so the first active step (i = count-2) sees b[count-1]
+        # from the forward pass, exactly like the reference's
+        # back-substitution seed.
+        def bwd_seed(carry, xs):
+            b_i, v_i, act = xs
+            new = b_i - v_i * carry
+            b_out = jnp.where(act, new, b_i)
+            return b_out, b_out
+
+        _, b_b = lax.scan(
+            bwd_seed,
+            init,
+            (mv(rev(b_f)), mv(rev(v)), mv(rev(act_bwd))),
+        )
+        b = rev(jnp.moveaxis(b_b, 0, -1))
 
     # force natural ends (b[0] = b[count-1] = 0)
     b = jnp.where((idx == 0) | (idx == cnt - 1), jnp.zeros_like(b), b)

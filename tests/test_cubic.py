@@ -301,3 +301,38 @@ def test_cubic_fold_emit_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.rotation), np.asarray(b.rotation))
     np.testing.assert_array_equal(np.asarray(a.num_extrema),
                                   np.asarray(b.num_extrema))
+
+
+def test_degenerate_rows_agree_across_backends():
+    """VERDICT r3 item 4: constant / monotone / single-extremum /
+    two-extrema / two-sample rows must produce ONE pinned semantics on
+    every backend with min_extrema=0 (no guard).  Pinned to the compact
+    solver's convention: a missing second interior knot reads moment 0
+    and its end-moment span reaches the far end knot."""
+    n = 32
+    t = np.arange(n, dtype=float)
+    cases = {
+        "tent": np.minimum(t, n - 1 - t),
+        "asym_tent": np.where(t < 9, t, (n - 1 - t) * 9.0 / (n - 10)),
+        "monotone": t * 1.7,
+        "constant": np.ones(n),
+        "two_extrema": np.sin(2 * np.pi * t / 20),
+        "two_sample": np.array([1.0, 2.0]),
+    }
+    backends = ("gather", "scan", "fills", "fills_unfused",
+                "fills_compact", "fills_fused", "fills_packed")
+    for name, sig in cases.items():
+        x = jnp.asarray(sig, jnp.float64)
+        ref = None
+        scale = max(1.0, float(np.max(np.abs(sig))))
+        for be in backends:
+            r = cubic_baseline_extract(x, x.shape[-1] + 2, min_extrema=0,
+                                       eval_backend=be)
+            b = np.asarray(r.baseline)
+            if ref is None:
+                ref = b
+                continue
+            # fills paths compute in f32; compare at f32-relative scale
+            np.testing.assert_allclose(
+                b, ref, atol=3e-6 * scale,
+                err_msg=f"{name}: {be} diverges from gather")

@@ -107,3 +107,22 @@ def test_sine_template_no_crossings_degenerate_knot():
     row = np.asarray(pos)[-1]
     assert int(counts[-1]) == 2
     np.testing.assert_array_equal(row[:2], [0, 0])
+
+
+def test_reference_moments_affine_matches_scan():
+    # the affine (associative-scan) evaluation of the reference's
+    # not-quite-Thomas recurrence must match the sequential scan to
+    # reassociation roundoff at every knot count, including degenerate
+    import numpy as np
+    from pyitd_tpu.ops.tridiag import reference_spline_moments
+
+    rng = np.random.default_rng(0)
+    for cap, cnt in [(16, 13), (64, 64), (33, 2), (8, 3), (128, 97)]:
+        knots = jnp.asarray(rng.normal(size=(3, cap)))
+        h = jnp.asarray(rng.integers(1, 9, size=(3, cap)).astype(np.float64))
+        count = jnp.asarray([cnt, max(cnt - 1, 2), min(cnt + 1, cap)],
+                            jnp.int32)
+        a = reference_spline_moments(knots, h, count, method="scan")
+        b = reference_spline_moments(knots, h, count, method="affine")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9)
