@@ -74,7 +74,7 @@ class SiftResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "max_iteration", "endpoint_mode", "store_baselines", "backend",
-    "early_exit"))
+    "early_exit", "linear_backend"))
 def itd_sift(
     x: jax.Array,
     max_iteration: int = 11,
@@ -83,6 +83,7 @@ def itd_sift(
     store_baselines: bool = True,
     backend: str = "auto",
     early_exit: bool = False,
+    linear_backend: str = "auto",
 ) -> SiftResult:
     """Full canonical sift of ``x`` (last axis = time; leading axes = batch).
 
@@ -112,17 +113,6 @@ def itd_sift(
             "early_exit is not supported by the fused (unrolled) backend; "
             "use backend='pallas_emit' (or 'auto') with early_exit"
         )
-    # f32 position ceiling: every f32 backend (the Pallas kernels always;
-    # the XLA scan fills when x is f32) carries knot POSITIONS in f32
-    # channels, exact only while positions fit a 24-bit significand.
-    # Past it, distinct positions collide and knots silently corrupt —
-    # so refuse loudly.  The f64 XLA path is exact to 2^53.
-    if x.dtype == jnp.float32 and x.shape[-1] > (1 << 24):
-        raise ValueError(
-            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}): positions would alias and produce wrong "
-            "knots. Cast the input to float64 (uses the XLA backend)."
-        )
     if backend == "auto":
         on_tpu = (
             jax.default_backend() == "tpu"
@@ -137,6 +127,22 @@ def itd_sift(
         use_emit = False
     else:
         raise ValueError(f"unknown backend: {backend!r}")
+    # f32 knot-position ceiling (docs/PLATFORM.md): the Pallas kernels
+    # carry positions in f32 channels, exact only to 2^24 — past that,
+    # positions alias and knots silently corrupt, so refuse loudly.  The
+    # XLA path delegates to linear_baseline_extract's own guard: its
+    # integer-indexed 'gather' backend (and f64 'scan') stays exact at
+    # any n — select it via ``linear_backend`` on accelerators.
+    if (use_emit and x.dtype == jnp.float32
+            and x.shape[-1] > (1 << 24)):
+        raise ValueError(
+            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
+            f"(2^24={1 << 24}) of the Pallas sift kernels: positions "
+            "would alias and produce wrong knots. Use backend='xla' with "
+            "linear_backend='gather' (exact integer positions), cast the "
+            "input to float64, or shard the time axis "
+            "(parallel.sharded.sharded_itd_sift lifts the ceiling)."
+        )
     if use_emit:
         if x.dtype != jnp.float32:
             raise ValueError(
@@ -149,8 +155,11 @@ def itd_sift(
                                   store_baselines, early_exit, fused=fused)
 
         def xla_fn(xx):
+            # per-level remat: without it the VJP saves every level's
+            # fill-scan internals (~5 GB per level at 8x1M) and OOMs;
+            # with it the backward recomputes one level at a time
             return _itd_sift_xla(xx, max_iteration, endpoint_mode,
-                                 store_baselines)
+                                 store_baselines, remat_level=True)
 
         f = jax.custom_vjp(emit_fn)
 
@@ -162,14 +171,20 @@ def itd_sift(
 
         f.defvjp(fwd, bwd)
         return f(x)
-    return _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines)
+    return _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines,
+                         linear_backend=linear_backend)
 
 
-def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines):
+def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines,
+                  remat_level=False, linear_backend="auto"):
     """Portable XLA carry-loop sift (every backend, every dtype,
-    reverse-mode differentiable)."""
+    reverse-mode differentiable).  ``remat_level`` checkpoints each
+    level's extraction so reverse-mode saves only the level inputs."""
     levels = max_iteration + 2
-    extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode)
+    extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode,
+                      backend=linear_backend)
+    if remat_level:
+        extract = jax.checkpoint(extract)
 
     first = extract(x)
     rotation, baseline = first.rotation, first.baseline

@@ -137,6 +137,41 @@ def _end_samples(x, axis_name):
     return allg[0, ..., :2], allg[-1, ..., 2:]
 
 
+def _end_samples_at(x, gpos, n_global, axis_name):
+    """Global samples at positions (0, 1, n_global-2, n_global-1) by
+    OWNERSHIP: each shard contributes its one-hot sum per position, one
+    stacked psum.  Exactly one shard contributes a nonzero per slot, so
+    the f32 sums are bitwise the owned values.  Unlike
+    :func:`_end_samples` this stays correct when the global time axis is
+    padded past ``n_global`` (any-length support: the true last samples
+    sit mid-shard, not at the gathered edges)."""
+    targets = jnp.asarray([0, 1, n_global - 2, n_global - 1], jnp.int32)
+    hits = gpos[..., None] == targets  # (..., n_loc, 4)
+    vals = jnp.sum(jnp.where(hits, x[..., None], 0.0), axis=-2)
+    vals = lax.psum(vals, axis_name)
+    return vals[..., :2], vals[..., 2:]
+
+
+def _bits_f(i, dtype):
+    """Integer positions as BIT PATTERNS of ``dtype`` so they can ride
+    the (select-only) cross-shard fill helpers next to value channels of
+    the same dtype — exact at any n (a float VALUE channel would round
+    positions above the mantissa).  The width must MATCH the value
+    channels: a mixed-dtype stack would promote the bits through a float
+    conversion, and XLA backends flush subnormal f32 on convert (small
+    integers bitcast to subnormals), zeroing positions.  Selects,
+    gathers, and stacks of a uniform dtype never touch the bits."""
+    if dtype == jnp.float64:
+        return lax.bitcast_convert_type(i.astype(jnp.int64), jnp.float64)
+    return lax.bitcast_convert_type(i.astype(jnp.int32), jnp.float32)
+
+
+def _bits_i(f):
+    if f.dtype == jnp.float64:
+        return lax.bitcast_convert_type(f, jnp.int64).astype(jnp.int32)
+    return lax.bitcast_convert_type(f, jnp.int32)
+
+
 def _level(x, axis_name, n_global, endpoint_mode):
     """One sharded linear-baseline level; returns (rotation, baseline, nex)."""
     dtype = x.dtype
@@ -160,29 +195,40 @@ def _level(x, axis_name, n_global, endpoint_mode):
     nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
 
     knots = mask | (gpos == 0) | (gpos == n_global - 1)
-    gposf = gpos.astype(dtype)
 
-    # exclusive neighbors of each knot: fills over shifted (pos, x)
+    # exclusive neighbors of each knot: fills over shifted (pos, x).
+    # Positions ride the fills as i32 BIT PATTERNS in f32 channels
+    # (_bits_f): the fill helpers only select, never do arithmetic, so
+    # the integers come back exact at ANY n — storing them as f32 VALUES
+    # would round above 2^24 and corrupt the knot weights.
     km1 = _shift_right(knots, axis_name, jnp.asarray(False))
     # shifted POSITIONS are arithmetic, not communication: the neighbor's
     # last global position is gpos - 1 by construction (fill at gpos 0)
-    pos_m1 = jnp.where(gpos == 0, jnp.zeros((), dtype), gposf - 1)
+    pos_m1 = jnp.where(gpos == 0, 0, gpos - 1)
     xv_m1 = _shift_right(x, axis_name, jnp.zeros((), dtype))
-    prev_pos, prev_x = _ffill((pos_m1, xv_m1), km1, axis_name,
-                              (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    zbits = _bits_f(jnp.zeros((), jnp.int32), dtype)
+    prev_bits, prev_x = _ffill(
+        (_bits_f(pos_m1, dtype), xv_m1.astype(dtype)), km1, axis_name,
+        (zbits, jnp.zeros((), dtype)))
     kp1 = _shift_left(knots, axis_name, jnp.asarray(False))
-    pos_p1 = jnp.where(gpos == n_global - 1, jnp.zeros((), dtype),
-                       gposf + 1)
+    pos_p1 = jnp.where(gpos == n_global - 1, 0, gpos + 1)
     xv_p1 = _shift_left(x, axis_name, jnp.zeros((), dtype))
-    next_pos, next_x = _bfill((pos_p1, xv_p1), kp1, axis_name,
-                              (jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    next_bits, next_x = _bfill(
+        (_bits_f(pos_p1, dtype), xv_p1.astype(dtype)), kp1, axis_name,
+        (zbits, jnp.zeros((), dtype)))
+    prev_pos_i = _bits_i(prev_bits)
+    next_pos_i = _bits_i(next_bits)
 
-    span = next_pos - prev_pos
-    w = (gposf - prev_pos) / jnp.where(span == 0, jnp.ones_like(span), span)
+    # integer differences FIRST (exact at any n), one cast each
+    span = (next_pos_i - prev_pos_i).astype(dtype)
+    w = (gpos - prev_pos_i).astype(dtype) / jnp.where(
+        span == 0, jnp.ones_like(span), span)
     knot_val = 0.5 * (prev_x + w * (next_x - prev_x)) + 0.5 * x
 
-    # end-knot values need x[0], x[1], x[-2], x[-1] (global)
-    first2, last2 = _end_samples(x, axis_name)
+    # end-knot values need x[0], x[1], x[n-2], x[n-1] (global), located
+    # by ownership (any-length-safe: with a padded time axis the true
+    # last samples sit mid-shard)
+    first2, last2 = _end_samples_at(x, gpos, n_global, axis_name)
     b_first = 0.5 * (first2[..., 0] + first2[..., 1])
     b_last = 0.5 * (last2[..., 0] + last2[..., 1])
     knot_val = jnp.where(gpos == 0, b_first[..., None], knot_val)
@@ -547,13 +593,27 @@ def _sift_local_pallas(x, axis_name, n_global, max_iteration, endpoint_mode,
         # one psum for the trip's three scalars-per-row: the mark count
         # (integer-valued f32, exact far beyond any signal length here;
         # the single-chip pass counts in f32 the same way) and the global
-        # end-knot values (only the edge shards contribute; the rest add
-        # exact zeros, so the f32 sum is bitwise the 1-shard value)
-        bf_loc = jnp.where(_vary(rank == 0, both),
-                           0.5 * (flat_pad[:, 0] + flat_pad[:, 1]), 0.0)
-        bl_loc = jnp.where(
-            _vary(rank == size - 1, both),
-            0.5 * (flat_pad[:, n_loc - 2] + flat_pad[:, n_loc - 1]), 0.0)
+        # end-knot values, located by OWNERSHIP of global positions
+        # (0, 1) / (n_global-2, n_global-1) — any-length-safe: with a
+        # padded time axis the true last samples sit mid-shard.  Only
+        # owning shards contribute; the rest add exact zeros, so the f32
+        # sum is bitwise the owner's value.  When one shard owns both
+        # samples (the common case) it contributes 0.5*(a+b) in the
+        # single-chip kernels' exact arithmetic order.
+        def owned_pair(g0, g1):
+            s0, l0 = divmod(g0, n_loc)
+            s1, l1 = divmod(g1, n_loc)
+            if s0 == s1:
+                return jnp.where(
+                    _vary(rank == s0, both),
+                    0.5 * (flat_pad[:, l0] + flat_pad[:, l1]), 0.0)
+            return (jnp.where(_vary(rank == s0, both),
+                              0.5 * flat_pad[:, l0], 0.0)
+                    + jnp.where(_vary(rank == s1, both),
+                                0.5 * flat_pad[:, l1], 0.0))
+
+        bf_loc = owned_pair(0, 1)
+        bl_loc = owned_pair(n_global - 2, n_global - 1)
         tot = lax.psum(
             jnp.stack([marks.astype(jnp.float32), bf_loc, bl_loc], axis=-1),
             axis_name)
@@ -614,8 +674,11 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
                      endpoint_mode: str = "reference", backend: str = "auto"):
     """Batched canonical sift with (data, seq) sharding.
 
-    ``x``: (batch, n); the 'data' axis size must divide batch, and the
-    'seq' axis size must divide n.
+    ``x``: (batch, n) of ANY length n; the 'data' axis size must divide
+    batch.  When the 'seq' axis size does not divide n, the time axis is
+    edge-padded up to the next multiple (outputs are cropped back; pad
+    samples are excluded from extrema/knots by global-position masks, so
+    results are identical to the unpadded single-chip sift).
     Returns ``(rotations[levels, batch, n], num_components, stop_reason,
     correction)`` with the same input sharding on the trailing axes;
     ``correction`` is the compensated-reconstruction channel
@@ -626,28 +689,35 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
     per direction — see ``ops/pallas_fill_sharded.py``) and the portable
     XLA fills elsewhere; "xla" / "pallas" force one ("pallas" off-TPU runs
     the kernels in interpret mode, for parity tests).
+
+    f32 knot-position ceiling: the Pallas kernels carry global positions
+    in f32 channels (exact to 2^24).  Above that, "auto" falls back to
+    the XLA fills — which carry positions as i32 bit patterns and are
+    exact at any n — and an explicit ``backend="pallas"`` raises.
     """
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
-    if n_global % seq:
-        raise ValueError(
-            f"the seq mesh axis ({seq}) must divide n={n_global}")
-    if x.dtype == jnp.float32 and n_global > (1 << 24):
-        # both sharded backends currently carry GLOBAL knot positions in
-        # f32 channels (exact only to 2^24); past that, positions alias
-        # and knots silently corrupt — refuse loudly.
-        raise ValueError(
-            f"n={n_global} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}) of the sharded sift's position channels; "
-            "cast the input to float64 (backend='xla')."
-        )
+    over_ceiling = x.dtype == jnp.float32 and n_global > (1 << 24)
     if backend == "auto":
         use_pallas = (jax.default_backend() == "tpu"
-                      and x.dtype == jnp.float32)
+                      and x.dtype == jnp.float32 and not over_ceiling)
     elif backend in ("xla", "pallas"):
         use_pallas = backend == "pallas"
+        if use_pallas and over_ceiling:
+            raise ValueError(
+                f"n={n_global} exceeds the f32 knot-position ceiling "
+                f"(2^24={1 << 24}) of the sharded Pallas kernels' position "
+                "channels; use backend='xla' (exact i32 positions) or "
+                "backend='auto'."
+            )
     else:
         raise ValueError(f"unknown backend: {backend!r}")
+
+    pad = (-n_global) % seq
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))],
+            axis=-1)
     extra = {}
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
@@ -673,7 +743,11 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
         **extra,
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
-    return jax.jit(fn)(xs)
+    rot, ncomp, reason, corr = jax.jit(fn)(xs)
+    if pad:
+        rot = rot[..., :n_global]
+        corr = corr[..., :n_global]
+    return rot, ncomp, reason, corr
 
 
 # ---------------------------------------------------------------------------
@@ -945,10 +1019,16 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
                           0.0), axis=-1),
         axis_name)
     m1, m2, ml1, ml2 = m4[..., 0], m4[..., 1], m4[..., 2], m4[..., 3]
+    # degenerate contract at a single interior knot (pinned to the
+    # compact solver, see ops.cubic_baseline._chained_moments): a missing
+    # second interior knot keeps its one-hot moment at 0 (no gpos
+    # matches the sentinel) and spans to the far END knot
+    has_i2 = i2f < n_global
+    has_il2 = il2f >= 0
     h0 = i1.astype(dtype)
-    h1 = (i2 - i1).astype(dtype)
+    h1 = jnp.where(has_i2, i2 - i1, n_global - 1 - i1).astype(dtype)
     hl = (n_global - 1 - il1).astype(dtype)
-    hl2 = (il1 - il2).astype(dtype)
+    hl2 = jnp.where(has_il2, il1 - il2, il1).astype(dtype)
     m0 = m1 + sdiv(h0, h1) * (m1 - m2)
     m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
 

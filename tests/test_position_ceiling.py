@@ -24,8 +24,20 @@ def _spec(n, dtype):
 
 
 def test_itd_sift_f32_over_ceiling_raises():
+    # the Pallas kernels always refuse; the XLA route delegates to the
+    # per-level guard, which rejects f32 'scan' fills but keeps the
+    # integer-indexed 'gather' route open (exact at any n)
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
-        jax.eval_shape(lambda a: itd_sift(a, 4), _spec(N_BIG, jnp.float32))
+        jax.eval_shape(lambda a: itd_sift(a, 4, backend="pallas_fused"),
+                       _spec(N_BIG, jnp.float32))
+    with pytest.raises(ValueError, match="f32 knot-position ceiling"):
+        jax.eval_shape(
+            lambda a: itd_sift(a, 4, backend="xla", linear_backend="scan"),
+            _spec(N_BIG, jnp.float32))
+    res = jax.eval_shape(
+        lambda a: itd_sift(a, 2, backend="xla", linear_backend="gather"),
+        _spec(N_BIG, jnp.float32))
+    assert res.rotations.shape == (4, N_BIG)
 
 
 def test_itd_sift_f64_over_ceiling_traces():
@@ -78,7 +90,11 @@ def test_cubic_backends():
 def test_sharded_entry_points():
     mesh = make_mesh(8, seq=8)
     x32 = jnp.zeros((1, N_BIG), jnp.float32)
+    # the sharded sift LIFTS the ceiling: auto falls back to the exact
+    # i32-position XLA fills (covered end-to-end by
+    # tests/test_sharded.py::test_sharded_f32_beyond_position_ceiling);
+    # only an explicitly requested Pallas backend refuses
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
-        sharded_itd_sift(x32, mesh, 2)
+        sharded_itd_sift(x32, mesh, 2, backend="pallas")
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
         sharded_cubic_baseline(x32, mesh)
