@@ -25,6 +25,7 @@ Public surface:
 from .decomp.itd import ITD, itd_sift, SiftResult, STOP_FLAT, STOP_BUDGET
 from .decomp.meitd import meitd, xitd
 from .decomp.meitd_jit import meitd_jit, meitd_jit_bank
+from .decomp.ensemble import meitd_ensemble, EnsembleResult
 from .decomp.efd import efd, efd_real, iterative_efd, efd_slice_max, iterative_max
 from .decomp.itd_fourier import itd_sine_sift, itd_fourier_decomposition
 from .decomp.svmd import svmd
@@ -50,6 +51,7 @@ __version__ = "0.1.0"
 __all__ = [
     "ITD", "itd_sift", "SiftResult", "STOP_FLAT", "STOP_BUDGET",
     "meitd", "xitd", "meitd_jit", "meitd_jit_bank",
+    "meitd_ensemble", "EnsembleResult",
     "efd", "efd_real", "iterative_efd", "efd_slice_max", "iterative_max",
     "itd_sine_sift", "itd_fourier_decomposition",
     "svmd",
