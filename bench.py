@@ -1,19 +1,43 @@
-"""Headline benchmark: full 10-level ITD sift of batched 1M-point signals.
+"""Benchmarks for every BASELINE.json config, headline LAST.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-metric is sift throughput in Msamples/sec/chip (samples = batch * N) and
-vs_baseline is value / 100 (the >=100 Msamp/s v5e target from BASELINE.md).
+Prints one JSON line per config — {"metric", "value", "unit",
+"vs_baseline"} — ending with the headline full-10-level ITD sift of
+batched 1M-point signals (throughput in Msamples/sec/chip; vs_baseline =
+value / 100, the >=100 Msamp/s v5e target from BASELINE.md).  The
+headline is printed last so a parser taking the final JSON line keeps
+seeing the round-over-round comparable metric.
+
+Per-config lines (BASELINE.json `configs`):
+* ``eeg_vmapped_sift`` — (3) batched 256x16k fixed-iteration-stop sift;
+  vs_baseline = value / 100 (same samples/sec family as the headline).
+* ``meitd_ensemble_throughput`` — (4) noise-assisted ensemble MEITD, 32
+  realizations x 32k through the jitted lockstep bank + fingerprint
+  median selection; vs_baseline = aggregate throughput over the
+  throughput of running realizations ONE AT A TIME (the reference's only
+  execution model) — i.e. the ensemble speedup; the round-4 bar
+  ("32 realizations in single-digit-x of one realization's time") is
+  vs_baseline >= 32/9 ~= 3.6.
+* ``efd_1m_throughput`` / ``itd_fourier_1m_throughput`` — (5) the
+  EFD / ITD-Fourier hybrid's two halves at 1M points (the batched-FFT
+  path at target scale): EFD of 8x1M, and one full cascade iteration
+  (sine-template sift + per-rotation Fourier mode extraction + update)
+  at 1M; vs_baseline = value / 100.
+* config (1), the 8k demo signal, and config (2), ~100k audio parity at
+  1e-10, are correctness configs — covered un-timed by the suite
+  (tests/test_itd_sift.py, tests/test_audio_scale.py) and by the
+  headline run's reconstruction check below.
 
 Remote/relay measurement discipline:
 * correctness (reconstruction error, fast + compensated paths) is checked in
   a separate un-timed call;
 * throughput is measured steady-state: ONE jitted call chains ``inner``
-  data-dependent sift repetitions (each iteration's input is salted with the
+  data-dependent repetitions (each iteration's input is salted with the
   previous checksum, so neither the relay's result cache nor XLA CSE can
   collapse them, and iterations cannot overlap) and returns a scalar.  The
-  per-sift time is ``(t(inner=hi) - t(inner=lo)) / (hi - lo)``, which
+  per-iteration time is ``(t(inner=hi) - t(inner=lo)) / (hi - lo)``, which
   cancels the relay's ~30 ms dispatch floor — an artifact of the remote
-  attachment, not of the chip.
+  attachment, not of the chip.  The chain length is a TRACED fori bound so
+  both lengths share one compile.
 """
 import json
 import sys
@@ -22,10 +46,210 @@ import time
 import numpy as np
 
 
+import os as _os
+
+# PYITD_BENCH_SMALL=1 shrinks every config to trace-check shapes on CPU
+# (numbers meaningless; catches trace/shape errors before paying remote
+# Mosaic compiles on the chip)
+_SMALL = bool(_os.environ.get("PYITD_BENCH_SMALL"))
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 3),
+    }))
+    sys.stdout.flush()
+
+
+def _chain_time(run, lo_n, hi_n, repeats=3, salt0=2.0):
+    """Best-of-``repeats`` differenced steady-state seconds per iteration
+    of a ``run(salt, inner) -> scalar`` chain."""
+    import jax
+
+    float(jax.block_until_ready(run(salt0 - 1.0, hi_n)))  # warm both lengths
+    best = np.inf
+    for r in range(repeats):
+        t0 = time.time()
+        float(jax.block_until_ready(run(salt0 + r, lo_n)))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(jax.block_until_ready(run(salt0 + 10 + r, hi_n)))
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / (hi_n - lo_n))
+    return best
+
+
+def bench_eeg():
+    """BASELINE config 3: 256x16k EEG-like signals, fixed-iteration stop,
+    vmapped (batched) sift."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyitd_tpu import itd_sift
+
+    batch, n, max_iteration = (4, 512, 3) if _SMALL else (256, 16384, 8)
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 8 * np.pi, n)
+    # EEG-ish: mixed alpha/beta-band oscillations + 1/f-ish drift + noise
+    sigs = (np.sin(55 * t[None] + rng.uniform(0, 6, (batch, 1)))
+            + 0.6 * np.sin(130 * t[None] + rng.uniform(0, 6, (batch, 1)))
+            + 0.8 * rng.normal(size=(batch, n))
+            + 0.3 * np.cumsum(rng.normal(size=(batch, n)), axis=1) / n**0.5)
+    x = jnp.asarray(sigs, jnp.float32)
+
+    @jax.jit
+    def run(salt, inner):
+        def body(i, carry):
+            acc, seed = carry
+            res = itd_sift(x + (salt + seed * 1e-12), max_iteration,
+                           store_baselines=False)
+            cs = jnp.sum(res.rotations[0, :, ::1024]) + jnp.sum(
+                res.num_components).astype(jnp.float32)
+            return acc + cs, cs * 1e-9
+        acc, _ = jax.lax.fori_loop(
+            0, inner, body, (jnp.float32(0), jnp.float32(0)))
+        return acc
+
+    dt = _chain_time(run, 1, 6)
+    msamp = batch * n / dt / 1e6
+    print(f"eeg: {dt*1e3:.2f} ms per 256x16k sift", file=sys.stderr)
+    _emit("eeg_vmapped_sift", msamp, "Msamples/sec/chip", msamp / 100.0)
+
+
+def bench_ensemble():
+    """BASELINE config 4: noise-assisted ensemble MEITD (32 x 32k) vs the
+    same realizations run one at a time."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyitd_tpu import meitd_ensemble, meitd_jit
+
+    R, n = (4, 512) if _SMALL else (32, 32768)
+    rng = np.random.default_rng(2)
+    t = np.linspace(0, 6 * np.pi, n)
+    x = jnp.asarray(np.sin(20 * t * (1 + 0.1 * t)) + np.sin(13 * t)
+                    + 0.25 * rng.normal(size=n), jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    @jax.jit
+    def run_bank(salt, inner):
+        def body(i, carry):
+            acc, seed = carry
+            res = meitd_ensemble(x + (salt + seed) * 1e-9, keys[i % 8],
+                                 n_realizations=R, noise_scale=0.1)
+            cs = jnp.sum(res.mean_stack[:, ::512]) + res.completeness
+            return acc + cs, cs * 1e-3
+        acc, _ = jax.lax.fori_loop(
+            0, inner, body, (jnp.float64(0), jnp.float64(0)))
+        return acc
+
+    @jax.jit
+    def run_one(salt, inner):
+        def body(i, carry):
+            acc, seed = carry
+            res = meitd_jit(x + (salt + seed) * 1e-9)
+            cs = (jnp.sum(res.residual[::512])
+                  + (res.high_count + res.low_count).astype(x.dtype))
+            return acc + cs, cs * 1e-3
+        acc, _ = jax.lax.fori_loop(
+            0, inner, body, (jnp.float64(0), jnp.float64(0)))
+        return acc
+
+    t_bank = _chain_time(run_bank, 1, 3, salt0=3.0)
+    t_one = _chain_time(run_one, 1, 4, salt0=4.0)
+    msamp = R * n / t_bank / 1e6
+    speedup = R * t_one / t_bank
+    print(f"ensemble: bank {t_bank*1e3:.1f} ms vs one {t_one*1e3:.1f} ms "
+          f"-> speedup {speedup:.1f}x over one-at-a-time "
+          f"(bar: >= 3.6)", file=sys.stderr)
+    _emit("meitd_ensemble_throughput", msamp, "Msamples/sec/chip", speedup)
+
+
+def bench_efd_1m():
+    """BASELINE config 5a: EFD on batched 1M-point signals (the batched
+    FFT path at target scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyitd_tpu.decomp.efd import efd
+
+    # 2^20 ("1M"): XLA's TPU FFT is mixed-radix — at n = 10^6 (= 2^6*5^6)
+    # one 8x1M rfft alone measured 51 ms on v5e vs single-digit ms at the
+    # power-of-two size; EFD is FFT-bound, so the honest TPU-native shape
+    # for BASELINE's "1M-pt (batched FFT path)" is the power-of-two 1M
+    batch, n, bands = (2, 2048, 4) if _SMALL else (8, 1 << 20, 12)
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 2 * np.pi, n)
+    sigs = (np.cos(40 * t[None]) + 0.7 * np.cos(250 * t[None])
+            + 0.4 * np.cos(1200 * t[None])
+            + 0.1 * rng.normal(size=(batch, n)))
+    x = jnp.asarray(sigs, jnp.float32)
+
+    @jax.jit
+    def run(salt, inner):
+        def body(i, carry):
+            acc, seed = carry
+            res = efd(x + (salt + seed * 1e-12), bands)
+            cs = jnp.sum(res.bands[:, :, ::65536]) + jnp.sum(
+                res.count).astype(jnp.float32)
+            return acc + cs, cs * 1e-9
+        acc, _ = jax.lax.fori_loop(
+            0, inner, body, (jnp.float32(0), jnp.float32(0)))
+        return acc
+
+    dt = _chain_time(run, 1, 4, salt0=5.0)
+    msamp = batch * n / dt / 1e6
+    print(f"efd: {dt*1e3:.2f} ms per 8x1M x {bands}-band EFD",
+          file=sys.stderr)
+    _emit("efd_1m_throughput", msamp, "Msamples/sec/chip", msamp / 100.0)
+
+
+def bench_itd_fourier_1m():
+    """BASELINE config 5b: one full ITD-Fourier cascade iteration
+    (sine-template sift + vmapped Fourier mode extraction + update) on a
+    1M-point signal — chained through the cascade's own data dependence
+    (each iteration's input is the previous update)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyitd_tpu.decomp.itd_fourier import fourier_mode_any, itd_sine_sift
+
+    n, sr = (4096, 256) if _SMALL else (1 << 20, 2048)  # 2^20: see bench_efd_1m
+    rng = np.random.default_rng(4)
+    t = np.arange(n) / sr
+    x = jnp.asarray(np.sin(2 * np.pi * 50 * t) + 0.6 * np.sin(2 * np.pi * 220 * t)
+                    + 0.2 * rng.normal(size=n), jnp.float32)
+    mode_fn = jax.vmap(fourier_mode_any)
+
+    @jax.jit
+    def run(salt, inner):
+        def body(i, current):
+            rotations, residual = itd_sine_sift(current, sr)
+            modes = mode_fn(rotations)
+            is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
+            rotations = jnp.where(is_mode[..., None], rotations - modes,
+                                  rotations)
+            return jnp.sum(rotations, axis=0) + residual
+        return jnp.sum(jax.lax.fori_loop(0, inner, body, x + salt)[::65536])
+
+    dt = _chain_time(run, 1, 3, salt0=6.0)
+    msamp = n / dt / 1e6
+    print(f"itd_fourier: {dt*1e3:.1f} ms per 1M cascade iteration "
+          f"(sr={sr})", file=sys.stderr)
+    _emit("itd_fourier_1m_throughput", msamp, "Msamples/sec/chip",
+          msamp / 100.0)
+
+
 def main():
     import os
 
     import jax
+
+    # f64 on (MEITD-tier parity dtype; everything else pins f32 explicitly)
+    jax.config.update("jax_enable_x64", True)
 
     # persistent compilation cache (same as tests/conftest.py): the sift's
     # Pallas modules are expensive to compile over the remote relay; cache
@@ -51,7 +275,24 @@ def main():
     print(f"device: {dev} (persistent cache: {n_cached} entries)",
           file=sys.stderr)
 
-    batch, n, max_iteration = 8, 1_000_000, 8  # 10 sift levels incl. residual
+    # per-config metric lines first (BASELINE.json configs 3/4/5); the
+    # headline prints LAST.  A config failure must never kill the
+    # headline metric.  PYITD_BENCH_HEADLINE_ONLY=1 skips the configs.
+    if not os.environ.get("PYITD_BENCH_HEADLINE_ONLY"):
+        for fn in (bench_eeg, bench_ensemble, bench_efd_1m,
+                   bench_itd_fourier_1m):
+            t0 = time.time()
+            try:
+                fn()
+            except Exception:
+                import traceback
+
+                print(f"[{fn.__name__} FAILED]", file=sys.stderr)
+                traceback.print_exc()
+            print(f"[{fn.__name__}: {time.time()-t0:.1f}s]",
+                  file=sys.stderr)
+
+    batch, n, max_iteration = (2, 8192, 3) if _SMALL else (8, 1_000_000, 8)  # 10 sift levels incl. residual
     rng = np.random.default_rng(0)
     t = np.linspace(0, 2 * np.pi, n, dtype=np.float64)
     sigs = (

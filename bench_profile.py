@@ -105,6 +105,13 @@ def main():
         ("full sift (10 levels)",
          lambda a: itd_sift(a, 8, store_baselines=False).rotations[0],
          7600, 120),
+        # VERDICT r3 item 3: the Pallas sift's custom VJP recomputes the
+        # backward through the (remat-per-level) XLA loop; this stage
+        # records the grad-to-forward ratio on-chip
+        ("full sift GRAD (vjp via xla loop)",
+         jax.grad(lambda a: jnp.sum(
+             jnp.square(itd_sift(a, 8, store_baselines=False).rotations))),
+         0, 0),
         ("cubic baseline (MEITD tier)",
          lambda a: cubic_baseline_extract(a, capacity=cub_cap,
                                           min_extrema=0).baseline,
