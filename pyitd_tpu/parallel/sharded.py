@@ -718,6 +718,14 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
         x = jnp.concatenate(
             [x, jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))],
             axis=-1)
+    # any batch size: the 'data' axis pads with zero rows (they sift to
+    # zeros independently; rows never interact) and outputs are cropped
+    data = mesh.shape["data"]
+    batch = x.shape[0]
+    bpad = (-batch) % data
+    if bpad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], axis=0)
     extra = {}
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
@@ -747,6 +755,9 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
     if pad:
         rot = rot[..., :n_global]
         corr = corr[..., :n_global]
+    if bpad:
+        rot, corr = rot[:, :batch], corr[:batch]
+        ncomp, reason = ncomp[:batch], reason[:batch]
     return rot, ncomp, reason, corr
 
 

@@ -415,3 +415,16 @@ def test_sharded_f32_beyond_position_ceiling():
                                   np.asarray(ref.stop_reason))
     np.testing.assert_allclose(np.asarray(rot),
                                np.asarray(ref.rotations), atol=1e-10)
+
+
+def test_sharded_any_batch():
+    """The 'data' axis also accepts any size: zero-row padding, cropped."""
+    x = bank(batch=3, n=512)
+    mesh = make_mesh(8, seq=4)  # data=2 does not divide batch=3
+    rot, ncomp, reason, corr = sharded_itd_sift(jnp.asarray(x), mesh, 5)
+    ref = itd_sift(jnp.asarray(x), 5)
+    assert rot.shape[1] == 3 and ncomp.shape == (3,)
+    np.testing.assert_array_equal(np.asarray(ncomp),
+                                  np.asarray(ref.num_components))
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(ref.rotations),
+                               atol=1e-10)
