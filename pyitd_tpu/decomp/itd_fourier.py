@@ -106,27 +106,39 @@ def itd_sine_sift(x: jax.Array, sample_rate: int):
     return _sine_sift_scan(x, positions, counts)
 
 
-def _band_isolate(x_fft: jax.Array, mina: jax.Array, minb: jax.Array, ok: jax.Array) -> jax.Array:
-    """xn[mina:minb] = x[mina:minb]; xn[-minb:-mina] = x[-minb:-mina]; ifft."""
-    n = x_fft.shape[-1]
-    bins = lax.broadcasted_iota(jnp.int32, x_fft.shape, x_fft.ndim - 1)
+def _band_isolate(x_rfft: jax.Array, n: int, mina: jax.Array,
+                  minb: jax.Array, ok: jax.Array) -> jax.Array:
+    """The reference's ``real(ifft(masked full spectrum))`` — with
+    ``xn[mina:minb] = x[...]`` and the mirror ``xn[-minb:-mina]`` (empty
+    when ``mina == 0``) — computed from the HALF spectrum: folding the
+    mirror onto the positive bins gives per-bin weights
+    ``0.5*(1[k in [mina,minb)) + 1[mina>0]*1[k in (mina,minb]])`` with the
+    DC bin restored to full weight (``real(V[0])``), and one ``irfft``
+    replaces the full complex ``ifft`` (half the FFT work).  This
+    reproduces the reference's endpoint-half-amplitude and
+    mina==0-half-amplitude quirks exactly
+    (``itd_fourier_decomposition.py:186-207``)."""
+    bins = lax.broadcasted_iota(jnp.int32, x_rfft.shape, x_rfft.ndim - 1)
     a = mina[..., None]
     b = minb[..., None]
-    main = (bins >= a) & (bins < b)
-    # numpy's xn[-minb:-mina] is empty when mina == 0, hence the a > 0 guard
-    mirror = (bins >= n - b) & (bins < n - a) & (a > 0)
-    mask = (main | mirror) & ok[..., None]
-    xn = jnp.where(mask, x_fft, jnp.zeros_like(x_fft))
-    return jnp.fft.ifft(xn).real
+    in_main = (bins >= a) & (bins < b)
+    in_mirror = (bins > a) & (bins <= b) & (a > 0)
+    w = 0.5 * (in_main.astype(jnp.float32) + in_mirror.astype(jnp.float32))
+    # DC never has a mirror partner: real(V[0]) keeps full weight
+    w = jnp.where((bins == 0) & in_main, 1.0, w)
+    w = jnp.where(ok[..., None], w, jnp.zeros_like(w))
+    return jnp.fft.irfft(x_rfft * w, n=n)
 
 
 @jax.jit
 def fourier_mode_any(rotation: jax.Array) -> jax.Array:
     """C13 ``fourier_mode_decomposition_any``
-    (itd_fourier_decomposition.py:171-209)."""
-    x = jnp.fft.fft(rotation)
+    (itd_fourier_decomposition.py:171-209).  All spectral work runs on
+    the rfft half spectrum (the input is real; the reference's full-fft
+    peak search only reads bins below n//2 anyway)."""
+    n = rotation.shape[-1]
+    x = jnp.fft.rfft(rotation)
     a = jnp.abs(x)
-    n = a.shape[-1]
     half = n // 2
     bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
 
@@ -148,17 +160,17 @@ def fourier_mode_any(rotation: jax.Array) -> jax.Array:
     sel_b = (bins >= peak_max[..., None]) & (bins <= last_peak[..., None])
     minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
 
-    return _band_isolate(x, mina, minb, ok)
+    return _band_isolate(x, n, mina, minb, ok)
 
 
 @jax.jit
 def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
     """C13 strict variant (itd_fourier_decomposition.py:131-168): needs >= 3
     strict local spectrum peaks; uses the closest valid peaks around the
-    maximum."""
-    x = jnp.fft.fft(rotation)
+    maximum.  Runs on the rfft half spectrum (see fourier_mode_any)."""
+    n = rotation.shape[-1]
+    x = jnp.fft.rfft(rotation)
     a = jnp.abs(x)
-    n = a.shape[-1]
     half = n // 2
     bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
 
