@@ -18,10 +18,12 @@ Behavioral contract (``/root/reference/itd_fourier_decomposition.py``):
   interleaves accumulated modes and residual rotations.
 
 TPU design: the template knot positions depend only on (sr, n) — they are
-**static data**, precomputed host-side and stacked into a padded
-``(freqs, capacity)`` buffer; the per-frequency extraction chain is a
-``lax.scan`` carrying the problem signal.  Mode extraction is fixed-shape
-FFT + masked argmax/argmin, vmapped across rotations.  The reference's
+**static data**, precomputed host-side; the comb unrolls in Python and
+each frequency runs the static fast path of ``template_fast_baseline``
+(per-sample segment maps and interpolation coefficients baked as
+constants; evaluation = ONE static-index row gather; buffers trimmed to
+each frequency's own knot count).  Mode extraction is fixed-shape
+rfft + masked argmax/argmin, vmapped across rotations.  The reference's
 float32 spectrum buffer (``np.complex64`` at
 ``itd_fourier_decomposition.py:180``) is widened to the input dtype —
 documented delta (the narrow buffer only loses precision).
@@ -54,6 +56,17 @@ def sine_template_positions(sample_rate: int, n: int):
     Returns ``(positions[F, cap] int32, counts[F] int32, freqs[F])`` —
     zero-padded, computed with numpy at trace time (the templates depend
     only on the config, not the data)."""
+    buf, counts, freqs = _sine_template_np(sample_rate, n)
+    return jnp.asarray(buf), jnp.asarray(counts), freqs
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _sine_template_np(sample_rate: int, n: int):
+    """Pure-numpy (host) twin of :func:`sine_template_positions` — safe
+    to call inside a jit trace (never creates jax values)."""
     duration = n / sample_rate
     freqs = np.arange(2, sample_rate // 2 - 1, 96)[::-1]
     freqs = freqs[1:]  # the reference's loop starts at index 1
@@ -80,30 +93,34 @@ def sine_template_positions(sample_rate: int, n: int):
     buf = np.zeros((len(freqs), cap), np.int32)
     for i, p in enumerate(pos_list):
         buf[i, : p.size] = p
-    return jnp.asarray(buf), jnp.asarray(np.asarray(counts, np.int32)), freqs
+    return buf, np.asarray(counts, np.int32), freqs
 
 
-@partial(jax.jit, static_argnames=())
-def _sine_sift_scan(x, positions, counts):
-    def step(problem, pc):
-        pos, cnt = pc
-        baseline = template_fast_baseline(problem, pos, cnt)
-        rotation = problem - baseline
-        return baseline, rotation  # next problem = problem - rotation = baseline
-
-    residual, rotations = lax.scan(step, x, (positions, counts))
-    return rotations, residual
+@lru_cache(maxsize=None)
+def _sine_template_static(sample_rate: int, n: int):
+    """Host-side (numpy) template buffers per comb frequency, untrimmed:
+    list of ``(positions int64[count+...], count int)`` — feeds the
+    static fast path of ``template_fast_baseline``."""
+    pos_np, cnt_np, _ = _sine_template_np(sample_rate, n)
+    return [(pos_np[i], int(cnt_np[i])) for i in range(pos_np.shape[0])]
 
 
 def itd_sine_sift(x: jax.Array, sample_rate: int):
     """C12: returns ``(rotations[F, ..., n], residual)`` — the reference's
-    ``products`` list is rotations + final problem."""
-    positions, counts, _ = sine_template_positions(sample_rate, x.shape[-1])
-    if x.ndim > 1:
-        # broadcast the static template buffers over batch via vmap
-        fn = jax.vmap(lambda s: _sine_sift_scan(s, positions, counts))
-        return fn(x)
-    return _sine_sift_scan(x, positions, counts)
+    ``products`` list is rotations + final problem.
+
+    The comb is unrolled in Python: template positions are pure config,
+    so each frequency runs the STATIC fast path (one row gather + baked
+    per-sample coefficients; buffers trimmed to its own knot count)
+    instead of a lax.scan step padded to the densest comb entry."""
+    templates = _sine_template_static(sample_rate, x.shape[-1])
+    problem = x
+    rotations = []
+    for pos_np, cnt in templates:
+        baseline = template_fast_baseline(problem, pos_np, cnt)
+        rotations.append(problem - baseline)
+        problem = baseline
+    return jnp.stack(rotations, axis=0), problem
 
 
 def _band_isolate(x_rfft: jax.Array, n: int, mina: jax.Array,

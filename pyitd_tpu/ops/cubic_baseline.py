@@ -660,12 +660,89 @@ class CubicBaselineResult(NamedTuple):
     num_extrema: jax.Array
 
 
+def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Array:
+    """Static-positions fast path of :func:`template_fast_baseline`.
+
+    The sine-template tier's knot positions depend only on (sample_rate,
+    n) — pure config — so everything positional is precomputed with
+    numpy at trace time: the per-sample segment map, the interpolation
+    parameter ``s`` and its cubic coefficients become baked constants,
+    and the whole evaluation collapses to ONE static-index row gather of
+    the (knots, knots_next, moments, moments_next) channel matrix — on
+    v5e a (cap,4)->(n,4) static row gather measured 1.1 ms vs 6.9 ms for
+    a single scalar gather and ~50 ms for the scatter+fill route this
+    replaces.  Per-frequency buffers are also TRIMMED to count+2 slots
+    (the padded comb buffer made every frequency pay the densest comb
+    entry's moment solve)."""
+    import numpy as np
+
+    dtype = x.dtype
+    npdt = np.dtype(dtype)
+    n = x.shape[-1]
+    cap2 = count + 2
+    k = np.arange(cap2)
+    pos = np.zeros(cap2, np.int64)
+    pos[:count] = np.asarray(pos_in[:count], np.int64)
+
+    e_prev = np.concatenate([[0], pos[:-1]])
+    e_next = np.concatenate([pos[1:], [0]])
+    span = (e_next - e_prev).astype(npdt)
+    w = (pos - e_prev).astype(npdt) / np.where(span == 0, np.ones_like(span), span)
+
+    xe = jnp.take(x, jnp.asarray(np.clip(pos, 0, n - 1)), axis=-1)
+    x_prev = jnp.concatenate([jnp.zeros_like(xe[..., :1]), xe[..., :-1]], axis=-1)
+    x_next = jnp.concatenate([xe[..., 1:], jnp.zeros_like(xe[..., :1])], axis=-1)
+    interior = 0.5 * (x_prev + jnp.asarray(w) * (x_next - x_prev)) + 0.5 * xe
+
+    knots = interior
+    knots = jnp.where(jnp.asarray(k == 0), xe, knots)
+    knots = jnp.where(jnp.asarray(k == count - 1), 0.0, knots)   # never written
+    knots = jnp.where(jnp.asarray(k == count), x[..., :1], knots)  # x[0] quirk
+    knots = jnp.where(jnp.asarray(k > count), 0.0, knots)
+
+    h = (e_next - pos).astype(npdt)  # h[count-1] = -e[count-1], as in the ref
+    h = np.where(k < count, h, np.zeros_like(h))
+    moments = reference_spline_moments(knots, jnp.asarray(h), jnp.int32(count))
+
+    # static per-sample structure
+    seg = np.searchsorted(pos[1:count], np.arange(n), side="right").astype(np.int32)
+    pos_j = pos.astype(npdt)[seg]
+    h_j = h[seg]
+    it = np.arange(n, dtype=npdt)
+    h_safe = np.where(h_j == 0, np.ones_like(h_j), h_j)
+    s = (it - pos_j) / h_safe
+    omt = (1.0 - s).astype(npdt)
+    hh = (h_j * h_j / np.asarray(6.0, npdt)).astype(npdt)
+    c1 = hh * (omt * omt * omt - omt)
+    c2 = hh * (s * s * s - s)
+    last_lin = seg == count - 2  # the reference's linear-only last segment
+    c1 = np.where(last_lin, np.zeros_like(c1), c1)
+    c2 = np.where(last_lin, np.zeros_like(c2), c2)
+
+    def shl(a):
+        return jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
+
+    chan = jnp.stack([knots, shl(knots), moments, shl(moments)], axis=-1)
+    g = jnp.take(chan, jnp.asarray(seg), axis=-2)  # (..., n, 4)
+    return (jnp.asarray(omt) * g[..., 0] + jnp.asarray(s) * g[..., 1]
+            + jnp.asarray(c1) * g[..., 2] + jnp.asarray(c2) * g[..., 3])
+
+
 def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array) -> jax.Array:
     """Native-tier ("fast") cubic baseline with caller-supplied knot positions.
 
     ``positions[..., cap]`` is zero-padded past ``count`` (mirroring the
     reference's zero-initialized extrema buffers, which is load-bearing:
-    the one-past-the-end knot value resolves to ``x[0]``)."""
+    the one-past-the-end knot value resolves to ``x[0]``).
+
+    When ``positions`` is a host numpy array and ``count`` a python int
+    (the sine-template tier: positions are pure config), dispatches to
+    the static fast path (:func:`_template_fast_baseline_static`)."""
+    import numpy as _np
+
+    if isinstance(positions, _np.ndarray) and isinstance(
+            count, (int, _np.integer)):
+        return _template_fast_baseline_static(x, positions, int(count))
     dtype = x.dtype
     k = lax.broadcasted_iota(jnp.int32, positions.shape, positions.ndim - 1)
     count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), x.shape[:-1])
