@@ -255,8 +255,10 @@ def main():
     # Pallas modules are expensive to compile over the remote relay; cache
     # them on disk keyed by HLO hash so only the first-ever run of a given
     # code state pays the cold compile.  Reported honestly below.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    # PYITD_CACHE_DIR overrides (tools/cold_compile_probe.py uses a fresh
+    # dir to measure the honest-cold figure).
+    cache_dir = os.environ.get("PYITD_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -157,9 +157,13 @@ def itd_sift(
         def xla_fn(xx):
             # per-level remat: without it the VJP saves every level's
             # fill-scan internals (~5 GB per level at 8x1M) and OOMs;
-            # with it the backward recomputes one level at a time
+            # with it the backward recomputes one level at a time.
+            # linear_backend='scan': the recompute must be differentiable
+            # everywhere — 'auto' would pick the Pallas fills on TPU,
+            # which have no JVP rule
             return _itd_sift_xla(xx, max_iteration, endpoint_mode,
-                                 store_baselines, remat_level=True)
+                                 store_baselines, remat_level=True,
+                                 linear_backend="scan")
 
         f = jax.custom_vjp(emit_fn)
 

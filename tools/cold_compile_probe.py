@@ -17,12 +17,9 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     before = set(os.listdir(cache_dir))
 
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
+    # bench.main() honors this override (it would otherwise point the
+    # cache back at the repo's warm .jax_cache)
+    os.environ["PYITD_CACHE_DIR"] = cache_dir
     os.environ["PYITD_BENCH_HEADLINE_ONLY"] = "1"
     import bench
 
