@@ -90,11 +90,13 @@ def eval_moment_spline(
 
     ``S(t) = (1-s)·K_j + s·K_{j+1} + h²/6·[((1-s)³-(1-s))·M_j + (s³-s)·M_{j+1}]``
     with ``s = (t - pos_j)/h_j`` — the closed-form segment evaluation of the
-    reference native tier (``itd.cpp:147-153``)."""
+    reference native tier (``itd.cpp:147-153``).  Integer ``positions``
+    subtract before casting (exact at any n); float positions keep the
+    legacy cast-first order."""
     dtype = values.dtype
-    it = lax.broadcasted_iota(jnp.int32, x_like.shape, x_like.ndim - 1).astype(dtype)
+    it = lax.broadcasted_iota(jnp.int32, x_like.shape, x_like.ndim - 1)
 
-    pos_j = take_last_axis(positions, seg).astype(dtype)
+    pos_j = take_last_axis(positions, seg)
     h_j = take_last_axis(h, seg)
     k_j = take_last_axis(values, seg)
     k_j1 = take_last_axis(values, seg + 1)
@@ -102,7 +104,10 @@ def eval_moment_spline(
     m_j1 = take_last_axis(moments, seg + 1)
 
     h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
-    s = (it - pos_j) / h_safe
+    if jnp.issubdtype(positions.dtype, jnp.integer):
+        s = (it - pos_j).astype(dtype) / h_safe
+    else:
+        s = (it.astype(dtype) - pos_j.astype(dtype)) / h_safe
     lin = (1.0 - s) * k_j + s * k_j1
     omt = 1.0 - s
     cub = h_j * h_j / 6.0 * ((omt * omt * omt - omt) * m_j + (s * s * s - s) * m_j1)
@@ -631,7 +636,7 @@ def _eval_fills(x, capacity, min_extrema, solver="chained"):
         # compact solve: gather positions + knot values, not-a-knot PCR
         pos_c, kcount = compact_indices(mask, capacity)
         k_c = jnp.take_along_axis(k_site, jnp.clip(pos_c, 0, n - 1), axis=-1)
-        moments = spline_moments(pos_c.astype(jnp.float32), k_c, kcount,
+        moments = spline_moments(pos_c, k_c, kcount,  # int pos: exact h
                                  bc="not-a-knot")
         cnt = kcount[..., None]
         kk = lax.broadcasted_iota(jnp.int32, pos_c.shape, pos_c.ndim - 1)
@@ -704,28 +709,36 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
     h = np.where(k < count, h, np.zeros_like(h))
     moments = reference_spline_moments(knots, jnp.asarray(h), jnp.int32(count))
 
-    # static per-sample structure
+    # static per-sample structure: ONLY the segment map is baked (one
+    # i32 (n,) constant per frequency — baking the interpolation
+    # coefficients too quadrupled the remote-compile payload and tripped
+    # the relay's request-size limit); per-knot channels ride the single
+    # row gather and the coefficients derive on-device from them.
     seg = np.searchsorted(pos[1:count], np.arange(n), side="right").astype(np.int32)
-    pos_j = pos.astype(npdt)[seg]
-    h_j = h[seg]
-    it = np.arange(n, dtype=npdt)
-    h_safe = np.where(h_j == 0, np.ones_like(h_j), h_j)
-    s = (it - pos_j) / h_safe
-    omt = (1.0 - s).astype(npdt)
-    hh = (h_j * h_j / np.asarray(6.0, npdt)).astype(npdt)
-    c1 = hh * (omt * omt * omt - omt)
-    c2 = hh * (s * s * s - s)
-    last_lin = seg == count - 2  # the reference's linear-only last segment
-    c1 = np.where(last_lin, np.zeros_like(c1), c1)
-    c2 = np.where(last_lin, np.zeros_like(c2), c2)
 
     def shl(a):
         return jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
 
-    chan = jnp.stack([knots, shl(knots), moments, shl(moments)], axis=-1)
-    g = jnp.take(chan, jnp.asarray(seg), axis=-2)  # (..., n, 4)
-    return (jnp.asarray(omt) * g[..., 0] + jnp.asarray(s) * g[..., 1]
-            + jnp.asarray(c1) * g[..., 2] + jnp.asarray(c2) * g[..., 3])
+    pos_f = jnp.asarray(pos.astype(npdt))
+    h_f = jnp.asarray(h)
+    # lastlin flag per knot: the reference's linear-only last segment
+    lastlin = jnp.asarray((k == count - 2).astype(npdt))
+    chan = jnp.stack(
+        [jnp.broadcast_to(pos_f, x.shape[:-1] + (cap2,)),
+         jnp.broadcast_to(h_f, x.shape[:-1] + (cap2,)),
+         jnp.broadcast_to(lastlin, x.shape[:-1] + (cap2,)),
+         knots, shl(knots), moments, shl(moments)], axis=-1)
+    g = jnp.take(chan, jnp.asarray(seg), axis=-2)  # (..., n, 7)
+    pos_j, h_j, is_lastlin = g[..., 0], g[..., 1], g[..., 2]
+    k_j, k_j1, m_j, m_j1 = g[..., 3], g[..., 4], g[..., 5], g[..., 6]
+
+    it = jnp.asarray(np.arange(n, dtype=npdt))
+    h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
+    s = (it - pos_j) / h_safe
+    omt = 1.0 - s
+    hh = jnp.where(is_lastlin > 0, 0.0, h_j * h_j / 6.0)  # zero cub there
+    return (omt * k_j + s * k_j1
+            + hh * ((omt * omt * omt - omt) * m_j + (s * s * s - s) * m_j1))
 
 
 def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array) -> jax.Array:
@@ -845,16 +858,18 @@ def cubic_baseline_extract(
     capacity covering the worst case (interior extrema + 2) when
     cross-backend agreement matters."""
     # f32 position ceiling: the fills backends compute in f32 end to end
-    # (any input dtype), and the gather/scan backends carry positions in
-    # the INPUT dtype — past 2^24 samples f32 positions alias and the
-    # spline silently corrupts, so refuse loudly.  f64 inputs via
-    # gather/scan are exact to 2^53.
-    if x.shape[-1] > (1 << 24) and (
-            x.dtype == jnp.float32 or eval_backend not in ("gather", "scan")):
+    # (any input dtype) and the scan backend scatters f32 position
+    # channels — past 2^24 samples those alias and the spline silently
+    # corrupts, so refuse loudly.  The gather backend keeps positions as
+    # integers end to end (spline_moments and eval_moment_spline
+    # difference before casting) and is exact at any n and any dtype;
+    # f64 scan is exact to 2^53.
+    if x.shape[-1] > (1 << 24) and eval_backend != "gather" and (
+            x.dtype == jnp.float32 or eval_backend != "scan"):
         raise ValueError(
             f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}); use a float64 input with "
-            "eval_backend='gather' or 'scan'."
+            f"(2^24={1 << 24}); use eval_backend='gather' (exact integer "
+            "positions at any n) or a float64 input with 'scan'."
         )
     if eval_backend == "auto":
         if jax.default_backend() == "cpu":
@@ -935,7 +950,7 @@ def cubic_baseline_extract(
     knots = jnp.where(k == cnt - 1, b_last[..., None], knots)
     knots = jnp.where(k >= cnt, jnp.zeros_like(knots), knots)
 
-    moments = spline_moments(pos.astype(dtype), knots, kcount, bc="not-a-knot")
+    moments = spline_moments(pos, knots, kcount, bc="not-a-knot")  # int pos: exact h
     h = (e_next - pos).astype(dtype)
     h = jnp.where(k < cnt - 1, h, jnp.ones_like(h))
     if eval_backend == "gather":

@@ -298,11 +298,20 @@ def spline_moments(pos: jax.Array, val: jax.Array, count: jax.Array, *,
     """
     if bc not in ("natural", "not-a-knot"):
         raise ValueError(bc)
-    pos = pos.astype(val.dtype)
+    # integer positions: difference FIRST (exact at any n), cast once —
+    # casting each position individually would round above 2^24 in f32
+    if jnp.issubdtype(pos.dtype, jnp.integer):
+        h = jnp.concatenate(
+            [(pos[..., 1:] - pos[..., :-1]).astype(val.dtype),
+             jnp.ones_like(val[..., :1])], axis=-1)
+    else:
+        pos = pos.astype(val.dtype)
+        h = jnp.concatenate(
+            [pos[..., 1:] - pos[..., :-1], jnp.ones_like(pos[..., :1])],
+            axis=-1)
     idx = _arange_like(val)
     cnt = count[..., None] if count.ndim == val.ndim - 1 else count
 
-    h = jnp.concatenate([pos[..., 1:] - pos[..., :-1], jnp.ones_like(pos[..., :1])], axis=-1)
     h = jnp.where(idx < cnt - 1, h, jnp.ones_like(h))  # guard padded spacings
     h_im1 = jnp.concatenate([jnp.ones_like(h[..., :1]), h[..., :-1]], axis=-1)
 

@@ -818,8 +818,9 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     kk = lax.broadcasted_iota(jnp.int32, allp.shape, allp.ndim - 1)
     cnt = total[..., None]
 
-    # knot values: odd-reflect ends + Frei-Osorio interior (MEITD tier)
-    first2, last2 = _end_samples(x, axis_name)
+    # knot values: odd-reflect ends + Frei-Osorio interior (MEITD tier);
+    # end samples by ownership of global positions (pad-safe)
+    first2, last2 = _end_samples_at(x, gpos, n_global, axis_name)
     b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
     b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
 
@@ -827,6 +828,7 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     e_next = jnp.concatenate([allp[..., 1:], jnp.zeros_like(allp[..., :1])], axis=-1)
     v_prev = jnp.concatenate([jnp.zeros_like(allv[..., :1]), allv[..., :-1]], axis=-1)
     v_next = jnp.concatenate([allv[..., 1:], jnp.zeros_like(allv[..., :1])], axis=-1)
+    # integer position differences FIRST (exact at any n), one cast each
     span = (e_next - e_prev).astype(dtype)
     w = (allp - e_prev).astype(dtype) / jnp.where(span == 0, jnp.ones_like(span), span)
     kv = 0.5 * (v_prev + w * (v_next - v_prev)) + 0.5 * allv
@@ -834,7 +836,7 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     kv = jnp.where(kk == cnt - 1, b_last[..., None], kv)
     kv = jnp.where(kk >= cnt, jnp.zeros_like(kv), kv)
 
-    moments = spline_moments(allp.astype(dtype), kv, total, bc="not-a-knot")
+    moments = spline_moments(allp, kv, total, bc="not-a-knot")  # int pos
     h = (e_next - allp).astype(dtype)
     h = jnp.where(kk < cnt - 1, h, jnp.ones_like(h))
 
@@ -850,20 +852,23 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     in_shard = (loc >= 0) & (loc < n_loc)
     valid_j = (kk < cnt - 1) & in_shard
     valid_n = (kk >= 1) & (kk < cnt) & in_shard
-    posf = allp.astype(dtype)
+    # positions ride the fills as dtype-matched BIT PATTERNS (exact at
+    # any n; a float VALUE channel would round above the mantissa)
+    pos_bits = _bits_f(allp, dtype)
 
     pj_g, kj_g, mj_g, hj_g, occj = _scatter_channels(
-        x, loc, valid_j, (posf, kv, moments, h, jnp.ones_like(kv))
+        x, loc, valid_j, (pos_bits, kv, moments, h, jnp.ones_like(kv))
     )
     kn_g, mn_g, occn = _scatter_channels(
         x, loc, valid_n, (kv, moments, jnp.ones_like(kv))
     )
 
-    pos_j, k_j, m_j, h_j = _ffill(
+    pos_bits_j, k_j, m_j, h_j = _ffill(
         (pj_g, kj_g, mj_g, hj_g), occj != 0, axis_name,
-        (jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
-         jnp.ones((), dtype)),
+        (_bits_f(jnp.zeros((), jnp.int32), dtype), jnp.zeros((), dtype),
+         jnp.zeros((), dtype), jnp.ones((), dtype)),
     )
+    pos_j = _bits_i(pos_bits_j)
     zf = jnp.zeros((), dtype)
     k_j1, m_j1 = _bfill(
         (_shift_left(kn_g, axis_name, zf), _shift_left(mn_g, axis_name, zf)),
@@ -878,7 +883,7 @@ def _cubic_local(x, axis_name, n_global, cap, min_extrema):
     m_j1 = jnp.where(is_glast, m_last, m_j1)
 
     h_safe = jnp.where(h_j == 0, jnp.ones_like(h_j), h_j)
-    s = (gpos.astype(dtype) - pos_j) / h_safe
+    s = (gpos - pos_j).astype(dtype) / h_safe  # int diff first: exact any n
     omt = 1.0 - s
     baseline = (
         omt * k_j + s * k_j1
@@ -910,7 +915,6 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     rank = lax.axis_index(axis_name)
     size = lax.axis_size(axis_name)
     gpos = rank * n_loc + lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    gposf = gpos.astype(dtype)
     zf = jnp.zeros((), dtype)
     fb = jnp.asarray(False)
 
@@ -931,22 +935,28 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     nex = lax.psum(jnp.sum(mask, axis=-1).astype(jnp.int32), axis_name)
     knots = mask | (gpos == 0) | (gpos == n_global - 1)
 
-    # exclusive prev/next knot (position, raw value) -> Frei-Osorio values
+    # exclusive prev/next knot (position, raw value) -> Frei-Osorio
+    # values.  Positions ride the fills as dtype-matched BIT PATTERNS
+    # (_bits_f: exact at any n; float VALUE channels round above the
+    # mantissa) and every span differences integers before ONE cast.
     km1 = _shift_right(knots, axis_name, fb)
-    prev_pos, prev_x = _ffill(
-        (jnp.where(gpos == 0, zf, gposf - 1),  # position shift = arithmetic
+    zbits = _bits_f(jnp.zeros((), jnp.int32), dtype)
+    prev_bits, prev_x = _ffill(
+        (_bits_f(jnp.where(gpos == 0, 0, gpos - 1), dtype),
          _shift_right(x, axis_name, zf)),
-        km1, axis_name, (zf, zf))
+        km1, axis_name, (zbits, zf))
     kp1 = _shift_left(knots, axis_name, fb)
-    next_pos, next_x = _bfill(
-        (jnp.where(gpos == n_global - 1, zf, gposf + 1),
+    next_bits, next_x = _bfill(
+        (_bits_f(jnp.where(gpos == n_global - 1, 0, gpos + 1), dtype),
          _shift_left(x, axis_name, zf)),
-        kp1, axis_name, (zf, zf))
+        kp1, axis_name, (zbits, zf))
+    prev_pos = _bits_i(prev_bits)
+    next_pos = _bits_i(next_bits)
 
-    span = next_pos - prev_pos
-    wfrac = sdiv(gposf - prev_pos, span)
+    span = (next_pos - prev_pos).astype(dtype)
+    wfrac = sdiv((gpos - prev_pos).astype(dtype), span)
     k_site = 0.5 * (prev_x + wfrac * (next_x - prev_x)) + 0.5 * x
-    first2, last2 = _end_samples(x, axis_name)
+    first2, last2 = _end_samples_at(x, gpos, n_global, axis_name)
     b_first = 0.5 * (3.0 * first2[..., 0] - first2[..., 1])
     b_last = 0.5 * (3.0 * last2[..., -1] - last2[..., -2])
     k_site = jnp.where(gpos == 0, b_first[..., None], k_site)
@@ -963,7 +973,8 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     from ..ops.chained_pcr import notaknot_rows
 
     a2, b2, c2, d = notaknot_rows(
-        gposf - prev_pos, next_pos - gposf, kv_prev, k_site, kv_next,
+        (gpos - prev_pos).astype(dtype), (next_pos - gpos).astype(dtype),
+        kv_prev, k_site, kv_next,
         firstrow=prev_pos == 0, lastrow=next_pos == n_global - 1,
     )
 
@@ -1007,7 +1018,9 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     # other shard contributes its local first.
     from ..ops.cubic_baseline import _end_knot_positions
 
-    l_il1, l_il2, l_i1, l_i2 = _end_knot_positions(mask, gposf, n_global)
+    # i32 positions end to end: the reduce comparators and the pmin/neg
+    # trick are dtype-generic, and integer sentinels stay exact at any n
+    l_il1, l_il2, l_i1, l_i2 = _end_knot_positions(mask, gpos, n_global)
     # two pmins instead of two pmins + two pmaxes: negation is exact, so
     # pmax(v) == -pmin(-v) bitwise and the max channels ride along
     s1 = lax.pmin(jnp.stack([l_i1, -l_il1], axis=-1), axis_name)
@@ -1044,7 +1057,9 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     m_last = ml1 + sdiv(hl, hl2) * (ml1 - ml2)
 
     # inclusive j-side fill for evaluation
-    p1_pos, k_j = _ffill((gposf, k_site), knots, axis_name, (zf, zf))
+    p1_bits, k_j = _ffill((_bits_f(gpos, dtype), k_site), knots, axis_name,
+                          (zbits, zf))
+    p1_pos = _bits_i(p1_bits)
 
     m_j = jnp.where(p1_pos == 0, m0[..., None], m_j)
     m_j1 = jnp.where(next_pos == n_global - 1, m_last[..., None], m_j1)
@@ -1054,10 +1069,10 @@ def _cubic_local_spike(x, axis_name, n_global, min_extrema):
     k_j = jnp.where(is_glast, kv_prev, k_j)
     k_j1 = jnp.where(is_glast, b_last[..., None], kv_next)
     m_j1 = jnp.where(is_glast, m_last[..., None], m_j1)
-    right_pos = jnp.where(is_glast, gposf, next_pos)
+    right_pos = jnp.where(is_glast, gpos, next_pos)
 
-    h_j = right_pos - pos_j
-    s = sdiv(gposf - pos_j, h_j)
+    h_j = (right_pos - pos_j).astype(dtype)  # int diff: exact at any n
+    s = sdiv((gpos - pos_j).astype(dtype), h_j)
     omt = 1.0 - s
     baseline = (
         omt * k_j + s * k_j1
@@ -1109,18 +1124,24 @@ def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = No
     Returns (rotation, baseline, num_extrema)."""
     n_global = x.shape[-1]
     seq = mesh.shape["seq"]
-    if n_global % seq:
-        raise ValueError(
-            f"the seq mesh axis ({seq}) must divide n={n_global}")
-    if x.dtype == jnp.float32 and n_global > (1 << 24):
-        # global knot positions ride f32 channels/scalars (exact to 2^24);
-        # past that they alias and the spline silently corrupts
-        raise ValueError(
-            f"n={n_global} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}) of the sharded cubic tier; cast the input "
-            "to float64."
-        )
-    n_loc = n_global // seq
+    # no position ceiling: both methods carry knot positions as integers
+    # (i32 compact buffers / dtype-matched bit patterns through the fill
+    # helpers) and difference them before casting — exact at any n.
+    # Any length / any batch: same padding contract as sharded_itd_sift
+    # (edge-pad time, zero-pad batch rows; pads excluded from knots by
+    # global-position masks; end knots located by ownership; cropped).
+    pad = (-n_global) % seq
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))],
+            axis=-1)
+    data = mesh.shape["data"]
+    batch = x.shape[0]
+    bpad = (-batch) % data
+    if bpad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], axis=0)
+    n_loc = (n_global + pad) // seq
     if method == "spike":
         local = partial(_cubic_local_spike, axis_name="seq",
                         n_global=n_global, min_extrema=min_extrema)
@@ -1142,4 +1163,9 @@ def sharded_cubic_baseline(x, mesh: Mesh, *, capacity_per_shard: int | None = No
         out_specs=(P("data", "seq"), P("data", "seq"), P("data")),
     )
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
-    return jax.jit(fn)(xs)
+    rot, base, nex = jax.jit(fn)(xs)
+    if pad:
+        rot, base = rot[..., :n_global], base[..., :n_global]
+    if bpad:
+        rot, base, nex = rot[:batch], base[:batch], nex[:batch]
+    return rot, base, nex

@@ -75,13 +75,18 @@ def test_cubic_backends():
     spec64 = _spec(N_BIG, jnp.float64)
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
         jax.eval_shape(
-            lambda a: cubic_baseline_extract(a, 64, eval_backend="gather"),
+            lambda a: cubic_baseline_extract(a, 64, eval_backend="scan"),
             spec32)
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
         # the fills backends compute in f32 regardless of input dtype
         jax.eval_shape(
             lambda a: cubic_baseline_extract(a, 64, eval_backend="fills"),
             spec64)
+    # the gather backend keeps positions integer end to end: open at any
+    # n for BOTH dtypes
+    jax.eval_shape(
+        lambda a: cubic_baseline_extract(a, 64, eval_backend="gather"),
+        spec32)
     jax.eval_shape(
         lambda a: cubic_baseline_extract(a, 64, eval_backend="gather"),
         spec64)
@@ -93,8 +98,8 @@ def test_sharded_entry_points():
     # the sharded sift LIFTS the ceiling: auto falls back to the exact
     # i32-position XLA fills (covered end-to-end by
     # tests/test_sharded.py::test_sharded_f32_beyond_position_ceiling);
-    # only an explicitly requested Pallas backend refuses
+    # only an explicitly requested Pallas backend refuses.  The sharded
+    # cubic tier has no ceiling at all (integer positions end to end;
+    # covered by test_sharded.py::test_sharded_cubic_beyond_ceiling).
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
         sharded_itd_sift(x32, mesh, 2, backend="pallas")
-    with pytest.raises(ValueError, match="f32 knot-position ceiling"):
-        sharded_cubic_baseline(x32, mesh)

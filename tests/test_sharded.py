@@ -256,8 +256,10 @@ def test_sharded_sift_collective_budget():
 def test_sharded_cubic_collective_budget():
     """Distributed-SPIKE cubic cross-shard traffic, pinned at the batched
     form's lowered counts (stacked interface gather, stacked end-moment
-    psum, negation-paired pmins, arithmetic position shifts): 7
-    all_gathers, 9 ppermutes, 4 all_reduces for the whole extract."""
+    psum, negation-paired pmins, arithmetic position shifts): 6
+    all_gathers, 9 ppermutes, 5 all_reduces for the whole extract (the
+    ownership-based end-sample psum replaced the edge all_gather —
+    4 scalars reduced instead of 4 x size gathered)."""
     import re
     from functools import partial
 
@@ -281,8 +283,8 @@ def test_sharded_cubic_collective_budget():
         k: len(re.findall(rf"stablehlo\.{k}", txt))
         for k in ("all_gather", "collective_permute", "all_reduce")
     }
-    assert counts == {"all_gather": 7, "collective_permute": 9,
-                      "all_reduce": 4}, counts
+    assert counts == {"all_gather": 6, "collective_permute": 9,
+                      "all_reduce": 5}, counts
 
 
 @pytest.mark.slow
@@ -428,3 +430,58 @@ def test_sharded_any_batch():
                                   np.asarray(ref.num_components))
     np.testing.assert_allclose(np.asarray(rot), np.asarray(ref.rotations),
                                atol=1e-10)
+
+
+@pytest.mark.slow
+def test_sharded_cubic_beyond_ceiling():
+    """The sharded cubic tier has no position ceiling: knot positions are
+    integers end to end (i32 compact buffers / bit-pattern fills; spans
+    difference before casting).  Pinned at n > 2^24 against the
+    single-chip f32 gather oracle (same f32 value arithmetic, exact
+    positions on both sides)."""
+    from scipy.signal import sawtooth
+
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+    from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
+
+    n = (1 << 24) + 4096
+    t = np.linspace(0, 60 * np.pi, n)
+    # triangle waves: SHARP extrema (slope O(1) per span), so the f32
+    # quantization of a smooth signal — plateaus near extrema that
+    # dither into thousands of spurious 1-sample-apart knots, whose
+    # not-a-knot end-moment extrapolation amplifies f32 noise by ~1e9 —
+    # cannot occur; this test is about POSITIONS, not conditioning
+    x = (sawtooth(t, 0.5) + 0.4 * sawtooth(5.1 * t + 1.0, 0.5)
+         ).astype(np.float32)[None]
+    mesh = make_mesh(8, seq=8)
+    ref = cubic_baseline_extract(jnp.asarray(x), capacity=1024,
+                                 min_extrema=0, eval_backend="gather")
+    scale = float(np.max(np.abs(np.asarray(ref.baseline))))
+    for method in ("spike", "gather"):
+        rot, base, nex = sharded_cubic_baseline(
+            jnp.asarray(x), mesh, method=method, min_extrema=0)
+        np.testing.assert_array_equal(np.asarray(nex),
+                                      np.asarray(ref.num_extrema))
+        np.testing.assert_allclose(np.asarray(base),
+                                   np.asarray(ref.baseline),
+                                   atol=3e-5 * max(scale, 1.0),
+                                   err_msg=method)
+
+
+@pytest.mark.parametrize("method", ["spike", "gather"])
+def test_sharded_cubic_any_shape(method):
+    """The cubic tier shares the sift's padding contract: any length
+    (edge-pad + gpos masks) and any batch (zero rows), cropped."""
+    from pyitd_tpu.ops.cubic_baseline import cubic_baseline_extract
+    from pyitd_tpu.parallel.sharded import sharded_cubic_baseline
+
+    x = bank(batch=3, n=1013)
+    mesh = make_mesh(8, seq=4)
+    ref = cubic_baseline_extract(jnp.asarray(x), capacity=1015)
+    rot, base, nex = sharded_cubic_baseline(jnp.asarray(x), mesh,
+                                            method=method)
+    assert base.shape == (3, 1013)
+    np.testing.assert_array_equal(np.asarray(nex),
+                                  np.asarray(ref.num_extrema))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref.baseline),
+                               atol=1e-9)
