@@ -155,15 +155,15 @@ def itd_sift(
                                   store_baselines, early_exit, fused=fused)
 
         def xla_fn(xx):
-            # per-level remat: without it the VJP saves every level's
-            # fill-scan internals (~5 GB per level at 8x1M) and OOMs;
-            # with it the backward recomputes one level at a time.
-            # linear_backend='scan': the recompute must be differentiable
-            # everywhere — 'auto' would pick the Pallas fills on TPU,
-            # which have no JVP rule
+            # 'structural': each level carries the hand-written adjoint
+            # (ops.linear_baseline.linear_baseline_extract_structural) —
+            # the level forward may run the Pallas kernels (never
+            # differentiated) and the backward is closed-form segment
+            # sums + knot scatter-adds.  AD-of-the-scan-fills with
+            # per-level remat measured 66x the fused forward at 8x1M.
             return _itd_sift_xla(xx, max_iteration, endpoint_mode,
-                                 store_baselines, remat_level=True,
-                                 linear_backend="scan")
+                                 store_baselines,
+                                 linear_backend="structural")
 
         f = jax.custom_vjp(emit_fn)
 
@@ -185,8 +185,15 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines,
     reverse-mode differentiable).  ``remat_level`` checkpoints each
     level's extraction so reverse-mode saves only the level inputs."""
     levels = max_iteration + 2
-    extract = partial(linear_baseline_extract, endpoint_mode=endpoint_mode,
-                      backend=linear_backend)
+    if linear_backend == "structural":
+        from ..ops.linear_baseline import linear_baseline_extract_structural
+
+        extract = partial(linear_baseline_extract_structural,
+                          endpoint_mode=endpoint_mode)
+    else:
+        extract = partial(linear_baseline_extract,
+                          endpoint_mode=endpoint_mode,
+                          backend=linear_backend)
     if remat_level:
         extract = jax.checkpoint(extract)
 

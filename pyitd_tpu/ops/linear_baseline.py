@@ -54,6 +54,7 @@ from .fill import (
     take_last_axis,
     forward_fill2_scan,
     backward_fill2_scan,
+    backward_fill_scan,
 )
 
 __all__ = ["linear_baseline_extract", "LinearBaselineResult"]
@@ -264,3 +265,171 @@ def linear_baseline_extract(
         rotation=rotation, baseline=baseline, num_extrema=nex,
         sub_err=_two_sum_err(x, -baseline, rotation),
     )
+
+
+# ---------------------------------------------------------------------------
+# structural VJP: a hand-written backward for one linear-baseline level.
+# jax.grad THROUGH the level otherwise differentiates the fill scans
+# (AD-of-associative-scan), which measured 66x the fused forward for the
+# full sift at 8x1M on v5e.  The level is linear in x except the
+# segment-slope quotient, so its exact adjoint is: per-sample cotangent
+# products, segment sums into the knot sites (scatter-add), and the
+# Frei-Osorio knot-value coefficients pushed to the knot neighbors —
+# O(n) with no scan differentiation.  The knot STRUCTURE (masks/indices)
+# is x-a.e.-constant and treated as such, exactly like AD of the
+# where/select formulation.
+# ---------------------------------------------------------------------------
+
+
+def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
+    """Adjoint of ``(rotation, baseline, sub_err) = level(x)`` given
+    output cotangents; returns the x cotangent.  Matches AD of the
+    gather/scan formulation (pinned in tests against ``jax.vjp`` of the
+    scan backend).
+
+    Entirely gather/scatter-free: per-sample structure comes from the
+    same fill2 scans as the forward; segment sums land on knot sites via
+    cumulative sums read back through fills ("value of the running sum
+    at my next/previous knot"); the knot-neighbor pushes are received by
+    one strictly-after / strictly-before fill each (every knot is the
+    exclusive-previous of exactly its next knot).  A first version used
+    per-sample scatter-adds, which measured 13.3 s for the full sift
+    backward at 8x1M on v5e — worse than AD of the scans (2.1 s)."""
+    dtype = x.dtype
+    n = x.shape[-1]
+    it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    knots = _knot_mask(x)
+    posf = it.astype(dtype)
+
+    # per-sample knot structure, exactly the forward scan's channels
+    (p1p, p1x), (p2p, p2x), _ = forward_fill2_scan(
+        (posf, x), knots, (0.0, 0.0))
+    (n1p, n1x), (n2p, n2x), _ = backward_fill2_scan(
+        (_shift_left(posf, 0.0), _shift_left(x, 0.0)),
+        _shift_left(knots, False), (0.0, 0.0))
+
+    def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+        span = rpos - lpos
+        w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
+        formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+        return jnp.where(is_first, end_val[..., None], formula)
+
+    b_first = 0.5 * (x[..., 0] + x[..., 1])
+    b_last = 0.5 * (x[..., n - 2] + x[..., n - 1])
+    bl = knot_value(p1p, p1x, p2p, p2x, n1p, n1x, b_first, p1p == 0)
+    bl = jnp.where(p1p == n - 1, b_last[..., None], bl)
+    br = knot_value(n1p, n1x, p1p, p1x, n2p, n2x, b_last, n1p == n - 1)
+
+    xl, xr = p1x, n1x
+    d = xr - xl
+    dz = d == 0
+    safe = jnp.where(dz, jnp.ones_like(d), d)
+    s = jnp.where(dz, jnp.zeros_like(d), (br - bl) / safe)
+
+    # err's AD coefficients are exactly (+x, -rot, -baseline)
+    geff_rot = g_rot - g_err
+    geff_base = g_base - g_err
+    gB = geff_base - geff_rot
+    if endpoint_mode == "reference":
+        gB = jnp.where(it == n - 1, jnp.zeros_like(gB), gB)
+
+    q = jnp.where(dz, jnp.zeros_like(d), (x - xl) / safe)
+    coef = jnp.where(dz, jnp.zeros_like(d), (br - bl) / (safe * safe))
+    a_bl = gB * jnp.where(dz, jnp.ones_like(q), 1.0 - q)
+    a_br = gB * q
+    a_xl = gB * coef * (x - xr)
+    a_xr = -gB * coef * (x - xl)
+
+    gx = geff_rot + g_err + gB * s  # direct dB/dx[t] = slope
+
+    # running sums, exclusive form Zs[t] = sum(z[:t]).  Non-finite
+    # contributions (possible only within a NaN quarantine zone, where
+    # gradients are undefined anyway) are dropped: a cumsum would
+    # otherwise poison every position after the NaN, while AD localizes
+    # the NaN to the directly involved samples — documented deviation
+    # (the direct per-sample terms still carry their NaNs).
+    def zs(z):
+        z = jnp.where(jnp.isfinite(z), z, jnp.zeros_like(z))
+        c = jnp.cumsum(z, axis=-1)
+        return jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1), c[..., -1:]
+
+    zs_bl, tot_bl = zs(a_bl)
+    zs_xl, tot_xl = zs(a_xl)
+    zs_br, _ = zs(a_br)
+    zs_xr, _ = zs(a_xr)
+
+    # "running sum at my NEXT knot" (strictly after), default irrelevant
+    # (patched at the last knot with the total)
+    nxt_bl, nxt_xl = backward_fill_scan(
+        (_shift_left(zs_bl, 0.0), _shift_left(zs_xl, 0.0)),
+        _shift_left(knots, False), (0.0, 0.0))
+    is_last = it == n - 1
+    nxt_bl = jnp.where(is_last, tot_bl, nxt_bl)
+    nxt_xl = jnp.where(is_last, tot_xl, nxt_xl)
+    # "running sum at my PREVIOUS knot" (strictly before) via fill2's v2
+    (_z1, _z2), (prv_br, prv_xr), _ = forward_fill2_scan(
+        (zs_br, zs_xr), knots, (0.0, 0.0))
+
+    # segment sums landing on knot sites: into segl (segment [t, next))
+    # for the *_l channels, into segr (segment ending at t) for *_r
+    gkv = jnp.where(knots, (nxt_bl - zs_bl) + (zs_br - prv_br), 0.0)
+    gx = gx + jnp.where(knots, (nxt_xl - zs_xl) + (zs_xr - prv_xr), 0.0)
+
+    # knot-value adjoint.  Interior knots: kv = 0.5*(x[pe] + w*(x[nx] -
+    # x[pe])) + 0.5*x[t]; at a knot site pe = p2p, nx = n1p.
+    span = n1p - p2p
+    w = (posf - p2p) / jnp.where(span == 0, jnp.ones_like(span), span)
+    interior = knots & (it != 0) & (it != n - 1)
+    gkv_int = jnp.where(interior, gkv, jnp.zeros_like(gkv))
+    gx = gx + 0.5 * gkv_int
+
+    # pushes: x[pe(k)] += c_p(k); x[nx(k)] += c_n(k).  Every knot is the
+    # exclusive-previous of exactly its next knot (and vice versa), so
+    # the receive is one strictly-after / strictly-before fill
+    c_p = gkv_int * (0.5 * (1.0 - w))
+    c_n = gkv_int * (0.5 * w)
+    (recv_p,) = backward_fill_scan(
+        (_shift_left(c_p, 0.0),), _shift_left(knots, False), (0.0,))
+    # previous knot's c_n: fill2's v2 channel
+    (_c1,), (recv_n,), _ = forward_fill2_scan((c_n,), knots, (0.0,))
+    gx = gx + jnp.where(knots, recv_p + recv_n, 0.0)
+
+    # end knots: kv[0] = 0.5*(x[0]+x[1]); kv[n-1] = 0.5*(x[n-2]+x[n-1])
+    g0 = 0.5 * gkv[..., 0]
+    gl = 0.5 * gkv[..., n - 1]
+    gx = gx.at[..., 0].add(g0).at[..., 1].add(g0)
+    gx = gx.at[..., n - 2].add(gl).at[..., n - 1].add(gl)
+    return gx
+
+
+def linear_baseline_extract_structural(
+    x: jax.Array, *, endpoint_mode: str = "reference",
+    backend: str = "auto") -> LinearBaselineResult:
+    """:func:`linear_baseline_extract` with the structural custom VJP
+    (forward may run ANY backend — including the non-differentiable
+    Pallas kernels — since the backward never differentiates it)."""
+
+    @jax.custom_vjp
+    def level(xx):
+        return linear_baseline_extract(
+            xx, endpoint_mode=endpoint_mode, backend=backend)
+
+    def fwd(xx):
+        return level(xx), xx
+
+    def bwd(xx, ct):
+        g_rot, g_base, _g_nex, g_err = ct
+
+        def z(g, like):
+            # float0 / symbolic-zero cotangents arrive for unused outputs
+            if g is None or getattr(g, "dtype", None) == jax.dtypes.float0:
+                return jnp.zeros_like(like)
+            return g
+
+        gx = _structural_level_bwd(
+            xx, z(g_rot, xx), z(g_base, xx), z(g_err, xx), endpoint_mode)
+        return (gx,)
+
+    level.defvjp(fwd, bwd)
+    return level(x)

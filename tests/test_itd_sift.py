@@ -271,3 +271,50 @@ def test_fold_emit_sift_bit_identical():
               "correction"):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+
+
+def test_structural_grad_matches_ad():
+    """The sift's custom VJP runs the hand-written per-level adjoint
+    (segment sums + knot scatter-adds) instead of differentiating the
+    fill scans; it must match AD of the scan backend exactly (VERDICT r3
+    item 3: AD-of-scan measured 66x the fused forward at 8x1M)."""
+    from pyitd_tpu.decomp.itd import _itd_sift_xla
+    from pyitd_tpu.ops.linear_baseline import (
+        linear_baseline_extract, linear_baseline_extract_structural)
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, 384)
+    x = jnp.asarray(np.stack([
+        np.sin(20 * t * (1 + 0.2 * t)) + np.sin(13 * t)
+        + 0.1 * rng.normal(size=384),
+        np.sin(5 * t) + 0.3 * t,
+    ]))
+
+    # one level, all output cotangents
+    ct = tuple(jnp.asarray(rng.normal(size=x.shape)) for _ in range(3))
+
+    def lvl(fn):
+        def f(a):
+            r = fn(a, backend="scan")
+            return r.rotation, r.baseline, r.sub_err
+        return jax.vjp(f, x)[1](ct)[0]
+
+    g_ref = lvl(linear_baseline_extract)
+    g_str = lvl(linear_baseline_extract_structural)
+    np.testing.assert_allclose(np.asarray(g_str), np.asarray(g_ref),
+                               rtol=0, atol=1e-12)
+
+    # full sift, loss touching rotations + baselines + correction
+    def loss(backend):
+        def f(a):
+            r = _itd_sift_xla(a, 4, "reference", True,
+                              linear_backend=backend)
+            return (jnp.sum(jnp.square(r.rotations))
+                    + jnp.sum(r.baselines ** 2)
+                    + jnp.sum(r.correction * 0.7))
+        return f
+
+    g_ref = jax.grad(loss("scan"))(x)
+    g_str = jax.grad(loss("structural"))(x)
+    np.testing.assert_allclose(np.asarray(g_str), np.asarray(g_ref),
+                               rtol=0, atol=1e-11)
