@@ -116,6 +116,14 @@ def main():
          lambda a: cubic_baseline_extract(a, capacity=cub_cap,
                                           min_extrema=0).baseline,
          2000, 60),
+        # VERDICT r4 item 1: the cubic tier's custom VJP (backward = AD
+        # of the scan formulation); records the cubic grad-to-forward
+        # ratio on-chip
+        ("cubic baseline GRAD (custom vjp)",
+         jax.grad(lambda a: jnp.sum(jnp.square(
+             cubic_baseline_extract(a, capacity=cub_cap,
+                                    min_extrema=0).rotation))),
+         0, 0),
     ]
 
     # 2-D ensemble ITD (siftED2D): 20-iteration paired-noise ensemble on a

@@ -44,6 +44,13 @@ __all__ = [
     "CubicBaselineResult",
 ]
 
+# backends that run Pallas fill kernels (no JVP/transpose rules) — these
+# are wrapped in a custom VJP whose backward differentiates an equivalent
+# XLA formulation, so jax.grad works through every backend
+_PALLAS_BACKENDS = frozenset(
+    {"fills", "fills_packed", "fills_fused", "fills_unfused",
+     "fills_compact"})
+
 
 def _scatter_add_ones(shape_ref: jax.Array, positions: jax.Array, valid: jax.Array) -> jax.Array:
     """Ones scattered at ``positions`` (where valid) into a signal-shaped
@@ -856,32 +863,105 @@ def cubic_baseline_extract(
     fills_compact backends (knots beyond it are dropped); the chained
     fills backends have no compact buffers and ignore it — pass a
     capacity covering the worst case (interior extrema + 2) when
-    cross-backend agreement matters."""
-    # f32 position ceiling: the fills backends compute in f32 end to end
-    # (any input dtype) and the scan backend scatters f32 position
-    # channels — past 2^24 samples those alias and the spline silently
-    # corrupts, so refuse loudly.  The gather backend keeps positions as
-    # integers end to end (spline_moments and eval_moment_spline
-    # difference before casting) and is exact at any n and any dtype;
-    # f64 scan is exact to 2^53.
-    if x.shape[-1] > (1 << 24) and eval_backend != "gather" and (
-            x.dtype == jnp.float32 or eval_backend != "scan"):
-        raise ValueError(
-            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}); use eval_backend='gather' (exact integer "
-            "positions at any n) or a float64 input with 'scan'."
-        )
-    if eval_backend == "auto":
-        if jax.default_backend() == "cpu":
-            eval_backend = "gather"
-        elif x.shape[-1] >= 4096:
-            eval_backend = "fills"
-        else:
-            # short rows: pack many rows per kernel block — the per-row
-            # fills path is grid-step-overhead-bound there (the 2-D
-            # ensemble's (5120 x 256) shape spent ~350 ms on overhead
-            # with every unpacked backend)
-            eval_backend = "fills_packed"
+    cross-backend agreement matters.
+
+    Differentiable through EVERY backend: the Pallas fills backends carry
+    a custom VJP whose backward differentiates the equivalent XLA
+    formulation (scan on accelerators, gather on CPU) — the knot
+    STRUCTURE is treated as locally constant in x, exactly like AD of the
+    where/select gather formulation (pinned in tests)."""
+    eval_backend = _resolve_cubic_backend(eval_backend, x.shape[-1])
+    _check_cubic_ceiling(x, eval_backend)
+    if eval_backend in _PALLAS_BACKENDS:
+        return _cubic_extract_structural(x, capacity, min_extrema,
+                                         eval_backend)
+    return _cubic_extract_impl(x, capacity, min_extrema, eval_backend)
+
+
+def _resolve_cubic_backend(eval_backend: str, n: int) -> str:
+    if eval_backend != "auto":
+        return eval_backend
+    if jax.default_backend() == "cpu":
+        return "gather"
+    if n >= 4096:
+        return "fills"
+    # short rows: pack many rows per kernel block — the per-row
+    # fills path is grid-step-overhead-bound there (the 2-D
+    # ensemble's (5120 x 256) shape spent ~350 ms on overhead
+    # with every unpacked backend)
+    return "fills_packed"
+
+
+def _check_cubic_ceiling(x: jax.Array, eval_backend: str) -> None:
+    """f32 position ceiling, applied to the RESOLVED backend: the fills
+    backends compute in f32 end to end (any input dtype) and the scan
+    backend scatters f32 position channels — past 2^24 samples those
+    alias and the spline silently corrupts, so refuse loudly.  The gather
+    backend keeps positions as integers end to end (spline_moments and
+    eval_moment_spline difference before casting) and is exact at any n
+    and any dtype; f64 scan is exact to 2^53."""
+    if x.shape[-1] <= (1 << 24) or eval_backend == "gather":
+        return
+    if eval_backend == "scan" and x.dtype != jnp.float32:
+        return
+    raise ValueError(
+        f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
+        f"(2^24={1 << 24}) of the {eval_backend!r} backend; use "
+        "eval_backend='gather' (exact integer positions at any n) or a "
+        "float64 input with 'scan'."
+    )
+
+
+def _cubic_extract_structural(x, capacity, min_extrema, eval_backend):
+    """The fills backends behind a custom VJP.
+
+    The Pallas fill/SPIKE kernels have no AD rules — ``jax.grad`` through
+    them raised ``TypeError: Zero(...) is not a valid JAX type`` (same
+    failure the linear sift fixed in round 4; this ports that fix, as the
+    round-4 verdict required).  The backward differentiates the scan
+    formulation (gather on CPU), which computes the same function: the
+    level is linear in x for fixed knot structure, and the structure is
+    x-a.e.-constant.  Knot truncation delta: the chained fills forwards
+    ignore ``capacity`` (never truncate), so the backward runs with
+    capacity >= n to differentiate the same untruncated function — under
+    a deliberately small capacity with ``fills_compact`` the gradient is
+    that of the untruncated map.
+    """
+
+    @jax.custom_vjp
+    def level(xx):
+        return _cubic_extract_impl(xx, capacity, min_extrema, eval_backend)
+
+    def fwd(xx):
+        return level(xx), xx
+
+    def bwd(xx, ct):
+        g_rot, g_base, _g_nex = ct
+
+        def z(g):
+            # float0 / symbolic-zero cotangents arrive for unused outputs
+            if g is None or getattr(g, "dtype", None) == jax.dtypes.float0:
+                return jnp.zeros_like(xx)
+            return g
+
+        diff_backend = ("gather" if jax.default_backend() == "cpu"
+                        else "scan")
+        cap_bwd = max(capacity, xx.shape[-1] + 2)
+
+        def f(xi):
+            r = _cubic_extract_impl(xi, cap_bwd, min_extrema, diff_backend)
+            return r.rotation, r.baseline
+
+        _, pull = jax.vjp(f, xx)
+        return (pull((z(g_rot), z(g_base)))[0],)
+
+    level.defvjp(fwd, bwd)
+    return level(x)
+
+
+def _cubic_extract_impl(x, capacity, min_extrema, eval_backend):
+    """Backend dispatch after resolution + ceiling checks (no AD
+    protection — :func:`cubic_baseline_extract` is the public entry)."""
     if eval_backend == "fills_packed":
         baseline, nex = _eval_fills_small(x, min_extrema)
         return CubicBaselineResult(

@@ -336,3 +336,113 @@ def test_degenerate_rows_agree_across_backends():
             np.testing.assert_allclose(
                 b, ref, atol=3e-6 * scale,
                 err_msg=f"{name}: {be} diverges from gather")
+
+
+# ---------------------------------------------------------------------------
+# differentiation contract (VERDICT r4 item 1): jax.grad works through EVERY
+# backend — the Pallas fills backends carry a custom VJP that differentiates
+# the equivalent XLA formulation, so the TPU-default path no longer crashes
+# with "Zero(...) is not a valid JAX type".
+# ---------------------------------------------------------------------------
+import jax
+
+
+def _pullback(backend, x, ct_rot, ct_base, min_extrema=0):
+    cap = x.shape[-1] + 2
+
+    def f(xx):
+        r = cubic_baseline_extract(xx, cap, min_extrema=min_extrema,
+                                   eval_backend=backend)
+        return r.rotation, r.baseline
+
+    _, pull = jax.vjp(f, x)
+    return np.asarray(pull((ct_rot, ct_base))[0])
+
+
+_ALL_BACKENDS = ("gather", "scan", "fills", "fills_unfused",
+                 "fills_compact", "fills_fused", "fills_packed")
+
+
+def test_grad_all_backends_match_gather_ad():
+    """Fixed cotangents isolate the adjoint MAP (the fills forwards are
+    f32, so output-dependent cotangents would smuggle in forward roundoff
+    — a separate test covers that); the adjoint itself must agree with
+    the gather-backend AD at f64 tightness."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(96), jnp.float64)
+    ct_r = jnp.asarray(rng.standard_normal(96), jnp.float64)
+    ct_b = jnp.asarray(rng.standard_normal(96), jnp.float64)
+    ref = _pullback("gather", x, ct_r, ct_b)
+    for be in _ALL_BACKENDS[1:]:
+        got = _pullback(be, x, ct_r, ct_b)
+        np.testing.assert_allclose(
+            got, ref, atol=1e-10, err_msg=f"{be} adjoint diverges")
+
+
+def test_grad_degenerate_rows_match_gather_ad():
+    """The degenerate-row matrix of test_degenerate_rows_agree_across_
+    backends, under the adjoint: same 1e-10 agreement bar."""
+    n = 32
+    t = np.arange(n, dtype=float)
+    cases = {
+        "tent": np.minimum(t, n - 1 - t),
+        "monotone": t * 1.7,
+        "constant": np.ones(n),
+        "two_extrema": np.sin(2 * np.pi * t / 20),
+    }
+    rng = np.random.default_rng(11)
+    for name, sig in cases.items():
+        x = jnp.asarray(sig, jnp.float64)
+        ct_r = jnp.asarray(rng.standard_normal(n), jnp.float64)
+        ct_b = jnp.asarray(rng.standard_normal(n), jnp.float64)
+        ref = _pullback("gather", x, ct_r, ct_b)
+        for be in _ALL_BACKENDS[1:]:
+            got = _pullback(be, x, ct_r, ct_b)
+            np.testing.assert_allclose(
+                got, ref, atol=1e-10,
+                err_msg=f"{name}: {be} adjoint diverges")
+
+
+def test_grad_nonlinear_loss_through_fills():
+    """jax.grad of a nonlinear functional through the TPU-default fills
+    backend: cotangents depend on the (f32) forward outputs, so agreement
+    with the f64 gather AD is at f32-forward roundoff scale."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(256), jnp.float64)
+
+    def loss(backend):
+        def f(xx):
+            r = cubic_baseline_extract(xx, 258, min_extrema=0,
+                                       eval_backend=backend)
+            return jnp.sum(r.rotation ** 2) + jnp.sum(jnp.cos(r.baseline))
+        return f
+
+    ref = np.asarray(jax.grad(loss("gather"))(x))
+    for be in ("fills", "fills_packed"):
+        got = np.asarray(jax.grad(loss(be))(x))
+        np.testing.assert_allclose(got, ref, atol=5e-6,
+                                   err_msg=f"{be} grad diverges")
+
+
+def test_grad_passthrough_guard():
+    """Below min_extrema the level is identity (baseline = x, rotation =
+    0); its gradient must be exactly that of identity, through fills."""
+    n = 64
+    x = jnp.asarray(np.linspace(0.0, 3.0, n) ** 2, jnp.float64)  # monotone
+    ct_r = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+    ct_b = jnp.asarray(np.random.default_rng(4).standard_normal(n))
+    for be in ("gather", "fills"):
+        got = _pullback(be, x, ct_r, ct_b, min_extrema=10)
+        np.testing.assert_allclose(got, np.asarray(ct_b), atol=1e-12,
+                                   err_msg=f"{be} passthrough grad wrong")
+
+
+def test_auto_backend_resolves_before_ceiling_guard():
+    """ADVICE r4: eval_backend='auto' must resolve BEFORE the f32
+    position-ceiling check — on CPU auto picks the exact gather backend,
+    which is open at any n."""
+    n_big = (1 << 24) + 8
+    res = jax.eval_shape(
+        lambda a: cubic_baseline_extract(a, 64, eval_backend="auto"),
+        jax.ShapeDtypeStruct((n_big,), jnp.float32))
+    assert res.baseline.shape == (n_big,)
