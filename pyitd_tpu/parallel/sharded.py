@@ -726,30 +726,63 @@ def sharded_itd_sift(x, mesh: Mesh, max_iteration: int = 11, *,
     if bpad:
         x = jnp.concatenate(
             [x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], axis=0)
-    extra = {}
+    out_specs = (P(None, "data", "seq"), P("data"), P("data"),
+                 P("data", "seq"))
+
+    def smap(local, **extra):
+        return shard_map(local, mesh=mesh, in_specs=P("data", "seq"),
+                         out_specs=out_specs, **extra)
+
+    fn_xla = smap(partial(_sift_local, axis_name="seq", n_global=n_global,
+                          max_iteration=max_iteration,
+                          endpoint_mode=endpoint_mode))
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
-        local = partial(
-            _sift_local_pallas, axis_name="seq", n_global=n_global,
-            max_iteration=max_iteration, endpoint_mode=endpoint_mode,
-            interpret=interpret)
+        extra = {}
         if interpret:
             # PLATFORM-WA(interpret-vma): the Pallas HLO interpreter cannot
             # thread vma through its internal loops; compiled TPU runs keep
             # full vma checking (docs/PLATFORM.md)
             extra["check_vma"] = False
+        fn_pallas = smap(partial(
+            _sift_local_pallas, axis_name="seq", n_global=n_global,
+            max_iteration=max_iteration, endpoint_mode=endpoint_mode,
+            interpret=interpret), **extra)
+
+        # the shard-local Pallas kernels have no AD rules; jax.grad
+        # through them would crash like the single-chip and cubic tiers
+        # did (VERDICT r4 item 3) — the custom VJP recomputes the
+        # backward through the differentiable XLA sharded fills (whose
+        # collectives all transpose), keeping the sharded sift
+        # first-class under AD on every backend
+        @jax.custom_vjp
+        def run(xx):
+            return fn_pallas(xx)
+
+        def fwd(xx):
+            return run(xx), xx
+
+        def bwd(xx, ct):
+            g_rot, _g_ncomp, _g_reason, g_corr = ct
+
+            def z(g, shape):
+                if g is None or getattr(g, "dtype", None) == jax.dtypes.float0:
+                    return jnp.zeros(shape, xx.dtype)
+                return g
+
+            def f(xi):
+                r = fn_xla(xi)
+                return r[0], r[3]
+
+            levels = max_iteration + 2
+            _, pull = jax.vjp(f, xx)
+            return (pull((z(g_rot, (levels,) + xx.shape),
+                          z(g_corr, xx.shape)))[0],)
+
+        run.defvjp(fwd, bwd)
+        fn = run
     else:
-        local = partial(_sift_local, axis_name="seq", n_global=n_global,
-                        max_iteration=max_iteration,
-                        endpoint_mode=endpoint_mode)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=P("data", "seq"),
-        out_specs=(P(None, "data", "seq"), P("data"), P("data"),
-                   P("data", "seq")),
-        **extra,
-    )
+        fn = fn_xla
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
     rot, ncomp, reason, corr = jax.jit(fn)(xs)
     if pad:
