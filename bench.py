@@ -271,11 +271,13 @@ def main():
     from pyitd_tpu import itd_sift
     from pyitd_tpu.utils.summation import neumaier_sum_parts
 
-    # pre-seed the persistent cache with the shipped headline entries
-    # (tools/cache_seed: 2 files, ~6 MB — the compiled headline program
-    # keyed by HLO hash + pinned platform).  Honest reporting: the seed
-    # count is printed; a key mismatch (different jax/libtpu) just means
-    # a normal cold compile.
+    # pre-seed the persistent cache from tools/cache_seed when present.
+    # The seed dir is NOT committed (ADVICE r4: binary jit blobs bloat
+    # history and go stale on any jax/libtpu bump) — generate it at
+    # deploy time by running tools/cold_compile_probe.py with
+    # JAX_COMPILATION_CACHE_DIR=tools/cache_seed.  Honest reporting: the
+    # seed count is printed; a key mismatch (different jax/libtpu) just
+    # means a normal cold compile.
     seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "cache_seed")
     n_seeded = 0

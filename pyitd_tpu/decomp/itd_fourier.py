@@ -109,6 +109,11 @@ def itd_sine_sift(x: jax.Array, sample_rate: int):
     """C12: returns ``(rotations[F, ..., n], residual)`` — the reference's
     ``products`` list is rotations + final problem.
 
+    Batched layout: for input ``(..., n)`` the rotations stack as
+    ``(F, ..., n)`` — the frequency axis LEADS.  (Changed in round 4:
+    the old vmap path emitted ``(batch, F, n)``; the documented
+    ``(F, ..., n)`` contract is now pinned by a test.)
+
     The comb is unrolled in Python: template positions are pure config,
     so each frequency runs the STATIC fast path (one row gather + baked
     per-sample coefficients; buffers trimmed to its own knot count)

@@ -760,6 +760,16 @@ def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array)
     the static fast path (:func:`_template_fast_baseline_static`)."""
     import numpy as _np
 
+    # f32 position ceiling (ADVICE r4): both paths evaluate
+    # s = (it - pos_j) / h with a float sample grid — for f32 inputs the
+    # grid aliases past 2^24 samples, the silent-corruption mode guarded
+    # everywhere else.  f64 is exact to 2^53.
+    if x.dtype == jnp.float32 and x.shape[-1] > (1 << 24):
+        raise ValueError(
+            f"n={x.shape[-1]} exceeds the f32 sample-grid ceiling "
+            f"(2^24={1 << 24}) of template_fast_baseline; use a float64 "
+            "input."
+        )
     if isinstance(positions, _np.ndarray) and isinstance(
             count, (int, _np.integer)):
         return _template_fast_baseline_static(x, positions, int(count))

@@ -1,6 +1,8 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from pyitd_tpu.ops.cubic_baseline import template_fast_baseline
 from pyitd_tpu.decomp.itd_fourier import (
     sine_template_positions,
     itd_sine_sift,
@@ -126,3 +128,38 @@ def test_reference_moments_affine_matches_scan():
         b = reference_spline_moments(knots, h, count, method="affine")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_sine_sift_batched_layout():
+    """ADVICE r4: the batched output layout is (F, batch, n) — frequency
+    axis leading, matching the documented (F, ..., n) contract — and each
+    batch row equals the 1-D result."""
+    rng = np.random.default_rng(5)
+    sr, n = 256, 1000
+    x2 = rng.standard_normal((3, n))
+    rot2, res2 = itd_sine_sift(jnp.asarray(x2), sr)
+    rot0, res0 = itd_sine_sift(jnp.asarray(x2[1]), sr)
+    assert rot2.shape == (rot0.shape[0], 3, n)
+    assert res2.shape == (3, n)
+    np.testing.assert_allclose(np.asarray(rot2[:, 1]), np.asarray(rot0),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res2[1]), np.asarray(res0),
+                               atol=1e-12)
+
+
+def test_template_fast_baseline_f32_ceiling():
+    """ADVICE r4: the template tier's float sample grid aliases past 2^24
+    for f32 inputs — must refuse loudly (f64 stays open)."""
+    import pytest as _pytest
+
+    n_big = (1 << 24) + 8
+    pos = np.zeros(16, np.int64)
+    pos[:8] = np.arange(8) * (n_big // 8)
+    with _pytest.raises(ValueError, match="f32 sample-grid ceiling"):
+        jax.eval_shape(
+            lambda a: template_fast_baseline(a, pos, 8),
+            jax.ShapeDtypeStruct((n_big,), jnp.float32))
+    res = jax.eval_shape(
+        lambda a: template_fast_baseline(a, pos, 8),
+        jax.ShapeDtypeStruct((n_big,), jnp.float64))
+    assert res.shape == (n_big,)
