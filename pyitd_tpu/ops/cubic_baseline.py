@@ -21,6 +21,13 @@ Two tiers, matching the reference's two cubic code paths:
 Both are fixed-shape: padded position buffers + counts, masked scans over
 the knot axis, scatter+cumsum segment ids, and gathers for evaluation —
 jit/vmap/shard friendly.
+
+Numerical hazard (docs/NUMERICS.md, "f32 quantization extrema"): smooth
+noiseless signals whose adjacent-sample deltas fall below one f32 ulp
+quantize to plateaus that mint thousands of spurious extrema, and the
+not-a-knot end-moment extrapolation amplifies the resulting solver noise
+by the ratio of adjacent knot spacings (~1e9x measured).  Property of the
+quantized INPUT, not of any backend — feed such signals in float64.
 """
 from __future__ import annotations
 
