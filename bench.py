@@ -54,13 +54,49 @@ import os as _os
 _SMALL = bool(_os.environ.get("PYITD_BENCH_SMALL"))
 
 
+# what vs_baseline MEANS per metric, so a parser never misreads the one
+# speedup-typed line as a throughput ratio (VERDICT r4 item 5), plus the
+# explicit per-config bar (only the sift family has a published target;
+# the FFT configs never had one — their bar is the reference itself)
+_CONFIG_META = {
+    "itd_sift_throughput": ("value / 100 Msamp/s (BASELINE.md v5e target)", 100.0),
+    "eeg_vmapped_sift": ("value / 100 Msamp/s (same family as headline)", 100.0),
+    "efd_1m_throughput": ("value / 100 Msamp/s (sift-family bar, for continuity; no published EFD target)", None),
+    "itd_fourier_1m_throughput": ("value / 100 Msamp/s (sift-family bar, for continuity; no published target)", None),
+    "meitd_ensemble_throughput": ("ensemble speedup over one-at-a-time (bar >= 3.6)", 3.6),
+}
+
+# one-time reference/oracle CPU timings (tools/reference_timings.json);
+# vs_reference = value / reference_msamp_per_s where measurable
+try:
+    with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "tools", "reference_timings.json")) as _f:
+        _REF_TIMINGS = json.load(_f)
+except Exception:  # pragma: no cover - bench must never die on metadata
+    _REF_TIMINGS = {}
+
+
 def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(float(value), 2),
         "unit": unit,
         "vs_baseline": round(float(vs_baseline), 3),
-    }))
+    }
+    kind, target = _CONFIG_META.get(metric, (None, None))
+    if kind:
+        line["vs_baseline_means"] = kind
+    line["target"] = target
+    ref = _REF_TIMINGS.get(metric)
+    if ref and ref.get("reference_msamp_per_s"):
+        line["vs_reference"] = round(float(value) / ref["reference_msamp_per_s"], 1)
+        line["reference_note"] = ref["how"] + (
+            " [proxy oracle, not the reference itself]" if ref.get("proxy")
+            else "")
+    elif ref:
+        line["vs_reference"] = None
+        line["reference_note"] = ref["how"]
+    print(json.dumps(line))
     sys.stdout.flush()
 
 
@@ -389,16 +425,7 @@ def main():
     print(f"time/sift: {dt*1e3:.1f} ms for {batch}x{n} (checksum {acc:.3e})",
           file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "itd_sift_throughput",
-                "value": round(msamp, 2),
-                "unit": "Msamples/sec/chip",
-                "vs_baseline": round(msamp / 100.0, 3),
-            }
-        )
-    )
+    _emit("itd_sift_throughput", msamp, "Msamples/sec/chip", msamp / 100.0)
 
 
 if __name__ == "__main__":
