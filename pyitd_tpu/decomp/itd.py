@@ -45,6 +45,15 @@ STOP_FLAT = 1     # stop A: baseline has < 2 extrema
 STOP_BUDGET = 2   # stop B: level budget exhausted
 
 
+def _force_pos_bits() -> bool:
+    """Test hook: force the i32 bit-pattern position channels at any n
+    (tests pin bitwise parity against value mode at small n, so the
+    any-n encoding stays suite-protected without 16M-sample runs)."""
+    import os as _os
+
+    return bool(_os.environ.get("PYITD_FORCE_POS_BITS"))
+
+
 class SiftResult(NamedTuple):
     """Fixed-shape sift output.
 
@@ -127,22 +136,23 @@ def itd_sift(
         use_emit = False
     else:
         raise ValueError(f"unknown backend: {backend!r}")
-    # f32 knot-position ceiling (docs/PLATFORM.md): the Pallas kernels
-    # carry positions in f32 channels, exact only to 2^24 — past that,
-    # positions alias and knots silently corrupt, so refuse loudly.  The
-    # XLA path delegates to linear_baseline_extract's own guard: its
-    # integer-indexed 'gather' backend (and f64 'scan') stays exact at
-    # any n — select it via ``linear_backend`` on accelerators.
-    if (use_emit and x.dtype == jnp.float32
-            and x.shape[-1] > (1 << 24)):
-        raise ValueError(
-            f"n={x.shape[-1]} exceeds the f32 knot-position ceiling "
-            f"(2^24={1 << 24}) of the Pallas sift kernels: positions "
-            "would alias and produce wrong knots. Use backend='xla' with "
-            "linear_backend='gather' (exact integer positions), cast the "
-            "input to float64, or shard the time axis "
-            "(parallel.sharded.sharded_itd_sift lifts the ceiling)."
-        )
+    # Position exactness (docs/PLATFORM.md, docs/NUMERICS.md): below 2^24
+    # samples the Pallas kernels carry knot positions as plain f32 values;
+    # above, they switch to i32 bit-pattern position channels (the sharded
+    # path's encoding ported in round 5 — ops/pallas_fill.py `_enc_pos`),
+    # exact to POS_BITS_MAX_N (~2^31, beyond single-chip HBM).  The guard
+    # below is therefore only the encoding's own ceiling.
+    if use_emit and x.dtype == jnp.float32:
+        from ..ops.pallas_fill import POS_BITS_MAX_N
+
+        if x.shape[-1] > POS_BITS_MAX_N:
+            raise ValueError(
+                f"n={x.shape[-1]} exceeds the bit-pattern position ceiling "
+                f"({POS_BITS_MAX_N}) of the Pallas sift kernels. Use "
+                "backend='xla' with linear_backend='gather' (exact integer "
+                "positions at any n), cast the input to float64, or shard "
+                "the time axis (parallel.sharded.sharded_itd_sift)."
+            )
     if use_emit:
         if x.dtype != jnp.float32:
             raise ValueError(
@@ -290,7 +300,7 @@ def _itd_sift_xla(x, max_iteration, endpoint_mode, store_baselines,
 
 
 def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
-                   early_exit=False, fused=False):
+                   early_exit=False, fused=False, position_encoding=None):
     """TPU fast path: identical loop semantics to the XLA body above, but
     each trip is one fused Pallas level (``sift_level_emit_padded``) that
     also materializes the output row and compensation update in-register,
@@ -301,8 +311,12 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
     one-kernel-per-trip form (``itd_sift`` rejects fused + early_exit)."""
     if fused:
         return _itd_sift_fused(x, max_iteration, endpoint_mode,
-                               store_baselines)
-    from ..ops.pallas_fill import _pad_edges, sift_level_emit_padded
+                               store_baselines,
+                               position_encoding=position_encoding)
+    from functools import partial as _partial
+
+    from ..ops.pallas_fill import _pad_edges
+    from ..ops.pallas_fill import sift_level_emit_padded as _emit_padded
 
     levels = max_iteration + 2
     batch_shape = x.shape[:-1]
@@ -310,6 +324,13 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
     x2 = x.reshape(-1, n).astype(jnp.float32)
     rows = x2.shape[0]
     interp = jax.default_backend() != "tpu"
+    # i32 bit-pattern position channels above the f32 value ceiling (or
+    # forced for parity tests) — see ops/pallas_fill.py `_enc_pos`
+    if position_encoding is None:
+        encode = n > (1 << 24) or _force_pos_bits()
+    else:
+        encode = position_encoding == "bits"
+    sift_level_emit_padded = _partial(_emit_padded, encode=encode)
 
     x3, pe, ne, npad, nblk = _pad_edges(x2)
     bf = 0.5 * (x2[:, 0] + x2[:, 1])
@@ -418,7 +439,7 @@ def _itd_sift_emit(x, max_iteration, endpoint_mode, store_baselines,
 
 
 def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines,
-                    fold_emit=None):
+                    fold_emit=None, position_encoding=None):
     """TPU fast path v2: ONE reverse-walking kernel per trip
     (``sift_level_fused_padded``) — the reverse scan chains its suffix
     through the kernel's SMEM carry, the forward scan is seeded from an
@@ -434,10 +455,12 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines,
     XLA reduce — bit-identical outputs, pinned in tests; kept opt-in
     until the on-chip A/B records a win."""
     import os as _os
+    from functools import partial as _partial
 
-    from ..ops.pallas_fill import (
-        _pad_edges, block_edge_scalars, fold_emit_states,
-        level_block_states_fwd, sift_level_fused_padded)
+    from ..ops.pallas_fill import _pad_edges, block_edge_scalars
+    from ..ops.pallas_fill import fold_emit_states as _fe_states
+    from ..ops.pallas_fill import level_block_states_fwd as _lbs_fwd
+    from ..ops.pallas_fill import sift_level_fused_padded as _fused_padded
 
     if fold_emit is None:
         fold_emit = bool(_os.environ.get("PYITD_FOLD_EMIT"))
@@ -448,6 +471,13 @@ def _itd_sift_fused(x, max_iteration, endpoint_mode, store_baselines,
     x2 = x.reshape(-1, n).astype(jnp.float32)
     rows = x2.shape[0]
     interp = jax.default_backend() != "tpu"
+    if position_encoding is None:
+        encode = n > (1 << 24) or _force_pos_bits()
+    else:
+        encode = position_encoding == "bits"
+    sift_level_fused_padded = _partial(_fused_padded, encode=encode)
+    level_block_states_fwd = _partial(_lbs_fwd, encode=encode)
+    fold_emit_states = _partial(_fe_states, encode=encode)
 
     x3, pe, ne, npad, nblk = _pad_edges(x2)
     zero3 = x3 * 0

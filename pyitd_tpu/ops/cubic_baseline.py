@@ -721,7 +721,12 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
 
     h = (e_next - pos).astype(npdt)  # h[count-1] = -e[count-1], as in the ref
     h = np.where(k < count, h, np.zeros_like(h))
-    moments = reference_spline_moments(knots, jnp.asarray(h), jnp.int32(count))
+    # "banded": the truncated affine doubling (64-knot exact window; the
+    # recurrence's propagator decays below f64 roundoff well inside it —
+    # ops/tridiag._affine_scan_banded).  At template-comb knot counts the
+    # full log-depth scan ran 20 rounds where 6 carry all the signal.
+    moments = reference_spline_moments(knots, jnp.asarray(h),
+                                       jnp.int32(count), method="banded")
 
     # static per-sample structure: ONLY the segment map is baked (one
     # i32 (n,) constant per frequency — baking the interpolation

@@ -189,10 +189,15 @@ def _baseline_pallas(x, knots, it, n, endpoint_mode):
     x2 = x.reshape(-1, n)
 
     # off-TPU the Mosaic kernel can't compile; interpret mode keeps the
-    # backend selectable (and CI-testable) everywhere
+    # backend selectable (and CI-testable) everywhere.  Above 2^24 the
+    # kernels switch to i32 bit-pattern position channels (exact at any
+    # n — ops/pallas_fill.py `_enc_pos`).
+    import os as _os
+
+    encode = n > (1 << 24) or bool(_os.environ.get("PYITD_FORCE_POS_BITS"))
     interp = jax.default_backend() != "tpu"
     baseline, rotation, err, nex = linear_level_pallas(
-        x2, endpoint_mode=endpoint_mode, interpret=interp
+        x2, endpoint_mode=endpoint_mode, interpret=interp, encode=encode
     )
 
     def unflat(a):
@@ -237,18 +242,26 @@ def linear_baseline_extract(
             backend = "scan"
     if backend not in ("gather", "scan", "pallas"):
         raise ValueError(f"unknown backend: {backend!r}")
-    # f32 position ceiling: the pallas kernels (always) and the scan
-    # backend (for f32 inputs) carry knot positions in f32 channels —
-    # exact only to 2^24, aliasing silently past it.  The gather backend
-    # selects by integer index and is exact at any n.
-    if n > (1 << 24) and (
-            backend == "pallas"
-            or (backend == "scan" and x.dtype == jnp.float32)):
+    # Position exactness: the scan backend (for f32 inputs) carries knot
+    # positions in f32 value channels — exact only to 2^24, aliasing
+    # silently past it, so refuse.  The pallas backend switches to i32
+    # bit-pattern position channels above 2^24 (exact to POS_BITS_MAX_N);
+    # the gather backend selects by integer index and is exact at any n.
+    if n > (1 << 24) and backend == "scan" and x.dtype == jnp.float32:
         raise ValueError(
             f"n={n} exceeds the f32 knot-position ceiling (2^24={1 << 24}) "
             f"of the {backend!r} backend; use backend='gather' or a "
             "float64 input with backend='scan'."
         )
+    if backend == "pallas":
+        from .pallas_fill import POS_BITS_MAX_N
+
+        if n > POS_BITS_MAX_N:
+            raise ValueError(
+                f"n={n} exceeds the bit-pattern position ceiling "
+                f"({POS_BITS_MAX_N}) of the pallas backend; use "
+                "backend='gather'."
+            )
 
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
 

@@ -41,6 +41,61 @@ BLK = 8192
 _LANES = 128
 _NONE = -1.0  # "no mark yet" sentinel in the position channels
 
+# --- i32 bit-pattern position channels (any-n exactness) -------------------
+# f32 VALUE position channels are exact only to 2^24 samples.  In "bits"
+# mode (VERDICT r4 item 6: the sharded path's i32 trick ported into these
+# kernels) a position p rides the fill machinery as the f32 whose BIT
+# PATTERN is p + _ENC_OFF.  Every encoded position is then a normal
+# positive float (offset 2^23 = the smallest normal's pattern, so nothing
+# is subnormal and hardware flush-to-zero can't touch it), and because
+# IEEE ordering of positive floats equals the ordering of their bit
+# patterns, the sign-encoded _NONE sentinel, the >= 0 mark tests, all
+# ordering comparisons, and equality behave EXACTLY as in value mode while
+# distinct positions can never alias.  The machinery only selects/compares
+# positions; the few sites doing position ARITHMETIC (knot weights, nex
+# iota match) decode via bitcast — and pairwise differences need no offset
+# at all (it cancels).  Ceiling: p + _ENC_OFF must stay below the +inf
+# pattern (0x7F800000), i.e. n < 2^31 - 2^23 — beyond single-chip HBM.
+_ENC_OFF = np.int32(0x00800000)
+POS_BITS_MAX_N = (1 << 31) - (1 << 24)  # conservative (padding headroom)
+
+
+def _enc_pos(pos_i32, encode: bool):
+    """Position channel value for integer positions: plain f32 cast in
+    value mode, offset bit pattern in bits mode."""
+    if not encode:
+        return pos_i32.astype(jnp.float32)
+    return lax.bitcast_convert_type(pos_i32 + _ENC_OFF, jnp.float32)
+
+
+def _enc_const(p: int, encode: bool) -> float:
+    if not encode:
+        return float(p)
+    return float(np.int32(int(p) + int(_ENC_OFF)).view(np.float32))
+
+
+def _pos_diff(a_f, b_f, encode: bool):
+    """a - b on position channels as f32.  Bits mode subtracts the i32
+    patterns (offset cancels; exact at any n for the < 2^24 spans the
+    f32 weight ratio can represent); value mode keeps the legacy f32
+    subtract bit-for-bit."""
+    if not encode:
+        return a_f - b_f
+    return (lax.bitcast_convert_type(a_f, jnp.int32)
+            - lax.bitcast_convert_type(b_f, jnp.int32)).astype(jnp.float32)
+
+
+def _knot_value_fn(encode: bool):
+    """The Frei-Osorio knot-value formula over (position, value) fill
+    channels — the one epilogue site that does position arithmetic."""
+    def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
+        span = _pos_diff(rpos, lpos, encode)
+        w = _pos_diff(kpos, lpos, encode) / jnp.where(
+            span == 0, jnp.ones_like(span), span)
+        formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
+        return jnp.where(is_first, end_val, formula)
+    return knot_value
+
 # PLATFORM-WA(donation): still-live/multiply-donated Pallas operands
 # corrupt on the pinned backend — kernels declare structural aliases only
 # (docs/PLATFORM.md).  PYITD_NO_ALIAS=1 is the diagnostic escape hatch:
@@ -343,7 +398,7 @@ def _roll_next(a, boundary, row, lane):
     return jnp.where((lane == _LANES - 1) & (row == sub - 1), boundary, nxt)
 
 
-def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
+def _knot_state(x, blk, n_real, prev_scalar, next_scalar, encode=False):
     """In-kernel ITD knot mask (canonical extrema + endpoints, NaN
     quarantine) and sign-encoded fill2 init state for one block."""
     sub = BLK // _LANES
@@ -372,7 +427,7 @@ def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
     )
 
     state = (
-        jnp.where(m, pos.astype(jnp.float32), _NONE),
+        jnp.where(m, _enc_pos(pos, encode), _NONE),
         x,
         jnp.full_like(x, _NONE),
         x,
@@ -381,7 +436,8 @@ def _knot_state(x, blk, n_real, prev_scalar, next_scalar):
 
 
 @lru_cache(maxsize=None)
-def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
+def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int,
+                              encode: bool = False):
     sub = BLK // _LANES
 
     def kernel(xprev_ref, xnext_ref, x_ref, p1p_ref, p1x_ref, p2p_ref,
@@ -395,7 +451,8 @@ def _make_linear_fill2_kernel(reverse: bool, n_real: int, nblk: int):
 
         blk = (nblk - 1 - g) if reverse else g
         _, _, _, _, state = _knot_state(
-            x_ref[0], blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+            x_ref[0], blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk],
+            encode
         )
         carry_in = tuple(carry[i] for i in range(4))
         state, carry_out = _block_scan(state, reverse, carry_in, sub)
@@ -447,7 +504,8 @@ def block_edge_scalars(base3, nblk):
     return pe, ne
 
 
-def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
+def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse,
+                         interpret, encode=False):
     """Run the ITD fill2 kernel on already-padded 3-D inputs; returns the
     four fill channels still in padded 3-D layout."""
     rows = x3.shape[0]
@@ -466,7 +524,7 @@ def _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk, reverse, interpret):
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
     return pl.pallas_call(
-        _make_linear_fill2_kernel(reverse, n, nblk),
+        _make_linear_fill2_kernel(reverse, n, nblk, encode),
         grid_spec=grid_spec,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3)] * 4,
         interpret=interpret,
@@ -498,9 +556,11 @@ def linear_fill2_pallas(x: jax.Array, *, reverse: bool = False,
 
 
 @lru_cache(maxsize=None)
-def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
+def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str,
+                                 encode: bool = False):
     sub = BLK // _LANES
-    nm1 = float(n_real - 1)
+    nm1 = _enc_const(n_real - 1, encode)
+    enc0 = _enc_const(0, encode)
 
     def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, x_ref,
                f1p_ref, f1x_ref, f2p_ref, f2x_ref, base_ref, rot_ref,
@@ -515,7 +575,7 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
         pos, row, lane, _, state = _knot_state(
-            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk], encode
         )
         # carry_in = inclusive reverse state at the NEXT block's first
         # element — read it before updating: it is both this block's scan
@@ -539,13 +599,9 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
         b_first = bfirst_ref[r]
         b_last = blast_ref[r]
 
-        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
-            span = rpos - lpos
-            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
-            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
-            return jnp.where(is_first, end_val, formula)
+        knot_value = _knot_value_fn(encode)
 
-        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == enc0)
         b_l = jnp.where(f1p == nm1, b_last, b_l)
         b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
 
@@ -574,7 +630,7 @@ def _make_linear_baseline_kernel(n_real: int, nblk: int, endpoint_mode: str):
 
 
 def _linear_baseline_padded(x3, fwd3, prev_edge, next_edge, b_first, b_last,
-                            n, nblk, endpoint_mode, interpret):
+                            n, nblk, endpoint_mode, interpret, encode=False):
     """Run the fused reverse-fill + epilogue kernel on padded 3-D inputs;
     returns padded (baseline, rotation, sub_err)."""
     rows = x3.shape[0]
@@ -589,7 +645,7 @@ def _linear_baseline_padded(x3, fwd3, prev_edge, next_edge, b_first, b_last,
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
     )
     return pl.pallas_call(
-        _make_linear_baseline_kernel(n, nblk, endpoint_mode),
+        _make_linear_baseline_kernel(n, nblk, endpoint_mode, encode),
         grid_spec=grid_spec,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3,
         interpret=interpret,
@@ -631,9 +687,9 @@ def linear_baseline_pallas(x: jax.Array, f1p: jax.Array, f1x: jax.Array,
     return out[0].reshape(rows, npad)[..., :n]
 
 
-@partial(jax.jit, static_argnames=("endpoint_mode", "interpret"))
+@partial(jax.jit, static_argnames=("endpoint_mode", "interpret", "encode"))
 def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
-                        interpret: bool = False):
+                        interpret: bool = False, encode: bool = False):
     """One full linear-baseline level: forward fill2 kernel + fused
     reverse/epilogue kernel, with the four intermediate fill channels kept
     in padded 3-D layout between the two (no crop/re-pad copies — at
@@ -647,23 +703,25 @@ def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
     rows, n = x.shape
     x3, prev_edge, next_edge, npad, nblk = _pad_edges(x)
     fwd3 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
-                                reverse=False, interpret=interpret)
+                                reverse=False, interpret=interpret,
+                                encode=encode)
     b_first = 0.5 * (x[:, 0] + x[:, 1]).astype(jnp.float32)
     b_last = 0.5 * (x[:, n - 2] + x[:, n - 1]).astype(jnp.float32)
     base, rot, err = _linear_baseline_padded(
         x3, fwd3, prev_edge, next_edge, b_first, b_last, n, nblk,
-        endpoint_mode, interpret,
+        endpoint_mode, interpret, encode,
     )
 
     def crop(a):
         return a.reshape(rows, npad)[..., :n]
 
     # knot count from the forward channels: a sample is a knot iff it is
-    # its own most-recent knot (positions are exact in f32 below 2^24);
-    # padded samples never match (their p1 position is < n).  Interior
-    # extrema count = total knots - the 2 endpoint marks.
+    # its own most-recent knot (value-mode positions are exact in f32
+    # below 2^24; encoded positions at any n); padded samples never match
+    # (their p1 position is < n).  Interior extrema count = total knots -
+    # the 2 endpoint marks.
     f1p_flat = fwd3[0].reshape(rows, npad)
-    iota = lax.broadcasted_iota(jnp.float32, (rows, npad), 1)
+    iota = _enc_pos(lax.broadcasted_iota(jnp.int32, (rows, npad), 1), encode)
     nex = jnp.sum(f1p_flat == iota, axis=-1).astype(jnp.int32) - 2
     return crop(base), crop(rot), crop(err), nex
 
@@ -680,9 +738,10 @@ def linear_level_pallas(x: jax.Array, *, endpoint_mode: str = "reference",
 
 @lru_cache(maxsize=None)
 def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
-                             row_4d: bool = False):
+                             row_4d: bool = False, encode: bool = False):
     sub = BLK // _LANES
-    nm1 = float(n_real - 1)
+    nm1 = _enc_const(n_real - 1, encode)
+    enc0 = _enc_const(0, encode)
 
     def kernel(xprev_ref, xnext_ref, bfirst_ref, blast_ref, fa_ref, fb_ref,
                fc_ref, *rest):
@@ -708,7 +767,7 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
         pos, row, lane, _, state = _knot_state(
-            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk], encode
         )
         carry_in = tuple(carry[i] for i in range(4))
         state, carry_out = _block_scan(state, reverse=True,
@@ -724,13 +783,9 @@ def _make_linear_emit_kernel(n_real: int, nblk: int, endpoint_mode: str,
         b_first = bfirst_ref[r]
         b_last = blast_ref[r]
 
-        def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
-            span = rpos - lpos
-            w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
-            formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
-            return jnp.where(is_first, end_val, formula)
+        knot_value = _knot_value_fn(encode)
 
-        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+        b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == enc0)
         b_l = jnp.where(f1p == nm1, b_last, b_l)
         b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
 
@@ -786,7 +841,7 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
                               endpoint_mode, stop_a, stop_b, cont,
                               rotp_ref, pbase_ref, perr_ref, comp_ref,
                               base_ref, rot_ref, err_ref, row_ref,
-                              compo_ref, row_4d):
+                              compo_ref, row_4d, encode=False):
     """Shared body of the one-kernel fused level (single-chip and
     sharded): seeded forward/reverse block scans, the interpolation
     epilogue, and the sift row/compensation bookkeeping.  Returns the
@@ -809,13 +864,10 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
     )
     n1p, n1x, n2p, n2x = _mask_outputs(shifted)
 
-    def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
-        span = rpos - lpos
-        w = (kpos - lpos) / jnp.where(span == 0, jnp.ones_like(span), span)
-        formula = 0.5 * (lx + w * (rx - lx)) + 0.5 * kval
-        return jnp.where(is_first, end_val, formula)
+    knot_value = _knot_value_fn(encode)
 
-    b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first, f1p == 0)
+    b_l = knot_value(f1p, f1x, f2p, f2x, n1p, n1x, b_first,
+                     f1p == _enc_const(0, encode))
     b_l = jnp.where(f1p == nm1, b_last, b_l)
     b_r = knot_value(n1p, n1x, f1p, f1x, n2p, n2x, b_last, n1p == nm1)
 
@@ -863,7 +915,8 @@ def _fused_scans_and_epilogue(x, state0, pos, row, lane, fwd_in, rev_in,
 
 @lru_cache(maxsize=None)
 def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
-                             row_4d: bool = False, fold_emit: bool = False):
+                             row_4d: bool = False, fold_emit: bool = False,
+                             encode: bool = False):
     """ONE kernel per sift level: both direction scans + epilogue + emit.
 
     The grid walks each row's blocks in REVERSE, so the reverse scan's
@@ -886,7 +939,7 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
     fold is 5 native reductions over values already in registers; the
     baseline's block-first value crosses grid steps in one extra SMEM
     carry slot."""
-    nm1 = float(n_real - 1)
+    nm1 = _enc_const(n_real - 1, encode)
 
     def kernel(fp_ref, xprev_ref, xnext_ref, bfirst_ref, blast_ref,
                fa_ref, fb_ref, fc_ref, *rest):
@@ -917,7 +970,7 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
         blk = nblk - 1 - g  # reverse walk
         x = x_ref[0]
         pos, row, lane, _, state0 = _knot_state(
-            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk]
+            x, blk, n_real, xprev_ref[r, blk], xnext_ref[r, blk], encode
         )
         # folds are flattened (rows, nblk*4): a trailing size-4 SMEM dim
         # would be lane-padded to 128 (~32x SMEM waste -> OOM at 1M)
@@ -928,7 +981,8 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
             pos == n_real - 1, bfirst_ref[r], blast_ref[r], endpoint_mode,
             fa_ref[r] != 0, fb_ref[r] != 0, fc_ref[r] != 0,
             rotp_ref, pbase_ref, perr_ref, comp_ref,
-            base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d)
+            base_ref, rot_ref, err_ref, row_ref, compo_ref, row_4d,
+            encode)
         for i in range(4):
             carry[i] = carry_out[i]
 
@@ -941,7 +995,7 @@ def _make_level_fused_kernel(n_real: int, nblk: int, endpoint_mode: str,
             _, _, _, mb, _ = _knot_state(b, blk, n_real, jnp.float32(0.0),
                                          nf)
             mp = mb & ~((row == 0) & (lane == 0))
-            posf = pos.astype(jnp.float32)
+            posf = _enc_pos(pos, encode)
             mpp = jnp.where(mp, posf, _NONE)
             p1 = jnp.max(mpp)
             p2 = jnp.max(jnp.where(mpp == p1, _NONE, mpp))
@@ -1110,7 +1164,7 @@ def _exclusive_fwd_folds(inc_tuple):
     return jnp.stack(exc, axis=-1).reshape(rows, nblk * 4)
 
 
-def level_block_states_fwd(x3, n: int):
+def level_block_states_fwd(x3, n: int, encode: bool = False):
     """Forward-only XLA side of the fused level: knot mask
     (formula-identical to ``_knot_state``), interior extrema count, and
     the per-block exclusive FORWARD fill-state folds, all from ONE
@@ -1129,7 +1183,7 @@ def level_block_states_fwd(x3, n: int):
 
     mb = m.reshape(rows, nblk, BLK)
     xb = flat.reshape(rows, nblk, BLK)
-    pf = it.astype(jnp.float32).reshape(rows, nblk, BLK)
+    pf = _enc_pos(it, encode).reshape(rows, nblk, BLK)
     zero = jnp.float32(0)
     neg = jnp.float32(_NONE)
     l1, v1, l2, v2, cnt = lax.reduce(
@@ -1143,7 +1197,8 @@ def level_block_states_fwd(x3, n: int):
     return nex, _exclusive_fwd_folds((l1, v1, l2, v2))
 
 
-def fold_emit_states(fold_raw, base3, prev_edge, n: int):
+def fold_emit_states(fold_raw, base3, prev_edge, n: int,
+                     encode: bool = False):
     """``(nex, fwd_prefix)`` for the next sift trip from the fused
     kernel's in-kernel partial folds (``fold_emit=True``) — bitwise-equal
     to ``level_block_states_fwd(base3, n)`` with only (rows, nblk)-sized
@@ -1169,17 +1224,18 @@ def fold_emit_states(fold_raw, base3, prev_edge, n: int):
     b0 = flat[:, ::BLK]   # first sample of each block
     b1 = flat[:, 1::BLK]  # its next neighbor (in-block)
     bm1 = prev_edge       # its previous neighbor (b=0: B[0], see _pad_edges)
-    pos0 = (jnp.arange(nblk, dtype=jnp.float32) * BLK)[None, :]
+    pos0_i = (jnp.arange(nblk, dtype=jnp.int32) * BLK)[None, :]
+    pos0 = _enc_pos(pos0_i, encode)
 
     # the _knot_mask_flat formula restricted to the blocks' first samples
     dxb = jnp.where(jnp.isnan(b0 - bm1), jnp.inf, b0 - bm1)
     dxf = jnp.where(jnp.isnan(b1 - b0), jnp.inf, b1 - b0)
     near_nan = jnp.isnan(b0) | jnp.isnan(bm1) | jnp.isnan(b1)
-    interior = (pos0 > 0) & (pos0 < n - 1)
+    interior = (pos0_i > 0) & (pos0_i < n - 1)
     is_min = (dxb <= 0) & (dxf > 0)
     is_max = (dxb >= 0) & (dxf < 0)
-    m0 = ((is_min | is_max) & interior & ~near_nan) | (pos0 == 0) | (
-        pos0 == n - 1
+    m0 = ((is_min | is_max) & interior & ~near_nan) | (pos0_i == 0) | (
+        pos0_i == n - 1
     )
 
     first = (jnp.where(m0, jnp.broadcast_to(pos0, b0.shape), _NONE),
@@ -1434,7 +1490,8 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
                             interpret: bool = False,
                             out_levels=None, level_idx=None,
                             donate_input: bool = False,
-                            fold_emit: bool = False):
+                            fold_emit: bool = False,
+                            encode: bool = False):
     """One sift trip as ONE reverse-walking kernel (see
     ``_make_level_fused_kernel``); stop flags and the forward block folds
     arrive precomputed from :func:`level_block_states_fwd`.  Returns
@@ -1519,7 +1576,7 @@ def sift_level_fused_padded(x3, prev_edge, next_edge, b_first, b_last,
     return pl.pallas_call(
         _make_level_fused_kernel(n, nblk, endpoint_mode,
                                  row_4d=row_into_levels,
-                                 fold_emit=fold_emit),
+                                 fold_emit=fold_emit, encode=encode),
         grid_spec=rgrid,
         out_shape=out_shape,
         # the ablation gate drops donations but keeps the REQUIRED
@@ -1534,7 +1591,8 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
                            rot3, pbase3, perr3, comp3, done, over_budget,
                            n: int, *, endpoint_mode: str = "reference",
                            interpret: bool = False,
-                           out_levels=None, level_idx: int | None = None):
+                           out_levels=None, level_idx: int | None = None,
+                           encode: bool = False):
     """One sift trip, fully in-kernel and **padded-resident** (see
     ``decomp/itd.py`` for the loop semantics): the stop-flag logic runs on
     a fused count of the forward channels, and the fused reverse kernel
@@ -1559,12 +1617,14 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
     sub = BLK // _LANES
 
     fwd3 = _linear_fill2_padded(x3, prev_edge, next_edge, n, nblk,
-                                reverse=False, interpret=interpret)
+                                reverse=False, interpret=interpret,
+                                encode=encode)
 
     # interior extrema count: a sample is a knot iff it is its own most
     # recent knot; one fused elementwise+reduce pass (~0.05 ms at 8x1M)
-    iota = lax.broadcasted_iota(jnp.float32, x3.shape, 1) * _LANES + \
-        lax.broadcasted_iota(jnp.float32, x3.shape, 2)
+    it_i = lax.broadcasted_iota(jnp.int32, x3.shape, 1) * _LANES + \
+        lax.broadcasted_iota(jnp.int32, x3.shape, 2)
+    iota = _enc_pos(it_i, encode)
     nex = jnp.sum(fwd3[0] == iota, axis=(-2, -1)).astype(jnp.int32) - 2
     stop_a = (~done) & (nex < 2)
     stop_b = (~done) & (~stop_a) & over_budget
@@ -1622,7 +1682,7 @@ def sift_level_emit_padded(x3, prev_edge, next_edge, b_first, b_last,
     )
     outs = pl.pallas_call(
         _make_linear_emit_kernel(n, nblk, endpoint_mode,
-                                 row_4d=row_into_levels),
+                                 row_4d=row_into_levels, encode=encode),
         grid_spec=rgrid,
         out_shape=[_out_struct(x3.shape, jnp.float32, x3, *fwd3)] * 3
         + [row_shape, _out_struct(x3.shape, jnp.float32, x3, comp3)],

@@ -26,9 +26,15 @@ beyond ``count`` are inert (identity scan steps, guarded denominators).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# truncation depth of reference_spline_moments' "banded" method: a
+# 2^6 = 64-knot exact window (see _affine_scan_banded's decay argument)
+_BANDED_ROUNDS = 6
 
 __all__ = ["reference_spline_moments", "thomas_solve", "pcr_solve",
            "spline_moments"]
@@ -70,6 +76,37 @@ def _affine_scan(A, B, reverse=False):
     return outA
 
 
+def _affine_scan_banded(A, B, rounds, reverse=False):
+    """:func:`_affine_scan` TRUNCATED to ``rounds`` doubling steps: exact
+    for all contributions within a ``2^rounds``-element window; older
+    terms are weighted by products of ``2^rounds`` consecutive ``B``
+    factors, which for the spline recurrences (|B| ~ h-ratio-bounded,
+    ~0.5 at uniform spacings) decay below even f64 roundoff at
+    ``rounds=6`` (0.5^64 ~ 5e-20; measured 2e-7 = f32-roundoff-limited
+    across every sine-template comb entry).  ``rounds`` < ceil(log2(cap))
+    is the whole point — each skipped round saves one full-vector pass."""
+    axis = A.ndim - 1
+    size = A.shape[axis]
+    c, Bp = A, B
+
+    def shift(arr, sh, fill):
+        pad_shape = arr.shape[:axis] + (sh,) + arr.shape[axis + 1:]
+        pad = jnp.full(pad_shape, fill, arr.dtype)
+        if reverse:
+            sl = lax.slice_in_dim(arr, sh, size, axis=axis)
+            return jnp.concatenate([sl, pad], axis=axis)
+        sl = lax.slice_in_dim(arr, 0, size - sh, axis=axis)
+        return jnp.concatenate([pad, sl], axis=axis)
+
+    for s in range(rounds):
+        sh = 1 << s
+        if sh >= size:
+            break
+        c = c + Bp * shift(c, sh, 0.0)
+        Bp = Bp * shift(Bp, sh, 0.0)
+    return c
+
+
 def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
                              method: str = "auto") -> jax.Array:
     """Moment vector ``b`` exactly as the reference native tier computes it.
@@ -90,9 +127,13 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
     AFFINE recurrences (their denominators never touch the carry), so
     they run as log-depth ``lax.associative_scan``s of affine-map
     composition — same recurrence, reassociation-level roundoff deltas
-    only (pinned in tests); "auto" — affine on TPU (a sequential scan
-    over ~1M template knots serializes ~1M dependent steps there), scan
-    elsewhere.
+    only (pinned in tests); "banded" — the affine doubling truncated to
+    ``_BANDED_ROUNDS`` rounds (the recurrence's propagator decays
+    exponentially, so contributions beyond a 64-knot window sit below
+    f64 roundoff — see ``_affine_scan_banded``; pinned vs "affine" in
+    tests), ~3x fewer full-vector passes at template-comb knot counts;
+    "auto" — affine on TPU (a sequential scan over ~1M template knots
+    serializes ~1M dependent steps there), scan elsewhere.
     """
     cap = knots.shape[-1]
     idx = _arange_like(knots)
@@ -118,7 +159,7 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
 
     if method == "auto":
         method = "affine" if jax.default_backend() == "tpu" else "scan"
-    if method not in ("scan", "affine"):
+    if method not in ("scan", "affine", "banded"):
         raise ValueError(f"unknown method: {method!r}")
 
     mv = lambda a: jnp.moveaxis(a, -1, 0)
@@ -126,14 +167,16 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
     def rev(a):
         return jnp.flip(a, axis=-1)
 
-    if method == "affine":
+    if method in ("affine", "banded"):
+        fscan = (_affine_scan if method == "affine" else
+                 partial(_affine_scan_banded, rounds=_BANDED_ROUNDS))
         # the forward carry is affine in its predecessor:
         #   active:   c' = b0/d + (-u/d) * c      (d is carry-free)
         #   inactive: c' = c                       (A=0, B=1)
         d = 2.0 - u * v_im1
         A = jnp.where(active, _safe_div(b0, d), jnp.zeros_like(b0))
         B = jnp.where(active, _safe_div(-u, d), jnp.ones_like(u))
-        c = _affine_scan(A, B)
+        c = fscan(A, B)
         b_f = jnp.where(active, c, b0)
 
         # backward carry (reverse order) is also affine:
@@ -142,7 +185,7 @@ def reference_spline_moments(knots: jax.Array, h: jax.Array, count: jax.Array,
         act_bwd = idx <= (cnt - 2)
         A2 = b_f
         B2 = jnp.where(act_bwd, -v, jnp.zeros_like(v))
-        b = _affine_scan(A2, B2, reverse=True)
+        b = fscan(A2, B2, reverse=True)
     else:
         def fwd(carry, xs):
             b_i, u_i, v_prev, act = xs

@@ -446,3 +446,24 @@ def test_auto_backend_resolves_before_ceiling_guard():
         lambda a: cubic_baseline_extract(a, 64, eval_backend="auto"),
         jax.ShapeDtypeStruct((n_big,), jnp.float32))
     assert res.baseline.shape == (n_big,)
+
+
+def test_banded_moments_matches_affine():
+    """reference_spline_moments(method='banded') — the truncated affine
+    doubling the static template tier runs — must match the full 'affine'
+    scan to propagator-decay accuracy on template-like knot grids."""
+    rng = np.random.default_rng(17)
+    for spacing in (1, 2, 7, 64):
+        cap = 4096
+        pos = np.arange(cap, dtype=np.int64) * spacing
+        h = np.diff(np.concatenate([pos, [pos[-1]]])).astype(np.float64)
+        knots = jnp.asarray(rng.standard_normal(cap))
+        count = jnp.int32(cap - 3)
+        from pyitd_tpu.ops.tridiag import reference_spline_moments
+
+        full = reference_spline_moments(knots, jnp.asarray(h), count,
+                                        method="affine")
+        band = reference_spline_moments(knots, jnp.asarray(h), count,
+                                        method="banded")
+        scale = float(jnp.max(jnp.abs(full))) or 1.0
+        assert float(jnp.max(jnp.abs(band - full))) / scale < 1e-12, spacing

@@ -266,3 +266,45 @@ def test_fold_emit_states_matches_full_pass():
     got_nex, got_fp = fold_emit_states(fold_raw, base3, pe2, n)
     np.testing.assert_array_equal(np.asarray(got_nex), np.asarray(want_nex))
     np.testing.assert_array_equal(np.asarray(got_fp), np.asarray(want_fp))
+
+
+# ---------------------------------------------------------------------------
+# i32 bit-pattern position channels (VERDICT r4 item 6): above 2^24 the
+# sift kernels switch position channels from f32 values to offset bit
+# patterns (exact to POS_BITS_MAX_N).  Forced at small n here, the encoded
+# kernels must be BITWISE identical to value mode — the suite-protected
+# proxy for any-n exactness (the 16.7M-sample check runs on-chip).
+# ---------------------------------------------------------------------------
+
+
+def test_position_bits_level_bitwise():
+    from pyitd_tpu.ops.pallas_fill import linear_level_pallas
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((3, 1000)), jnp.float32)
+    a = linear_level_pallas(x, interpret=True, encode=False)
+    b = linear_level_pallas(x, interpret=True, encode=True)
+    for name, u, v in zip(("baseline", "rotation", "err", "nex"), a, b):
+        np.testing.assert_array_equal(
+            np.asarray(u), np.asarray(v),
+            err_msg=f"{name}: bits mode diverges from value mode")
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_position_bits_sift_bitwise(fused):
+    from pyitd_tpu.decomp.itd import _itd_sift_emit
+
+    rng = np.random.default_rng(29)
+    t = np.linspace(0, 6 * np.pi, 1500)
+    x = jnp.asarray(
+        np.stack([np.sin(9 * t) + 0.3 * rng.standard_normal(1500),
+                  rng.standard_normal(1500)]), jnp.float32)
+    a = _itd_sift_emit(x, 6, "reference", True, fused=fused,
+                       position_encoding="value")
+    b = _itd_sift_emit(x, 6, "reference", True, fused=fused,
+                       position_encoding="bits")
+    for name in ("rotations", "baselines", "correction", "num_components",
+                 "stop_reason"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=f"{name}: bits mode diverges ({'fused' if fused else 'emit'})")

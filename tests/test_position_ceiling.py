@@ -23,13 +23,15 @@ def _spec(n, dtype):
     return jax.ShapeDtypeStruct((n,), dtype)
 
 
-def test_itd_sift_f32_over_ceiling_raises():
-    # the Pallas kernels always refuse; the XLA route delegates to the
+def test_itd_sift_f32_over_ceiling():
+    # round 5: the Pallas kernels now switch to i32 bit-pattern position
+    # channels above 2^24 (exact to POS_BITS_MAX_N) — the sift TRACES
+    # there instead of refusing.  The XLA route still delegates to the
     # per-level guard, which rejects f32 'scan' fills but keeps the
-    # integer-indexed 'gather' route open (exact at any n)
-    with pytest.raises(ValueError, match="f32 knot-position ceiling"):
-        jax.eval_shape(lambda a: itd_sift(a, 4, backend="pallas_fused"),
-                       _spec(N_BIG, jnp.float32))
+    # integer-indexed 'gather' route open (exact at any n).
+    res = jax.eval_shape(lambda a: itd_sift(a, 2, backend="pallas_fused"),
+                         _spec(N_BIG, jnp.float32))
+    assert res.rotations.shape == (4, N_BIG)
     with pytest.raises(ValueError, match="f32 knot-position ceiling"):
         jax.eval_shape(
             lambda a: itd_sift(a, 4, backend="xla", linear_backend="scan"),
@@ -38,6 +40,12 @@ def test_itd_sift_f32_over_ceiling_raises():
         lambda a: itd_sift(a, 2, backend="xla", linear_backend="gather"),
         _spec(N_BIG, jnp.float32))
     assert res.rotations.shape == (4, N_BIG)
+    # the encoding's own ceiling still refuses loudly
+    from pyitd_tpu.ops.pallas_fill import POS_BITS_MAX_N
+
+    with pytest.raises(ValueError, match="bit-pattern position ceiling"):
+        jax.eval_shape(lambda a: itd_sift(a, 2, backend="pallas_fused"),
+                       _spec(POS_BITS_MAX_N + 8, jnp.float32))
 
 
 def test_itd_sift_f64_over_ceiling_traces():
@@ -57,12 +65,14 @@ def test_itd_sift_f32_at_ceiling_traces():
 
 def test_linear_baseline_backends():
     spec32 = _spec(N_BIG, jnp.float32)
-    for backend in ("scan", "pallas"):
-        with pytest.raises(ValueError, match="f32 knot-position ceiling"):
-            jax.eval_shape(
-                lambda a: linear_baseline_extract(a, backend=backend), spec32
-            )
+    with pytest.raises(ValueError, match="f32 knot-position ceiling"):
+        jax.eval_shape(
+            lambda a: linear_baseline_extract(a, backend="scan"), spec32
+        )
+    # pallas switches to bit-pattern positions above 2^24 (traces);
     # integer-indexed gather stays open at any n, f64 scan too
+    jax.eval_shape(
+        lambda a: linear_baseline_extract(a, backend="pallas"), spec32)
     jax.eval_shape(
         lambda a: linear_baseline_extract(a, backend="gather"), spec32)
     jax.eval_shape(
