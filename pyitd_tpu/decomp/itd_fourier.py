@@ -217,7 +217,7 @@ def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
     sel_b = (bins >= peak_max[..., None]) & (bins <= lp[..., None])
     minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
 
-    return _band_isolate(x, mina, minb, ok)
+    return _band_isolate(x, n, mina, minb, ok)
 
 
 class CascadeResult(NamedTuple):

@@ -64,6 +64,53 @@ def test_fourier_mode_any_isolates_band():
     assert np.argmax(spec[: n // 2]) == 20
 
 
+def _valid_mode_oracle(rotation):
+    """Sequential numpy twin of the reference's strict variant
+    (itd_fourier_decomposition.py:131-168), full precision (the repo
+    widens the complex64 buffer — documented delta)."""
+    x = np.fft.fft(rotation)
+    a = np.abs(x)
+    half = len(a) // 2
+    peaks = [i for i in range(1, half - 1) if a[i] > a[i - 1] and a[i] > a[i + 1]]
+    if len(peaks) < 3:
+        return np.zeros(rotation.size)
+    peak_max = max(peaks, key=lambda i: a[i])
+    before = [i for i in peaks if i < peak_max - 1]
+    after = [i for i in peaks if i > peak_max + 1]
+    if not before or not after:
+        return np.zeros(rotation.size)
+    first_peak, last_peak = max(before), min(after)
+    mina = first_peak + np.argmin(a[first_peak:peak_max + 1])
+    minb = peak_max + np.argmin(a[peak_max:last_peak + 1])
+    xn = np.zeros(len(a), dtype=complex)
+    xn[mina:minb] = x[mina:minb]
+    xn[-minb:-mina] = x[-minb:-mina]
+    return np.fft.ifft(xn).real
+
+
+def test_fourier_mode_valid_matches_oracle():
+    """Regression: the round-4 rfft rewrite dropped the ``n`` argument in
+    fourier_mode_valid's _band_isolate call — the function crashed on ANY
+    input and nothing covered it.  Pin exact oracle parity on signals that
+    exercise both the extraction and every degenerate early-out."""
+    from pyitd_tpu.decomp.itd_fourier import fourier_mode_valid
+
+    rng = np.random.default_rng(7)
+    n = 512
+    t = np.arange(n) / n
+    cases = [
+        np.sin(2 * np.pi * 20 * t) + 0.5 * np.sin(2 * np.pi * 60 * t)
+        + 0.3 * np.sin(2 * np.pi * 120 * t) + 0.05 * rng.normal(size=n),
+        rng.normal(size=n),                      # many peaks
+        np.sin(2 * np.pi * 1 * t),               # <3 peaks -> zeros
+        np.sin(2 * np.pi * 20 * t),              # isolated single peak
+    ]
+    for i, x in enumerate(cases):
+        got = np.asarray(fourier_mode_valid(jnp.asarray(x, jnp.float64)))
+        np.testing.assert_allclose(got, _valid_mode_oracle(x), atol=1e-9,
+                                   err_msg=f"case {i}")
+
+
 def test_fourier_mode_degenerate_returns_zeros():
     # spectrum peak at bin 1 -> conditions fail -> zeros
     n = 256
