@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pyitd_tpu.decomp.efd import efd, efd_real, iterative_max, efd_slice_max
 from reference.efd_ref import efd as ref_efd
@@ -118,3 +119,29 @@ def test_efd_real_fewer_than_four_maxima_yields_no_bands():
     assert np.allclose(np.asarray(bands), 0.0)
     np.testing.assert_allclose(
         np.asarray(efd_slice_max(jnp.asarray(row), 4)), row, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_efd_bench_scale_matches_oracle():
+    """VERDICT r4 item 7: exercise the exact per-row shape bench.py times
+    (1M points, 12 bands, batched) against the sequential numpy oracle,
+    so a correctness regression on the radix-sensitive 1M FFT path
+    surfaces as a test failure, not a bench failure.  Two rows keep the
+    1-core oracle runtime sane; rows are independent, so per-row parity
+    covers the batch-8 bench shape."""
+    rng = np.random.default_rng(3)
+    batch, n, bands = 2, 1 << 20, 12
+    t = np.linspace(0, 2 * np.pi, n)
+    sigs = (np.cos(40 * t[None]) + 0.7 * np.cos(250 * t[None])
+            + 0.4 * np.cos(1200 * t[None])
+            + 0.1 * rng.normal(size=(batch, n)))
+    res = efd(jnp.asarray(sigs, jnp.float64), bands)
+    assert res.bands.shape == (batch, bands, n)
+    for b in range(batch):
+        want_bands, want_cerf, _, m = ref_efd(sigs[b], bands)
+        cnt = int(res.count[b])
+        assert cnt == want_bands.shape[0], b
+        np.testing.assert_allclose(np.asarray(res.bands[b])[:cnt],
+                                   want_bands, atol=1e-8, err_msg=f"row {b}")
+        np.testing.assert_allclose(np.asarray(res.cerf[b])[:m], want_cerf,
+                                   atol=1e-10, err_msg=f"row {b}")
