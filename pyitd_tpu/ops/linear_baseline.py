@@ -294,7 +294,13 @@ def linear_baseline_extract(
 # ---------------------------------------------------------------------------
 
 
-def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
+def _shift_right(a, fill):
+    head = jnp.full_like(a[..., :1], fill)
+    return jnp.concatenate([head, a[..., :-1]], axis=-1)
+
+
+def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode,
+                          fills="auto"):
     """Adjoint of ``(rotation, baseline, sub_err) = level(x)`` given
     output cotangents; returns the x cotangent.  Matches AD of the
     gather/scan formulation (pinned in tests against ``jax.vjp`` of the
@@ -307,19 +313,113 @@ def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
     one strictly-after / strictly-before fill each (every knot is the
     exclusive-previous of exactly its next knot).  A first version used
     per-sample scatter-adds, which measured 13.3 s for the full sift
-    backward at 8x1M on v5e — worse than AD of the scans (2.1 s)."""
+    backward at 8x1M on v5e — worse than AD of the scans (2.1 s).
+
+    ``fills`` selects the fill primitive: ``"scan"`` (XLA associative
+    scans, any platform/dtype) or ``"pallas"`` (the streaming fill2 /
+    fillv kernels of ``ops.pallas_fill`` — the forward's own kernel
+    economics applied to the adjoint).  Fills are pure selections, so
+    the two produce identical bits; ``"auto"`` mirrors the forward's
+    platform heuristic (TPU, f32, 4096 <= n <= 2^24 — the plain-f32
+    position-channel form of ``fill2_pallas``)."""
+    n = x.shape[-1]
+    if fills == "auto":
+        # PYITD_STRUCTURAL_FILLS: probe/testing override (read at trace
+        # time) — tools/ab_structural_bwd.py uses it for on-chip A/Bs
+        import os as _os
+
+        fills = _os.environ.get("PYITD_STRUCTURAL_FILLS") or (
+            "pallas" if (jax.default_backend() == "tpu"
+                         and x.dtype == jnp.float32
+                         and 4096 <= n <= (1 << 24))
+            else "scan")
+    if fills not in ("scan", "pallas"):
+        raise ValueError(f"unknown fills: {fills!r}")
+    if fills == "pallas":
+        if x.dtype != jnp.float32:
+            raise ValueError("fills='pallas' is f32-only")
+        if n > (1 << 24):
+            raise ValueError(
+                f"n={n} exceeds the f32 position ceiling (2^24) of the "
+                "plain fill2 kernel; use fills='scan'")
+        # the kernels want flat (rows, n); everything below is batched
+        lead = x.shape[:-1]
+        gx = _structural_level_bwd_impl(
+            x.reshape(-1, n), g_rot.reshape(-1, n), g_base.reshape(-1, n),
+            g_err.reshape(-1, n), endpoint_mode, True)
+        return gx.reshape(lead + (n,))
+    return _structural_level_bwd_impl(
+        x, g_rot, g_base, g_err, endpoint_mode, False)
+
+
+def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
+                               use_pallas):
     dtype = x.dtype
     n = x.shape[-1]
     it = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     knots = _knot_mask(x)
     posf = it.astype(dtype)
 
+    if use_pallas:
+        from .pallas_fill import fill2_pallas, fillv_pallas
+
+        interp = jax.default_backend() != "tpu"
+
+        def struct_fwd():
+            return fill2_pallas(posf, x, knots, interpret=interp)
+
+        def struct_bwd():
+            return fill2_pallas(
+                _shift_left(posf, 0.0), _shift_left(x, 0.0),
+                _shift_left(knots, False), reverse=True, interpret=interp)
+
+        def _fillv_batch(vals, reverse):
+            # channels ride the kernel grid's parallel (rows) axis
+            rows = x.shape[0]
+            out = fillv_pallas(
+                jnp.concatenate(vals, axis=0),
+                jnp.tile(knots, (len(vals), 1)),
+                reverse=reverse, interpret=interp)
+            return tuple(out[i * rows:(i + 1) * rows]
+                         for i in range(len(vals)))
+
+        def fills_after(vals):
+            # strictly-after = next-inclusive fill read one sample left
+            return tuple(_shift_left(o, 0.0)
+                         for o in _fillv_batch(vals, True))
+
+        def fills_before(vals):
+            # strictly-before = last-inclusive fill read one sample
+            # right.  At NON-knot samples this differs from the scan
+            # path's fill2-v2 channel (inclusive v1, not v2) — every
+            # consumer reads these under ``where(knots, ...)``, where
+            # the two agree exactly.
+            return tuple(_shift_right(o, 0.0)
+                         for o in _fillv_batch(vals, False))
+    else:
+        def struct_fwd():
+            (a, b), (c, d), _ = forward_fill2_scan(
+                (posf, x), knots, (0.0, 0.0))
+            return a, b, c, d
+
+        def struct_bwd():
+            (a, b), (c, d), _ = backward_fill2_scan(
+                (_shift_left(posf, 0.0), _shift_left(x, 0.0)),
+                _shift_left(knots, False), (0.0, 0.0))
+            return a, b, c, d
+
+        def fills_after(vals):
+            return backward_fill_scan(
+                tuple(_shift_left(v, 0.0) for v in vals),
+                _shift_left(knots, False), (0.0,) * len(vals))
+
+        def fills_before(vals):
+            _v1, v2, _ = forward_fill2_scan(vals, knots, (0.0,) * len(vals))
+            return v2
+
     # per-sample knot structure, exactly the forward scan's channels
-    (p1p, p1x), (p2p, p2x), _ = forward_fill2_scan(
-        (posf, x), knots, (0.0, 0.0))
-    (n1p, n1x), (n2p, n2x), _ = backward_fill2_scan(
-        (_shift_left(posf, 0.0), _shift_left(x, 0.0)),
-        _shift_left(knots, False), (0.0, 0.0))
+    p1p, p1x, p2p, p2x = struct_fwd()
+    n1p, n1x, n2p, n2x = struct_bwd()
 
     def knot_value(kpos, kval, lpos, lx, rpos, rx, end_val, is_first):
         span = rpos - lpos
@@ -374,15 +474,12 @@ def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
 
     # "running sum at my NEXT knot" (strictly after), default irrelevant
     # (patched at the last knot with the total)
-    nxt_bl, nxt_xl = backward_fill_scan(
-        (_shift_left(zs_bl, 0.0), _shift_left(zs_xl, 0.0)),
-        _shift_left(knots, False), (0.0, 0.0))
+    nxt_bl, nxt_xl = fills_after((zs_bl, zs_xl))
     is_last = it == n - 1
     nxt_bl = jnp.where(is_last, tot_bl, nxt_bl)
     nxt_xl = jnp.where(is_last, tot_xl, nxt_xl)
-    # "running sum at my PREVIOUS knot" (strictly before) via fill2's v2
-    (_z1, _z2), (prv_br, prv_xr), _ = forward_fill2_scan(
-        (zs_br, zs_xr), knots, (0.0, 0.0))
+    # "running sum at my PREVIOUS knot" (strictly before)
+    prv_br, prv_xr = fills_before((zs_br, zs_xr))
 
     # segment sums landing on knot sites: into segl (segment [t, next))
     # for the *_l channels, into segr (segment ending at t) for *_r
@@ -402,10 +499,9 @@ def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
     # the receive is one strictly-after / strictly-before fill
     c_p = gkv_int * (0.5 * (1.0 - w))
     c_n = gkv_int * (0.5 * w)
-    (recv_p,) = backward_fill_scan(
-        (_shift_left(c_p, 0.0),), _shift_left(knots, False), (0.0,))
-    # previous knot's c_n: fill2's v2 channel
-    (_c1,), (recv_n,), _ = forward_fill2_scan((c_n,), knots, (0.0,))
+    (recv_p,) = fills_after((c_p,))
+    # previous knot's c_n: the strictly-before fill
+    (recv_n,) = fills_before((c_n,))
     gx = gx + jnp.where(knots, recv_p + recv_n, 0.0)
 
     # end knots: kv[0] = 0.5*(x[0]+x[1]); kv[n-1] = 0.5*(x[n-2]+x[n-1])
@@ -418,10 +514,12 @@ def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode):
 
 def linear_baseline_extract_structural(
     x: jax.Array, *, endpoint_mode: str = "reference",
-    backend: str = "auto") -> LinearBaselineResult:
+    backend: str = "auto", bwd_fills: str = "auto") -> LinearBaselineResult:
     """:func:`linear_baseline_extract` with the structural custom VJP
     (forward may run ANY backend — including the non-differentiable
-    Pallas kernels — since the backward never differentiates it)."""
+    Pallas kernels — since the backward never differentiates it).
+    ``bwd_fills`` selects the adjoint's fill primitive (see
+    :func:`_structural_level_bwd`)."""
 
     @jax.custom_vjp
     def level(xx):
@@ -441,7 +539,8 @@ def linear_baseline_extract_structural(
             return g
 
         gx = _structural_level_bwd(
-            xx, z(g_rot, xx), z(g_base, xx), z(g_err, xx), endpoint_mode)
+            xx, z(g_rot, xx), z(g_base, xx), z(g_err, xx), endpoint_mode,
+            fills=bwd_fills)
         return (gx,)
 
     level.defvjp(fwd, bwd)

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fill2_pallas", "fill2_padded", "linear_fill2_pallas",
+    "fill2_pallas", "fill2_padded", "fillv_pallas", "linear_fill2_pallas",
     "linear_baseline_pallas", "linear_level_pallas",
     "sift_level_emit_padded", "BLK",
 ]
@@ -318,6 +318,87 @@ def _make_fill2_kernel(reverse: bool):
 
 _fill2_fwd = _make_fill2_kernel(False)
 _fill2_bwd = _make_fill2_kernel(True)
+
+
+def _make_fillv_kernel(reverse: bool):
+    """Last-ONE-marked fill of a single VALUE channel (the depth-1
+    counterpart of the fill2 kernel): per sample, the value at the last
+    (forward) / next (reverse) marked sample, 0 where none exists.  The
+    structural sift backward streams its cumulative-sum read-backs
+    through this — multi-channel fills ride it by stacking channels
+    along the rows axis (the grid's parallel dimension)."""
+
+    def kernel(v_ref, m_ref, out_ref, carry):
+        b = pl.program_id(1)
+        rows = BLK // _LANES
+
+        @pl.when(b == 0)
+        def _():
+            carry[0] = _NONE
+            carry[1] = 0.0
+
+        v = v_ref[0]
+        m = m_ref[0] != 0
+        # sign-encoded init: the position channel only carries mark
+        # presence here (0 = marked), values may be arbitrary floats
+        state = (jnp.where(m, 0.0, _NONE), v)
+        carry_in = (carry[0], carry[1])
+        state, carry_out = _block_scan(state, reverse, carry_in, rows)
+        carry[0] = carry_out[0]
+        carry[1] = carry_out[1]
+        out_ref[0] = jnp.where(state[0] >= 0, state[1],
+                               jnp.zeros_like(state[1]))
+
+    return kernel
+
+
+_fillv_fwd = _make_fillv_kernel(False)
+_fillv_bwd = _make_fillv_kernel(True)
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def fillv_pallas(v: jax.Array, mask: jax.Array, *,
+                 reverse: bool = False, interpret: bool = False):
+    """Per sample: value of the last (forward) or next (reverse) marked
+    sample, inclusively; 0 before the first mark.  Semantically identical
+    to ``ops.fill.forward_fill_scan((v,), mask, (0.0,))[0]`` (or the
+    backward variant) — one streaming Pallas pass instead of the XLA
+    log-depth scan.  ``v``: (rows, n) float32; ``mask``: (rows, n) bool."""
+    rows, n = v.shape
+    npad = -(-n // BLK) * BLK
+    pad = npad - n
+
+    def prep(a, fill, dtype):
+        a = a.astype(dtype)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((rows, pad), fill, dtype)], axis=-1
+            )
+        return a.reshape(rows, npad // _LANES, _LANES)
+
+    v3 = prep(v, 0.0, jnp.float32)
+    m3 = prep(mask, False, jnp.float32)
+
+    sub = BLK // _LANES
+    nblk = npad // BLK
+    if reverse:
+        index_map = lambda r, b: (r, nblk - 1 - b, np.int32(0))
+        kernel = _fillv_bwd
+    else:
+        index_map = lambda r, b: (r, b, np.int32(0))
+        kernel = _fillv_fwd
+    spec = pl.BlockSpec((1, sub, _LANES), index_map, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, nblk),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=_out_struct(v3.shape, jnp.float32, v3, m3),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        interpret=interpret,
+    )(v3, m3)
+    out = out.reshape(rows, npad)
+    return out[..., :n] if pad else out
 
 
 @partial(jax.jit, static_argnames=("reverse", "interpret"))

@@ -308,3 +308,43 @@ def test_position_bits_sift_bitwise(fused):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=f"{name}: bits mode diverges ({'fused' if fused else 'emit'})")
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fillv_parity_random(reverse):
+    """fillv_pallas (single-value-channel fill) vs the XLA fill scans —
+    the structural sift backward streams its cumulative-sum read-backs
+    through this kernel (VERDICT r4 item 4)."""
+    from pyitd_tpu.ops.fill import backward_fill_scan, forward_fill_scan
+    from pyitd_tpu.ops.pallas_fill import fillv_pallas
+
+    rng = np.random.default_rng(7)
+    rows, n = 3, BLK + 517
+    v = jnp.asarray(rng.normal(size=(rows, n)).astype(np.float32))
+    mask = jnp.asarray(rng.random((rows, n)) < 0.01)
+    # row 2: no marks at all (carry must stay NONE -> default 0)
+    mask = mask.at[2].set(False)
+    got = fillv_pallas(v, mask, reverse=reverse, interpret=True)
+    fn = backward_fill_scan if reverse else forward_fill_scan
+    (want,) = fn((v,), mask, (0.0,))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_structural_bwd_pallas_fills_bitexact():
+    """The structural level adjoint with fills='pallas' (interpret) is
+    bit-identical to fills='scan' — the fills are pure selections, so the
+    two routes must agree exactly (pinned on-chip at 8x1M by
+    tools/ab_structural_bwd.py: bitexact, 558 vs 565 ms)."""
+    from pyitd_tpu.ops.linear_baseline import _structural_level_bwd
+
+    rng = np.random.default_rng(11)
+    n = BLK + 130
+    t = np.linspace(0, 4 * np.pi, n)
+    x = jnp.asarray(np.stack([
+        np.sin(9 * t) + 0.2 * rng.standard_normal(n),
+        rng.standard_normal(n)]), jnp.float32)
+    cts = tuple(jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+                for _ in range(3))
+    g_scan = _structural_level_bwd(x, *cts, "reference", fills="scan")
+    g_pal = _structural_level_bwd(x, *cts, "reference", fills="pallas")
+    np.testing.assert_array_equal(np.asarray(g_pal), np.asarray(g_scan))
