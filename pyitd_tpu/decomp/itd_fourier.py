@@ -19,11 +19,18 @@ Behavioral contract (``/root/reference/itd_fourier_decomposition.py``):
 
 TPU design: the template knot positions depend only on (sr, n) — they are
 **static data**, precomputed host-side; the comb unrolls in Python and
-each frequency runs the static fast path of ``template_fast_baseline``
-(per-sample segment maps and interpolation coefficients baked as
-constants; evaluation = ONE static-index row gather; buffers trimmed to
-each frequency's own knot count).  Mode extraction is fixed-shape
-rfft + masked argmax/argmin, vmapped across rotations.  The reference's
+each frequency runs the static fast path of ``template_fast_baseline``.
+Because the knot grid of a sampled sine is (almost) EXACTLY periodic
+(``q0 = 2f/gcd(2f,sr)`` crossings every ``span = sr/gcd(2f,sr)``
+samples), both gathers of that path become one-hot matmuls on the MXU:
+knot compaction is ``x``-windows times a static ``(2*span, q0)``
+selection, and the whole spline evaluation collapses to TWO matmuls
+``knot_windows @ WK + moment_windows @ WM`` whose static weight matrices
+fold the per-sample interpolation coefficients into the selection
+(``ops/cubic_baseline._template_period_plan``; the rare floating-point
+sign flips near exact template zeros ride tiny exact patch lists).  Mode
+extraction is fixed-shape rfft + masked argmax/argmin, vmapped across
+rotations.  The reference's
 float32 spectrum buffer (``np.complex64`` at
 ``itd_fourier_decomposition.py:180``) is widened to the input dtype —
 documented delta (the narrow buffer only loses precision).
@@ -99,10 +106,24 @@ def _sine_template_np(sample_rate: int, n: int):
 @lru_cache(maxsize=None)
 def _sine_template_static(sample_rate: int, n: int):
     """Host-side (numpy) template buffers per comb frequency, untrimmed:
-    list of ``(positions int64[count+...], count int)`` — feeds the
-    static fast path of ``template_fast_baseline``."""
-    pos_np, cnt_np, _ = _sine_template_np(sample_rate, n)
-    return [(pos_np[i], int(cnt_np[i])) for i in range(pos_np.shape[0])]
+    list of ``(positions int64[count+...], count int, period_hint)`` —
+    feeds the static fast path of ``template_fast_baseline``.
+
+    ``period_hint = (q0, span)``: zero crossings of ``sin(2*pi*f*t)`` on
+    the integer sample grid repeat every ``span = sr/g`` samples with
+    ``q0 = 2f/g`` crossings per period (``g = gcd(2f, sr)``) — the
+    candidate for the periodic matmul path, VERIFIED against the actual
+    buffer by ``_template_period_plan`` before use (floating-point sign
+    flips near exact zeros can break exact periodicity)."""
+    from math import gcd
+
+    pos_np, cnt_np, freqs = _sine_template_np(sample_rate, n)
+    out = []
+    for i, f in enumerate(freqs):
+        g = gcd(2 * int(f), int(sample_rate))
+        hint = (2 * int(f) // g, int(sample_rate) // g)
+        out.append((pos_np[i], int(cnt_np[i]), hint))
+    return out
 
 
 def itd_sine_sift(x: jax.Array, sample_rate: int):
@@ -121,8 +142,9 @@ def itd_sine_sift(x: jax.Array, sample_rate: int):
     templates = _sine_template_static(sample_rate, x.shape[-1])
     problem = x
     rotations = []
-    for pos_np, cnt in templates:
-        baseline = template_fast_baseline(problem, pos_np, cnt)
+    for pos_np, cnt, hint in templates:
+        baseline = template_fast_baseline(problem, pos_np, cnt,
+                                          period_hint=hint)
         rotations.append(problem - baseline)
         problem = baseline
     return jnp.stack(rotations, axis=0), problem

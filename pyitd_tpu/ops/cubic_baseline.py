@@ -679,7 +679,182 @@ class CubicBaselineResult(NamedTuple):
     num_extrema: jax.Array
 
 
-def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Array:
+class _TemplatePeriodPlan(NamedTuple):
+    """Host-side static plan for the PERIODIC template fast path (see
+    :func:`_template_period_plan`)."""
+    q0: int            # knots per period
+    span: int          # samples per period
+    R: int             # compaction rows (ceil(m / q0))
+    m: int             # interior ("core") knot count = count - 2
+    S: object          # (2*span, q0) one-hot compaction matrix (numpy)
+    r_hi: int          # interior eval rows are [1, r_hi)
+    start0: int        # knot-axis offset of row 1's eval window
+    WK: object         # (3*q0, span) static knot-eval weights (numpy)
+    WM: object         # (3*q0, span) static moment-eval weights (numpy)
+    head_j: object     # (span,) segment ids of samples [0, span)
+    head_w: object     # 4 x (span,) closed-form weights for the head
+    tail_j: object     # segment ids of samples [r_hi*span, n)
+    tail_w: object     # 4 x (.,) weights for the tail
+    bad_core: object   # (nb,) core-knot indices where actual != ideal grid
+    bad_pos: object    # (nb,) their ACTUAL sample positions
+    bad_idx: object    # (ns,) sample indices evaluated off-pattern
+    bad_j: object      # (ns,) their ACTUAL segment ids
+    bad_w: object      # 4 x (ns,) their ACTUAL closed-form weights
+
+
+def _template_period_plan(pos, count: int, n: int, hint, h64, seg):
+    """Verify that the template knot grid is EXACTLY periodic and bake the
+    static matrices of the matmul evaluation path.
+
+    The sine-template tier's knot positions are zero crossings of
+    ``sin(2*pi*f*t)`` on an integer sample grid: with ``g = gcd(2f, sr)``
+    the crossing pattern repeats every ``span = sr/g`` samples with
+    ``q0 = 2f/g`` crossings per period (``hint`` carries that candidate;
+    floating-point sign flips near exact zeros can break it, so it is
+    VERIFIED against the actual position buffer and the plan is refused on
+    any mismatch — the caller then keeps the generic gather path).
+
+    With periodicity, both gathers of the static path become one-hot
+    matmuls on the MXU (a scalar gather of the 887k-knot densest comb
+    entry measured 5.8 ms on v5e; the equivalent selection matmul is
+    FLOP-trivial):
+
+    * compaction ``x[core]``: window rows ``x[r*span : r*span + 2*span]``
+      times a static ``(2*span, q0)`` one-hot — ``core[r*q0+j] =
+      core[j] + r*span`` puts knot ``j`` of every row at the SAME window
+      offset;
+    * evaluation: the closed form ``w1*K[seg] + w2*K[seg+1] + w3*M[seg] +
+      w4*M[seg+1]`` has STATIC per-sample weights (they depend only on
+      positions), periodic with the same ``span`` — so interior rows
+      evaluate as two matmuls ``knot_windows @ WK + moment_windows @ WM``
+      with the selection folded into the weight matrices.  Head/tail rows
+      (knot-0 region, last-segment linear quirk, the ``h = -e`` tail) are
+      patched exactly via small static gathers.
+    """
+    import numpy as np
+
+    q0, span = int(hint[0]), int(hint[1])
+    m = count - 2
+    if q0 < 1 or span < 8 or span > 4096 or m < 4 * q0 + 2:
+        return None
+    core = pos[1:count - 1]
+    if core[0] < 0:
+        return None
+    R = -(-m // q0)
+    R2 = n // span
+    if R2 < 4:
+        return None
+
+    # majority (mode) offset pattern per residue class: floating-point
+    # sign flips near exact template zeros perturb ~0.03% of crossings by
+    # +-1 sample — the IDEAL grid carries the matmuls, the deviants ride
+    # tiny exact patch lists
+    karange = np.arange(m)
+    offs = core - (karange // q0) * span
+    off2 = np.concatenate(
+        [offs, np.full(R * q0 - m, -1, np.int64)]).reshape(R, q0)
+    pattern = np.empty(q0, np.int64)
+    for j in range(q0):
+        col = off2[:, j]
+        vals, cnts = np.unique(col[col >= 0], return_counts=True)
+        pattern[j] = vals[np.argmax(cnts)]
+    if (pattern[0] < 0 or int(pattern.max()) >= 2 * span
+            or np.any(np.diff(pattern) <= 0)
+            or int(pattern[-1]) >= int(pattern[0]) + span):
+        return None
+    core_ideal = pattern[karange % q0] + (karange // q0) * span
+    bad_core = np.nonzero(core_ideal != core)[0]
+    if bad_core.size > max(64, m // 64):
+        return None
+
+    # the ideal grid's row-1 segment pattern and weight matrices
+    pos_ideal = pos.copy()
+    pos_ideal[1:count - 1] = core_ideal
+    grid = pos_ideal[1:count]
+    seg_id1 = np.searchsorted(
+        grid, np.arange(span, 2 * span), side="right").astype(np.int64)
+    trel = seg_id1 - q0
+    tmin, tmax = int(trel.min()), int(trel.max())
+    if q0 + tmin < 0 or tmax - tmin + 2 > 3 * q0:
+        return None
+    # interior rows must stay clear of the tail quirks (the linear-only
+    # last segment, h[count-1] = -e, the never-written knot count-1): the
+    # eval reads knots/moments up to seg+1, so cap at seg <= count-4
+    r_hi = min(R2, (count - 4 - tmax) // q0)
+    if r_hi < 3 or (n - r_hi * span) > 9 * span:
+        return None
+
+    e_next_ideal = np.concatenate([pos_ideal[1:], [0]])
+    h_ideal = np.where(np.arange(count + 2) < count,
+                       (e_next_ideal - pos_ideal).astype(np.float64), 0.0)
+
+    # row-1 ideal weights
+    idx1 = np.arange(span, 2 * span)
+    pj = pos_ideal[seg_id1].astype(np.float64)
+    hj = h_ideal[seg_id1]
+    hs = np.where(hj == 0, 1.0, hj)
+    sf = (idx1 - pj) / hs
+    omt = 1.0 - sf
+    hh = np.where(seg_id1 == count - 2, 0.0, hj * hj / 6.0)
+    w1, w2, w3, w4 = omt, sf, hh * (omt ** 3 - omt), hh * (sf ** 3 - sf)
+
+    krel = (trel - tmin).astype(np.int64)
+    sr_ = np.arange(span)
+    WK = np.zeros((3 * q0, span))
+    WK[krel, sr_] += w1
+    WK[krel + 1, sr_] += w2
+    WM = np.zeros((3 * q0, span))
+    WM[krel, sr_] += w3
+    WM[krel + 1, sr_] += w4
+
+    S = np.zeros((2 * span, q0))
+    S[pattern, np.arange(q0)] = 1.0
+
+    def coeff_actual(idx):
+        j = seg[idx].astype(np.int64)
+        pjj = pos[j].astype(np.float64)
+        hjj = h64[j]
+        hss = np.where(hjj == 0, 1.0, hjj)
+        sff = (idx - pjj) / hss
+        omtt = 1.0 - sff
+        hhh = np.where(j == count - 2, 0.0, hjj * hjj / 6.0)
+        return (omtt, sff, hhh * (omtt ** 3 - omtt),
+                hhh * (sff ** 3 - sff)), j
+
+    head_w, head_j = coeff_actual(np.arange(span))
+    tail_w, tail_j = coeff_actual(np.arange(r_hi * span, n))
+
+    # samples whose segment/weights the ideal pattern gets wrong: the
+    # segments flanking each deviant knot (deviation is +-1 sample, so
+    # the affected window is [knot k-1, knot k+1) in both grids)
+    if bad_core.size:
+        ranges = []
+        for kk in bad_core:
+            lo = core[kk - 1] if kk > 0 else 0
+            lo = min(lo, core_ideal[kk - 1] if kk > 0 else 0)
+            hi = core[kk + 1] if kk + 1 < m else n
+            hi = max(hi, core_ideal[kk + 1] if kk + 1 < m else n)
+            ranges.append(np.arange(max(lo, span),
+                                    min(hi, r_hi * span)))
+        bad_idx = np.unique(np.concatenate(ranges)) if ranges else \
+            np.zeros(0, np.int64)
+    else:
+        bad_idx = np.zeros(0, np.int64)
+    if bad_idx.size > max(4096, n // 64):
+        return None
+    bad_w, bad_j = coeff_actual(bad_idx) if bad_idx.size else (
+        (np.zeros(0),) * 4, np.zeros(0, np.int64))
+
+    return _TemplatePeriodPlan(
+        q0=q0, span=span, R=R, m=m, S=S, r_hi=r_hi,
+        start0=q0 + tmin, WK=WK, WM=WM,
+        head_j=head_j, head_w=head_w, tail_j=tail_j, tail_w=tail_w,
+        bad_core=bad_core, bad_pos=core[bad_core],
+        bad_idx=bad_idx, bad_j=bad_j, bad_w=bad_w)
+
+
+def _template_fast_baseline_static(x: jax.Array, pos_in, count: int,
+                                   period_hint=None) -> jax.Array:
     """Static-positions fast path of :func:`template_fast_baseline`.
 
     The sine-template tier's knot positions depend only on (sample_rate,
@@ -698,6 +873,7 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
     dtype = x.dtype
     npdt = np.dtype(dtype)
     n = x.shape[-1]
+    lead = x.shape[:-1]
     cap2 = count + 2
     k = np.arange(cap2)
     pos = np.zeros(cap2, np.int64)
@@ -708,7 +884,43 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
     span = (e_next - e_prev).astype(npdt)
     w = (pos - e_prev).astype(npdt) / np.where(span == 0, np.ones_like(span), span)
 
-    xe = jnp.take(x, jnp.asarray(np.clip(pos, 0, n - 1)), axis=-1)
+    h_np = (e_next - pos).astype(np.float64)  # h[count-1] = -e, as in the ref
+    h_np = np.where(k < count, h_np, np.zeros_like(h_np))
+    seg = np.searchsorted(pos[1:count], np.arange(n), side="right").astype(np.int32)
+
+    plan = None
+    if period_hint is not None and not (
+            dtype == jnp.float64 and jax.default_backend() == "tpu"):
+        plan = _template_period_plan(pos, count, n, period_hint, h_np, seg)
+
+    if plan is not None:
+        # compaction x[core] as one one-hot matmul over period windows
+        q0, spn, R = plan.q0, plan.span, plan.R
+        need = (R + 1) * spn
+        xp = x
+        if need > n:
+            xp = jnp.concatenate(
+                [x, jnp.zeros(lead + (need - n,), dtype)], axis=-1)
+        xa = xp[..., : R * spn].reshape(lead + (R, spn))
+        xb = xp[..., spn:(R + 1) * spn].reshape(lead + (R, spn))
+        core_vals = jnp.einsum(
+            "...rk,kj->...rj", jnp.concatenate([xa, xb], axis=-1),
+            jnp.asarray(plan.S.astype(npdt)),
+            precision=lax.Precision.HIGHEST)
+        core_vals = core_vals.reshape(lead + (R * q0,))[..., :plan.m]
+        ex_idx = int(min(max(int(pos[count - 1]), 0), n - 1))
+        xe = jnp.concatenate(
+            [x[..., :1], core_vals, x[..., ex_idx:ex_idx + 1],
+             jnp.broadcast_to(x[..., :1], lead + (2,))], axis=-1)
+        if plan.bad_core.size:
+            # deviant crossings (actual != ideal grid): overwrite with
+            # the signal at the ACTUAL positions (tiny static scatter)
+            xe = xe.at[..., jnp.asarray(
+                (plan.bad_core + 1).astype(np.int32))].set(
+                jnp.take(x, jnp.asarray(plan.bad_pos.astype(np.int32)),
+                         axis=-1))
+    else:
+        xe = jnp.take(x, jnp.asarray(np.clip(pos, 0, n - 1)), axis=-1)
     x_prev = jnp.concatenate([jnp.zeros_like(xe[..., :1]), xe[..., :-1]], axis=-1)
     x_next = jnp.concatenate([xe[..., 1:], jnp.zeros_like(xe[..., :1])], axis=-1)
     interior = 0.5 * (x_prev + jnp.asarray(w) * (x_next - x_prev)) + 0.5 * xe
@@ -719,8 +931,7 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
     knots = jnp.where(jnp.asarray(k == count), x[..., :1], knots)  # x[0] quirk
     knots = jnp.where(jnp.asarray(k > count), 0.0, knots)
 
-    h = (e_next - pos).astype(npdt)  # h[count-1] = -e[count-1], as in the ref
-    h = np.where(k < count, h, np.zeros_like(h))
+    h = h_np.astype(npdt)
     # "banded": the truncated affine doubling (64-knot exact window; the
     # recurrence's propagator decays below f64 roundoff well inside it —
     # ops/tridiag._affine_scan_banded).  At template-comb knot counts the
@@ -728,13 +939,57 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
     moments = reference_spline_moments(knots, jnp.asarray(h),
                                        jnp.int32(count), method="banded")
 
-    # static per-sample structure: ONLY the segment map is baked (one
-    # i32 (n,) constant per frequency — baking the interpolation
-    # coefficients too quadrupled the remote-compile payload and tripped
-    # the relay's request-size limit); per-knot channels ride the single
-    # row gather and the coefficients derive on-device from them.
-    seg = np.searchsorted(pos[1:count], np.arange(n), side="right").astype(np.int32)
+    if plan is not None:
+        # evaluation as two matmuls: interior rows select + weight the
+        # knot/moment windows with the static WK/WM matrices; head/tail
+        # rows (segment 0, the lastlin/-e quirk region, the ragged end)
+        # use the closed form with baked weights and SMALL static gathers
+        q0, spn, RI = plan.q0, plan.span, plan.r_hi - 1
+        needk = plan.start0 + (RI + 2) * q0
 
+        def windows(v):
+            vv = v
+            if needk > cap2:
+                vv = jnp.concatenate(
+                    [v, jnp.zeros(lead + (needk - cap2,), dtype)], axis=-1)
+            return jnp.concatenate(
+                [vv[..., plan.start0 + c * q0: plan.start0 + (c + RI) * q0]
+                 .reshape(lead + (RI, q0)) for c in range(3)], axis=-1)
+
+        inter = (jnp.einsum("...rk,ks->...rs", windows(knots),
+                            jnp.asarray(plan.WK.astype(npdt)),
+                            precision=lax.Precision.HIGHEST)
+                 + jnp.einsum("...rk,ks->...rs", windows(moments),
+                              jnp.asarray(plan.WM.astype(npdt)),
+                              precision=lax.Precision.HIGHEST))
+        inter = inter.reshape(lead + (RI * spn,))
+
+        def patch(jidx, ws):
+            j = jnp.asarray(jidx.astype(np.int32))
+            j1 = jnp.asarray((jidx + 1).astype(np.int32))
+            kj = jnp.take(knots, j, axis=-1)
+            kj1 = jnp.take(knots, j1, axis=-1)
+            mj = jnp.take(moments, j, axis=-1)
+            mj1 = jnp.take(moments, j1, axis=-1)
+            w1_, w2_, w3_, w4_ = (jnp.asarray(a.astype(npdt)) for a in ws)
+            return w1_ * kj + w2_ * kj1 + w3_ * mj + w4_ * mj1
+
+        head = patch(plan.head_j, plan.head_w)
+        tail = patch(plan.tail_j, plan.tail_w)
+        out = jnp.concatenate([head, inter, tail], axis=-1)
+        if plan.bad_idx.size:
+            # samples in segments flanking deviant crossings: the ideal
+            # pattern's weights are wrong there — overwrite with the
+            # exact closed form at the ACTUAL grid (tiny static scatter)
+            out = out.at[..., jnp.asarray(plan.bad_idx.astype(np.int32))
+                         ].set(patch(plan.bad_j, plan.bad_w))
+        return out
+
+    # generic static path: ONLY the segment map is baked (one i32 (n,)
+    # constant per frequency — baking the interpolation coefficients too
+    # quadrupled the remote-compile payload and tripped the relay's
+    # request-size limit); per-knot channels ride the single row gather
+    # and the coefficients derive on-device from them.
     def shl(a):
         return jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
 
@@ -760,7 +1015,8 @@ def _template_fast_baseline_static(x: jax.Array, pos_in, count: int) -> jax.Arra
             + hh * ((omt * omt * omt - omt) * m_j + (s * s * s - s) * m_j1))
 
 
-def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array) -> jax.Array:
+def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array,
+                           *, period_hint=None) -> jax.Array:
     """Native-tier ("fast") cubic baseline with caller-supplied knot positions.
 
     ``positions[..., cap]`` is zero-padded past ``count`` (mirroring the
@@ -769,7 +1025,11 @@ def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array)
 
     When ``positions`` is a host numpy array and ``count`` a python int
     (the sine-template tier: positions are pure config), dispatches to
-    the static fast path (:func:`_template_fast_baseline_static`)."""
+    the static fast path (:func:`_template_fast_baseline_static`);
+    ``period_hint=(q0, span)`` additionally offers the exact knot-grid
+    periodicity candidate for the matmul evaluation path (verified
+    against the buffer, silently ignored when it does not hold — see
+    :func:`_template_period_plan`)."""
     import numpy as _np
 
     # f32 position ceiling (ADVICE r4): both paths evaluate
@@ -784,7 +1044,8 @@ def template_fast_baseline(x: jax.Array, positions: jax.Array, count: jax.Array)
         )
     if isinstance(positions, _np.ndarray) and isinstance(
             count, (int, _np.integer)):
-        return _template_fast_baseline_static(x, positions, int(count))
+        return _template_fast_baseline_static(x, positions, int(count),
+                                              period_hint=period_hint)
     dtype = x.dtype
     k = lax.broadcasted_iota(jnp.int32, positions.shape, positions.ndim - 1)
     count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), x.shape[:-1])

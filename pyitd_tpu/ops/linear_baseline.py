@@ -461,16 +461,20 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
     # otherwise poison every position after the NaN, while AD localizes
     # the NaN to the directly involved samples — documented deviation
     # (the direct per-sample terms still carry their NaNs).
-    def zs(z):
+    def zs4(z_bl, z_xl, z_br, z_xr):
+        # one batched cumsum (channels stacked on a leading axis) — four
+        # separate 8x1M cumsums measured ~1.8 ms each on v5e; one 4x8x1M
+        # call amortizes the pass overhead
+        z = jnp.stack([z_bl, z_xl, z_br, z_xr], axis=0)
         z = jnp.where(jnp.isfinite(z), z, jnp.zeros_like(z))
         c = jnp.cumsum(z, axis=-1)
-        return jnp.concatenate(
-            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1), c[..., -1:]
+        excl = jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        return excl, c[..., -1:]
 
-    zs_bl, tot_bl = zs(a_bl)
-    zs_xl, tot_xl = zs(a_xl)
-    zs_br, _ = zs(a_br)
-    zs_xr, _ = zs(a_xr)
+    excl, tots = zs4(a_bl, a_xl, a_br, a_xr)
+    zs_bl, zs_xl, zs_br, zs_xr = excl[0], excl[1], excl[2], excl[3]
+    tot_bl, tot_xl = tots[0], tots[1]
 
     # "running sum at my NEXT knot" (strictly after), default irrelevant
     # (patched at the last knot with the total)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -210,3 +211,63 @@ def test_template_fast_baseline_f32_ceiling():
         lambda a: template_fast_baseline(a, pos, 8),
         jax.ShapeDtypeStruct((n_big,), jnp.float64))
     assert res.shape == (n_big,)
+
+
+def test_template_periodic_matches_generic():
+    """The periodic matmul path (one-hot compaction + two-matmul eval,
+    VERDICT r5 / config 5b perf thread) must agree with the generic
+    gather path wherever the period plan verifies — including the
+    majority-pattern grids whose deviant crossings ride the patch lists."""
+    from pyitd_tpu.decomp.itd_fourier import _sine_template_static
+    from pyitd_tpu.ops.cubic_baseline import _template_fast_baseline_static
+
+    sr, n = 400, 65536
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 50 * t) + 0.2 * rng.normal(size=n)
+    engaged = 0
+    for pos_np, cnt, hint in _sine_template_static(sr, n):
+        for dt, tol in ((np.float64, 1e-12), (np.float32, 1e-6)):
+            xx = jnp.asarray(np.stack([x, -0.5 * x]).astype(dt))
+            a = _template_fast_baseline_static(xx, pos_np, cnt,
+                                               period_hint=hint)
+            b = _template_fast_baseline_static(xx, pos_np, cnt,
+                                               period_hint=None)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=tol)
+        engaged += 1
+    assert engaged >= 1  # the comb exists at this (sr, n)
+
+
+@pytest.mark.slow
+def test_template_periodic_bench_shape():
+    """The exact shape bench.py times (config 5b: sr=2048, n=2^20) — the
+    densest comb entry's periodic path vs the generic gather path, f32.
+    Suite protection for the bench-only path (VERDICT r4 item 7)."""
+    from pyitd_tpu.decomp.itd_fourier import _sine_template_static
+    from pyitd_tpu.ops.cubic_baseline import (_template_fast_baseline_static,
+                                              _template_period_plan)
+
+    sr, n = 2048, 1 << 20
+    rng = np.random.default_rng(4)
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * 50 * t) + 0.6 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * rng.normal(size=n))
+    pos_np, cnt, hint = _sine_template_static(sr, n)[0]  # densest: 886785
+
+    # the plan must engage (majority grid + patch lists)
+    pos = np.zeros(cnt + 2, np.int64)
+    pos[:cnt] = pos_np[:cnt]
+    k = np.arange(cnt + 2)
+    e_next = np.concatenate([pos[1:], [0]])
+    h64 = np.where(k < cnt, (e_next - pos).astype(np.float64), 0.0)
+    seg = np.searchsorted(pos[1:cnt], np.arange(n),
+                          side="right").astype(np.int32)
+    plan = _template_period_plan(pos, cnt, n, hint, h64, seg)
+    assert plan is not None and plan.q0 == 433 and plan.span == 512
+
+    xx = jnp.asarray(x, jnp.float32)
+    a = _template_fast_baseline_static(xx, pos_np, cnt, period_hint=hint)
+    b = _template_fast_baseline_static(xx, pos_np, cnt, period_hint=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=2e-6)

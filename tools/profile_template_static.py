@@ -29,7 +29,7 @@ def main():
     x = jnp.asarray(np.sin(2 * np.pi * 50 * t) + 0.2 * rng.normal(size=n),
                     jnp.float32)
     templates = _sine_template_static(sr, n)
-    pos_np, cnt = templates[0]  # densest (first = highest frequency)
+    pos_np, cnt = templates[0][:2]  # densest (first = highest frequency)
     print(f"densest: {cnt} knots", file=sys.stderr)
 
     def chain(fn, k):
