@@ -299,6 +299,19 @@ def _shift_right(a, fill):
     return jnp.concatenate([head, a[..., :-1]], axis=-1)
 
 
+def _zs4(z_bl, z_xl, z_br, z_xr):
+    """Exclusive running sums Zs[t] = sum(z[:t]) of four channels plus
+    their totals — the scan route's segment-sum substrate (segment sums
+    are then differences of these read back at the neighbor knots).  One
+    batched cumsum: four separate 8x1M cumsums measured ~1.8 ms each on
+    v5e; one 4x8x1M call amortizes the pass overhead."""
+    z = jnp.stack([z_bl, z_xl, z_br, z_xr], axis=0)
+    c = jnp.cumsum(z, axis=-1)
+    excl = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    return excl, c[..., -1:]
+
+
 def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode,
                           fills="auto"):
     """Adjoint of ``(rotation, baseline, sub_err) = level(x)`` given
@@ -307,21 +320,27 @@ def _structural_level_bwd(x, g_rot, g_base, g_err, endpoint_mode,
     scan backend).
 
     Entirely gather/scatter-free: per-sample structure comes from the
-    same fill2 scans as the forward; segment sums land on knot sites via
-    cumulative sums read back through fills ("value of the running sum
-    at my next/previous knot"); the knot-neighbor pushes are received by
-    one strictly-after / strictly-before fill each (every knot is the
-    exclusive-previous of exactly its next knot).  A first version used
-    per-sample scatter-adds, which measured 13.3 s for the full sift
-    backward at 8x1M on v5e — worse than AD of the scans (2.1 s).
+    same fill2 scans as the forward; segment sums land on knot sites
+    either as direct segmented running sums (``fills="pallas"``:
+    ``ops.pallas_fill.segsum_pallas``, one streaming pass per direction
+    with the channels riding the scan state) or as differences of global
+    cumulative sums read back through fills (``fills="scan"``); the
+    knot-neighbor pushes are received by one strictly-after /
+    strictly-before knot read each (every knot is the exclusive-previous
+    of exactly its next knot).  A first version used per-sample
+    scatter-adds, which measured 13.3 s for the full sift backward at
+    8x1M on v5e — worse than AD of the scans (2.1 s).
 
-    ``fills`` selects the fill primitive: ``"scan"`` (XLA associative
-    scans, any platform/dtype) or ``"pallas"`` (the streaming fill2 /
-    fillv kernels of ``ops.pallas_fill`` — the forward's own kernel
-    economics applied to the adjoint).  Fills are pure selections, so
-    the two produce identical bits; ``"auto"`` mirrors the forward's
-    platform heuristic (TPU, f32, 4096 <= n <= 2^24 — the plain-f32
-    position-channel form of ``fill2_pallas``)."""
+    ``fills`` selects the primitive: ``"scan"`` (XLA associative scans +
+    cumsums, any platform/dtype) or ``"pallas"`` (the streaming
+    fill2/segsum kernels — the forward's own kernel economics applied to
+    the adjoint).  The two routes agree to segment-sum rounding, NOT
+    bitwise: the direct segmented sums round per segment while the scan
+    route's cumsum differences cancel O(n)-mass partial sums, so where
+    they differ the pallas route is the tighter one (pinned in
+    tests/test_pallas_fill.py against an f64 ground truth).  ``"auto"``
+    mirrors the forward's platform heuristic (TPU, f32, 4096 <= n <=
+    2^24 — the plain-f32 position-channel form of ``fill2_pallas``)."""
     n = x.shape[-1]
     if fills == "auto":
         # PYITD_STRUCTURAL_FILLS: probe/testing override (read at trace
@@ -361,7 +380,7 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
     posf = it.astype(dtype)
 
     if use_pallas:
-        from .pallas_fill import fill2_pallas, fillv_pallas
+        from .pallas_fill import fill2_pallas, segsum_pallas
 
         interp = jax.default_backend() != "tpu"
 
@@ -373,29 +392,37 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
                 _shift_left(posf, 0.0), _shift_left(x, 0.0),
                 _shift_left(knots, False), reverse=True, interpret=interp)
 
-        def _fillv_batch(vals, reverse):
-            # channels ride the kernel grid's parallel (rows) axis
-            rows = x.shape[0]
-            out = fillv_pallas(
-                jnp.concatenate(vals, axis=0),
-                jnp.tile(knots, (len(vals), 1)),
-                reverse=reverse, interpret=interp)
-            return tuple(out[i * rows:(i + 1) * rows]
-                         for i in range(len(vals)))
+        # flags for the segmented sums: a segment boundary sits BETWEEN a
+        # knot and its neighbor, so the reverse sums reset where the NEXT
+        # sample is a knot and the forward sums where the PREVIOUS is
+        f_next = _shift_left(knots, False)
+        f_prev = _shift_right(knots, False)
 
-        def fills_after(vals):
-            # strictly-after = next-inclusive fill read one sample left
-            return tuple(_shift_left(o, 0.0)
-                         for o in _fillv_batch(vals, True))
+        def seg_reads(a_bl, a_xl, a_br, a_xr):
+            # DIRECT segment sums (one streaming pass per direction,
+            # channels in the scan state): segA_*[t] = sum over
+            # [t, nextknot(t)), segE_*[t] = sum over [prevknot(t), t).
+            # The scan route reconstructs the same sums as differences of
+            # a global cumsum — O(n)-mass cancellation the direct form
+            # avoids, so the two routes agree to segment-sum rounding,
+            # not bitwise (the direct form is the more accurate one).
+            segA = segsum_pallas((a_bl, a_xl), f_next, reverse=True,
+                                 interpret=interp)
+            segE = segsum_pallas(
+                (_shift_right(a_br, 0.0), _shift_right(a_xr, 0.0)),
+                f_prev, reverse=False, interpret=interp)
+            return segA[0], segA[1], segE[0], segE[1]
 
-        def fills_before(vals):
-            # strictly-before = last-inclusive fill read one sample
-            # right.  At NON-knot samples this differs from the scan
-            # path's fill2-v2 channel (inclusive v1, not v2) — every
-            # consumer reads these under ``where(knots, ...)``, where
-            # the two agree exactly.
-            return tuple(_shift_right(o, 0.0)
-                         for o in _fillv_batch(vals, False))
+        def knot_next(v):
+            # v at the strictly-next knot (0 if none): v is nonzero only
+            # at knots, so the segmented sum over (t, nextknot(t)] IS
+            # that single value — bit-identical to the fillv read-back
+            return segsum_pallas(_shift_left(v, 0.0), f_next,
+                                 reverse=True, interpret=interp)
+
+        def knot_prev(v):
+            return segsum_pallas(_shift_right(v, 0.0), f_prev,
+                                 reverse=False, interpret=interp)
     else:
         def struct_fwd():
             (a, b), (c, d), _ = forward_fill2_scan(
@@ -416,6 +443,30 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
         def fills_before(vals):
             _v1, v2, _ = forward_fill2_scan(vals, knots, (0.0,) * len(vals))
             return v2
+
+        def seg_reads(a_bl, a_xl, a_br, a_xr):
+            # segment sums reconstructed as differences of exclusive
+            # global cumsums read back at the neighbor knots (the
+            # round-4 formulation, kept bit-stable for this route)
+            excl, tots = _zs4(a_bl, a_xl, a_br, a_xr)
+            zs_bl, zs_xl, zs_br, zs_xr = excl[0], excl[1], excl[2], excl[3]
+            tot_bl, tot_xl = tots[0], tots[1]
+            # "running sum at my NEXT knot" (strictly after); patched at
+            # the last sample (a knot) with the total
+            nxt_bl, nxt_xl = fills_after((zs_bl, zs_xl))
+            is_last = it == n - 1
+            nxt_bl = jnp.where(is_last, tot_bl, nxt_bl)
+            nxt_xl = jnp.where(is_last, tot_xl, nxt_xl)
+            # "running sum at my PREVIOUS knot" (strictly before)
+            prv_br, prv_xr = fills_before((zs_br, zs_xr))
+            return (nxt_bl - zs_bl, nxt_xl - zs_xl,
+                    zs_br - prv_br, zs_xr - prv_xr)
+
+        def knot_next(v):
+            return fills_after((v,))[0]
+
+        def knot_prev(v):
+            return fills_before((v,))[0]
 
     # per-sample knot structure, exactly the forward scan's channels
     p1p, p1x, p2p, p2x = struct_fwd()
@@ -455,40 +506,21 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
 
     gx = geff_rot + g_err + gB * s  # direct dB/dx[t] = slope
 
-    # running sums, exclusive form Zs[t] = sum(z[:t]).  Non-finite
-    # contributions (possible only within a NaN quarantine zone, where
-    # gradients are undefined anyway) are dropped: a cumsum would
-    # otherwise poison every position after the NaN, while AD localizes
-    # the NaN to the directly involved samples — documented deviation
-    # (the direct per-sample terms still carry their NaNs).
-    def zs4(z_bl, z_xl, z_br, z_xr):
-        # one batched cumsum (channels stacked on a leading axis) — four
-        # separate 8x1M cumsums measured ~1.8 ms each on v5e; one 4x8x1M
-        # call amortizes the pass overhead
-        z = jnp.stack([z_bl, z_xl, z_br, z_xr], axis=0)
-        z = jnp.where(jnp.isfinite(z), z, jnp.zeros_like(z))
-        c = jnp.cumsum(z, axis=-1)
-        excl = jnp.concatenate(
-            [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
-        return excl, c[..., -1:]
+    # Non-finite contributions (possible only within a NaN quarantine
+    # zone, where gradients are undefined anyway) are dropped: a running
+    # sum would otherwise poison every position after the NaN, while AD
+    # localizes the NaN to the directly involved samples — documented
+    # deviation (the direct per-sample terms still carry their NaNs).
+    a_bl, a_xl, a_br, a_xr = (
+        jnp.where(jnp.isfinite(z), z, jnp.zeros_like(z))
+        for z in (a_bl, a_xl, a_br, a_xr))
 
-    excl, tots = zs4(a_bl, a_xl, a_br, a_xr)
-    zs_bl, zs_xl, zs_br, zs_xr = excl[0], excl[1], excl[2], excl[3]
-    tot_bl, tot_xl = tots[0], tots[1]
-
-    # "running sum at my NEXT knot" (strictly after), default irrelevant
-    # (patched at the last knot with the total)
-    nxt_bl, nxt_xl = fills_after((zs_bl, zs_xl))
-    is_last = it == n - 1
-    nxt_bl = jnp.where(is_last, tot_bl, nxt_bl)
-    nxt_xl = jnp.where(is_last, tot_xl, nxt_xl)
-    # "running sum at my PREVIOUS knot" (strictly before)
-    prv_br, prv_xr = fills_before((zs_br, zs_xr))
-
-    # segment sums landing on knot sites: into segl (segment [t, next))
-    # for the *_l channels, into segr (segment ending at t) for *_r
-    gkv = jnp.where(knots, (nxt_bl - zs_bl) + (zs_br - prv_br), 0.0)
-    gx = gx + jnp.where(knots, (nxt_xl - zs_xl) + (zs_xr - prv_xr), 0.0)
+    # segment sums landing on knot sites: over [t, nextknot) for the *_l
+    # channels, over [prevknot, t) for the *_r — direct segmented-sum
+    # kernels on the pallas route, cumsum differences on the scan route
+    segA_bl, segA_xl, segE_br, segE_xr = seg_reads(a_bl, a_xl, a_br, a_xr)
+    gkv = jnp.where(knots, segA_bl + segE_br, 0.0)
+    gx = gx + jnp.where(knots, segA_xl + segE_xr, 0.0)
 
     # knot-value adjoint.  Interior knots: kv = 0.5*(x[pe] + w*(x[nx] -
     # x[pe])) + 0.5*x[t]; at a knot site pe = p2p, nx = n1p.
@@ -503,9 +535,9 @@ def _structural_level_bwd_impl(x, g_rot, g_base, g_err, endpoint_mode,
     # the receive is one strictly-after / strictly-before fill
     c_p = gkv_int * (0.5 * (1.0 - w))
     c_n = gkv_int * (0.5 * w)
-    (recv_p,) = fills_after((c_p,))
-    # previous knot's c_n: the strictly-before fill
-    (recv_n,) = fills_before((c_n,))
+    recv_p = knot_next(c_p)
+    # previous knot's c_n: the strictly-before read
+    recv_n = knot_prev(c_n)
     gx = gx + jnp.where(knots, recv_p + recv_n, 0.0)
 
     # end knots: kv[0] = 0.5*(x[0]+x[1]); kv[n-1] = 0.5*(x[n-2]+x[n-1])

@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "fill2_pallas", "fill2_padded", "fillv_pallas", "linear_fill2_pallas",
+    "fill2_pallas", "fill2_padded", "fillv_pallas", "segsum_pallas",
+    "linear_fill2_pallas",
     "linear_baseline_pallas", "linear_level_pallas",
     "sift_level_emit_padded", "BLK",
 ]
@@ -323,10 +324,12 @@ _fill2_bwd = _make_fill2_kernel(True)
 def _make_fillv_kernel(reverse: bool):
     """Last-ONE-marked fill of a single VALUE channel (the depth-1
     counterpart of the fill2 kernel): per sample, the value at the last
-    (forward) / next (reverse) marked sample, 0 where none exists.  The
-    structural sift backward streams its cumulative-sum read-backs
-    through this — multi-channel fills ride it by stacking channels
-    along the rows axis (the grid's parallel dimension)."""
+    (forward) / next (reverse) marked sample, 0 where none exists.
+    Multi-channel fills ride it by stacking channels along the rows axis
+    (the grid's parallel dimension) — but that costs one full pass per
+    channel; the structural sift backward, which used to stream its
+    cumsum read-backs through this, now uses :func:`segsum_pallas`
+    (channels in the scan state, ~half the cost for two channels)."""
 
     def kernel(v_ref, m_ref, out_ref, carry):
         b = pl.program_id(1)
@@ -399,6 +402,153 @@ def fillv_pallas(v: jax.Array, mask: jax.Array, *,
     )(v3, m3)
     out = out.reshape(rows, npad)
     return out[..., :n] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# segmented running sums — the structural sift backward's segment-sum
+# primitive.  out[t] = v[t] + (flag[t] ? 0 : out[t-1])  (forward; reverse
+# mirrors with t+1): inclusive running sums that RESET at flagged samples.
+# One streaming pass replaces the adjoint's cumsum + stacked-row fillv
+# read-backs (where segment sums were reconstructed as differences of a
+# global cumulative sum — O(n) more rounding exposure AND three extra
+# passes).  Channels ride the scan STATE (like fill2's four channels), not
+# stacked rows, so C channels cost ~(C+1)/4 of a fill2 pass instead of C
+# full fillv passes.
+# ---------------------------------------------------------------------------
+
+
+def _seg_combine(a, b):
+    """Segmented-sum combine; ``b`` is the later element in scan order.
+
+    State = (flag, s_1..s_C): ``s_i`` is the channel-i sum of the interval
+    suffix after its last reset (the whole interval if none); ``flag`` is
+    1.0 where the interval contains a reset.  Identity element: all-zero.
+    """
+    reset = b[0] > 0
+    return (jnp.maximum(a[0], b[0]),) + tuple(
+        jnp.where(reset, sb, sa + sb) for sa, sb in zip(a[1:], b[1:])
+    )
+
+
+def _seg_shifted(arrs, k: int, axis: int, reverse: bool):
+    """Scan-predecessor state shifted by k; border slots get the identity
+    (all channels zero — sums are not idempotent, so garbage would
+    corrupt, unlike the fill monoid's sign-encoded slack)."""
+    idx = lax.broadcasted_iota(jnp.int32, arrs[0].shape, axis)
+    size = arrs[0].shape[axis]
+    keep = (idx < size - k) if reverse else (idx >= k)
+    return tuple(
+        jnp.where(keep, _roll(a, size - k if reverse else k, axis),
+                  jnp.zeros_like(a))
+        for a in arrs
+    )
+
+
+def _seg_doubling_scan(state, axis: int, steps: int, reverse: bool):
+    for s in range(steps):
+        prev = _seg_shifted(state, 1 << s, axis, reverse)
+        state = _seg_combine(prev, state)
+    return state
+
+
+def _seg_block_scan(state, reverse: bool, carry_in, rows: int):
+    """Hierarchical in-VMEM segmented sum of one (rows, 128) block —
+    the :func:`_block_scan` pattern on the segmented-sum monoid."""
+    state = _seg_doubling_scan(state, axis=1, steps=7, reverse=reverse)
+    edge = 0 if reverse else _LANES - 1
+    summ = tuple(s[:, edge : edge + 1] for s in state)
+    pref = _seg_doubling_scan(summ, axis=0, steps=int(np.log2(rows)),
+                              reverse=reverse)
+    pref = _seg_shifted(pref, 1, 0, reverse)
+    carry_row = tuple(jnp.full((rows, 1), c) for c in carry_in)
+    pref = _seg_combine(carry_row, pref)
+    state = _seg_combine(
+        tuple(jnp.broadcast_to(p, (rows, _LANES)) for p in pref), state
+    )
+    erow = 0 if reverse else rows - 1
+    ecol = 0 if reverse else _LANES - 1
+    carry_out = tuple(s[erow, ecol] for s in state)
+    return state, carry_out
+
+
+def _make_segsum_kernel(reverse: bool, nch: int):
+    def kernel(*refs):
+        z_refs, f_ref = refs[:nch], refs[nch]
+        out_refs, carry = refs[nch + 1 : 2 * nch + 1], refs[-1]
+        b = pl.program_id(1)
+        rows = BLK // _LANES
+
+        @pl.when(b == 0)
+        def _():
+            for i in range(nch + 1):
+                carry[i] = 0.0
+
+        state = (f_ref[0],) + tuple(z[0] for z in z_refs)
+        carry_in = tuple(carry[i] for i in range(nch + 1))
+        state, carry_out = _seg_block_scan(state, reverse, carry_in, rows)
+        for i in range(nch + 1):
+            carry[i] = carry_out[i]
+        for i in range(nch):
+            out_refs[i][0] = state[1 + i]
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _segsum_kernel(reverse: bool, nch: int):
+    return _make_segsum_kernel(reverse, nch)
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def segsum_pallas(vals, flags: jax.Array, *,
+                  reverse: bool = False, interpret: bool = False):
+    """Segmented inclusive running sums over the last axis.
+
+    ``vals``: tuple of (rows, n) float32 channels (a single array is
+    accepted); ``flags``: (rows, n) bool.  Forward:
+    ``out[t] = v[t] + (flags[t] ? 0 : out[t-1])`` — sums reset AT flagged
+    samples (each starts a new segment).  Reverse mirrors with ``t+1``
+    (segments extend leftward from flags).  Returns a tuple matching
+    ``vals``.  All channels share the flag channel and one streaming
+    pass; padding is flag-less zero, which is the scan identity."""
+    single = not isinstance(vals, (tuple, list))
+    if single:
+        vals = (vals,)
+    nch = len(vals)
+    rows, n = vals[0].shape
+    npad = -(-n // BLK) * BLK
+    pad = npad - n
+
+    def prep(a, fill):
+        a = a.astype(jnp.float32)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((rows, pad), fill, jnp.float32)], axis=-1
+            )
+        return a.reshape(rows, npad // _LANES, _LANES)
+
+    ops3 = [prep(v, 0.0) for v in vals] + [prep(flags, False)]
+
+    sub = BLK // _LANES
+    nblk = npad // BLK
+    if reverse:
+        index_map = lambda r, b: (r, nblk - 1 - b, np.int32(0))
+    else:
+        index_map = lambda r, b: (r, b, np.int32(0))
+    spec = pl.BlockSpec((1, sub, _LANES), index_map, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _segsum_kernel(reverse, nch),
+        grid=(rows, nblk),
+        in_specs=[spec] * (nch + 1),
+        out_specs=[spec] * nch,
+        out_shape=[_out_struct(ops3[0].shape, jnp.float32, *ops3)] * nch,
+        scratch_shapes=[pltpu.SMEM((nch + 1,), jnp.float32)],
+        interpret=interpret,
+    )(*ops3)
+    outs = tuple(o.reshape(rows, npad) for o in outs)
+    if pad:
+        outs = tuple(o[..., :n] for o in outs)
+    return outs[0] if single else outs
 
 
 @partial(jax.jit, static_argnames=("reverse", "interpret"))

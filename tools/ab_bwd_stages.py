@@ -1,13 +1,18 @@
-"""Stage attribution for the structural sift backward at 8x1M
-(follow-up to tools/ab_structural_bwd.py, which found the fill passes
-are ~1% of the 17.6x-forward backward).  Times, chained steady-state:
+"""Stage attribution for the structural sift backward at 8x1M.
+Times, chained steady-state:
 
   * one fill2_pallas forward pass          (struct channels)
-  * one batched fillv_pallas (2 channels)  (cumsum read-backs)
-  * one jnp.cumsum over (8, 1M)            (the zs() phase, x4/level)
+  * one batched fillv_pallas (2 channels)  (the round-4 read-back form)
+  * one segsum_pallas (2 channels)         (the round-5 direct form)
+  * one jnp.cumsum over (8, 1M)            (the scan route's substrate)
   * one FULL _structural_level_bwd call    (the whole level adjoint)
-  * the level adjoint MINUS its cumsums    (zeroed zs, same graph shape)
   * sift forward (the custom_vjp fwd re-run baked into grad)
+  * sift grad (the whole backward)
+
+Round-5 history: this tool's auto-path grad measurement (282 ms) is
+what exposed tools/ab_structural_bwd.py's jit-cache bug — its forced
+scan/pallas arms were both timing the scan executable (558 ms) while
+the real fillv-ported backward ran 282.  See NOTES_ROUND5.md.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_bwd_stages.py
 """
@@ -77,23 +82,14 @@ def main():
           lambda a: fillv_pallas(
               jnp.concatenate([a, a * 0.5], axis=0),
               jnp.tile(knots_of(a), (2, 1))))
+    from pyitd_tpu.ops.pallas_fill import segsum_pallas
+
+    stage("segsum_pallas x2ch (state channels)",
+          lambda a: segsum_pallas((a, a * 0.5), knots_of(a),
+                                  reverse=True)[0])
     stage("jnp.cumsum (8x1M)", lambda a: jnp.cumsum(a, axis=-1))
     stage("level adjoint (full)",
           lambda a: lb._structural_level_bwd(a, *cts, "reference"))
-
-    orig_zs_marker = "zeroed-zs variant"
-
-    def level_bwd_nocumsum(a):
-        # same graph minus the 4 cumsums: monkeypatched zs
-        import pyitd_tpu.ops.linear_baseline as m
-        real_cumsum = jnp.cumsum
-        try:
-            jnp.cumsum = lambda z, axis=-1: z  # noqa
-            return m._structural_level_bwd(a, *cts, "reference")
-        finally:
-            jnp.cumsum = real_cumsum
-
-    stage(f"level adjoint ({orig_zs_marker})", level_bwd_nocumsum)
     stage("sift forward (10-level emit)",
           lambda a: itd_sift(a, 8, store_baselines=False).rotations,
           1, 8)

@@ -10,7 +10,10 @@ differencing — see bench_profile.py for why):
   * sift forward (emit path, 10 levels)
   * sift grad with fills='scan'   (round-4 shipped form)
   * sift grad with fills='pallas' (this round)
-and checks the two grads agree bitwise (fills are pure selections).
+and checks the two grads agree to segment-sum rounding (round 5: the
+pallas route sums knot segments directly via segsum_pallas while the
+scan route differences a global cumsum, so the routes are no longer
+bitwise-identical — the direct form is the tighter one).
 """
 import sys
 import time
@@ -75,27 +78,44 @@ def main():
             best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
         return max(best, 1e-9)
 
-    # correctness first: the two fill routes must agree bitwise
+    # correctness first: the two routes agree to segment-sum rounding.
+    # jax.clear_caches() between variants is LOAD-BEARING: itd_sift's
+    # inner jit cache otherwise serves the first-traced variant to both
+    # (the round-4 A/B was defeated by exactly this — it reported the
+    # scan executable twice as "bitexact, 1.01x"; see NOTES_ROUND5.md)
     lb._structural_level_bwd = forced("scan")
+    jax.clear_caches()
     g_scan = np.asarray(jax.jit(grad_fn)(x))
     lb._structural_level_bwd = forced("pallas")
+    jax.clear_caches()
     g_pal = np.asarray(jax.jit(grad_fn)(x))
     lb._structural_level_bwd = orig
-    exact = np.array_equal(g_scan, g_pal)
-    print(f"grad scan-vs-pallas: {'bitexact' if exact else 'DIFF'} "
-          f"maxabs={np.abs(g_scan - g_pal).max():.3e}")
+    # gate on relative RMS, not max: the backward chain is a linear map
+    # of the cotangents whose condition number amplifies per-level
+    # rounding ~10^3x at 1M/8-level scale, so pointwise tails differ
+    # between ANY two roundings (tools/probe_bwd_truth.py: BOTH f32
+    # routes sit at the same rms from the f64 truth — the tails are
+    # conditioning, not a route bug)
+    diff = g_scan - g_pal
+    rel_rms = np.sqrt((diff ** 2).mean() / max((g_scan ** 2).mean(), 1e-30))
+    ok = np.array_equal(g_scan, g_pal) or rel_rms < 1e-2
+    print(f"grad scan-vs-pallas: {'ok' if ok else 'DIVERGED'} "
+          f"rel-rms={rel_rms:.3e} maxabs={np.abs(diff).max():.3e} "
+          f"(peak {np.abs(g_scan).max():.3e})")
 
     t_fwd = stage_time(fwd_fn, 1, 8)
     print(f"forward           : {t_fwd * 1e3:9.2f} ms")
 
     lb._structural_level_bwd = forced("scan")
+    jax.clear_caches()
     t_scan = stage_time(grad_fn)
     print(f"grad (scan fills) : {t_scan * 1e3:9.2f} ms  "
           f"({t_scan / t_fwd:.1f}x fwd)")
 
     lb._structural_level_bwd = forced("pallas")
+    jax.clear_caches()
     t_pal = stage_time(grad_fn)
-    print(f"grad (pallas fills): {t_pal * 1e3:8.2f} ms  "
+    print(f"grad (pallas segsum): {t_pal * 1e3:7.2f} ms  "
           f"({t_pal / t_fwd:.1f}x fwd, {t_scan / t_pal:.2f}x faster)")
     lb._structural_level_bwd = orig
 
