@@ -251,24 +251,20 @@ def bench_itd_fourier_1m():
     import jax
     import jax.numpy as jnp
 
-    from pyitd_tpu.decomp.itd_fourier import fourier_mode_any, itd_sine_sift
+    from pyitd_tpu.decomp.itd_fourier import cascade_iteration
 
     n, sr = (4096, 256) if _SMALL else (1 << 20, 2048)  # 2^20: see bench_efd_1m
     rng = np.random.default_rng(4)
     t = np.arange(n) / sr
     x = jnp.asarray(np.sin(2 * np.pi * 50 * t) + 0.6 * np.sin(2 * np.pi * 220 * t)
                     + 0.2 * rng.normal(size=n), jnp.float32)
-    mode_fn = jax.vmap(fourier_mode_any)
 
     @jax.jit
     def run(salt, inner):
         def body(i, current):
-            rotations, residual = itd_sine_sift(current, sr)
-            modes = mode_fn(rotations)
-            is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
-            rotations = jnp.where(is_mode[..., None], rotations - modes,
-                                  rotations)
-            return jnp.sum(rotations, axis=0) + residual
+            # the library's fused iteration: sift + batched rfft + band
+            # weights + ONE summed irfft (unused outputs are DCE'd)
+            return cascade_iteration(current, sr)[0]
         return jnp.sum(jax.lax.fori_loop(0, inner, body, x + salt)[::65536])
 
     dt = _chain_time(run, 1, 3, salt0=6.0)

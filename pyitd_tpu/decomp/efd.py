@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.mxu_fft import irfft_best, rfft_best
+
 __all__ = ["spectral_segments", "efd", "EFDResult", "efd_real", "iterative_efd", "efd_slice_max", "iterative_max"]
 
 
@@ -140,7 +142,7 @@ def efd(x: jax.Array, n_bands: int) -> EFDResult:
     """Empirical Fourier Decomposition (EFD.py:72-110)."""
     n = x.shape[-1]
     dtype = x.dtype
-    ff = jnp.fft.rfft(x)
+    ff = rfft_best(x)
     half = round(ff.shape[-1] / 2)
     seg = spectral_segments(jnp.abs(ff[..., :half]), n_bands)
 
@@ -149,7 +151,7 @@ def efd(x: jax.Array, n_bands: int) -> EFDResult:
 
     l = round(n / 2)
     z = jnp.concatenate([jnp.flip(x[..., :l], axis=-1), x, jnp.flip(x[..., -l:], axis=-1)], axis=-1)
-    ffz = jnp.fft.rfft(z)
+    ffz = rfft_best(z)
     m = ffz.shape[-1]
     # exact integer ceil of bounds*half2/half1.  The reference round-trips
     # through pi in float64 (EFD.py:84,93), where roundoff can push a bound
@@ -173,7 +175,7 @@ def efd(x: jax.Array, n_bands: int) -> EFDResult:
     mask = (main | mirror) & valid
 
     ft = jnp.where(mask, ffz[..., None, :], jnp.zeros_like(ffz[..., None, :]))
-    rx = jnp.fft.irfft(ft, n=z.shape[-1], axis=-1)
+    rx = irfft_best(ft, z.shape[-1])
     bands = rx[..., l:-l].astype(dtype)
     # EFD.py:29+81: fewer than 2 raw spectral maxima -> segm_tec returns a
     # 2-element bounds stub and EFD returns the INPUT unchanged.  Fixed
@@ -266,14 +268,14 @@ def _band_slice(robust: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     main = (bins >= lo[..., None]) & (bins < hi[..., None])
     mirror = (bins >= n - hi[..., None]) & (bins < n - lo[..., None]) & (hi[..., None] > lo[..., None]) & (lo[..., None] > 0)
     z = jnp.where(main | mirror, robust, jnp.zeros_like(robust))
-    return jnp.fft.rfft(z).real
+    return rfft_best(z).real
 
 
 @partial(jax.jit, static_argnames=("n_req",))
 def efd_real(row: jax.Array, n_req: int):
     """modified_efd.py:111-128: treat a spectrum row as a signal, return all
     ``n_req + 2`` band spectra (rows beyond count+2 zero) + strength order."""
-    robust = jnp.fft.irfft(row)
+    robust = irfft_best(row, 2 * (row.shape[-1] - 1))
     bounds, count, sort = _flipped_segments(robust, n_req)
     nb = n_req + 2
     lo = bounds[..., :nb]
@@ -298,7 +300,7 @@ def iterative_efd(row: jax.Array, elem: int, comb_size: int):
 @partial(jax.jit, static_argnames=("n_req",))
 def efd_slice_max(row: jax.Array, n_req: int):
     """modified_efd.py:144-160: extract only the strongest band."""
-    robust = jnp.fft.irfft(row)
+    robust = irfft_best(row, 2 * (row.shape[-1] - 1))
     bounds, count, sort = _flipped_segments(robust, n_req)
     top = sort[..., 0]
     lo = jnp.take_along_axis(bounds, top[..., None] + 1, axis=-1)[..., 0]

@@ -46,12 +46,14 @@ import numpy as np
 from jax import lax
 
 from ..ops.cubic_baseline import template_fast_baseline
+from ..ops.mxu_fft import irfft_best, rfft_best
 
 __all__ = [
     "sine_template_positions",
     "itd_sine_sift",
     "fourier_mode_any",
     "fourier_mode_valid",
+    "cascade_iteration",
     "itd_fourier_decomposition",
     "itd_fourier_decomposition_lean",
 ]
@@ -150,16 +152,16 @@ def itd_sine_sift(x: jax.Array, sample_rate: int):
     return jnp.stack(rotations, axis=0), problem
 
 
-def _band_isolate(x_rfft: jax.Array, n: int, mina: jax.Array,
+def _band_weights(x_rfft: jax.Array, mina: jax.Array,
                   minb: jax.Array, ok: jax.Array) -> jax.Array:
-    """The reference's ``real(ifft(masked full spectrum))`` — with
-    ``xn[mina:minb] = x[...]`` and the mirror ``xn[-minb:-mina]`` (empty
-    when ``mina == 0``) — computed from the HALF spectrum: folding the
-    mirror onto the positive bins gives per-bin weights
+    """Per-bin HALF-spectrum weights reproducing the reference's
+    ``real(ifft(masked full spectrum))`` — with ``xn[mina:minb] = x[...]``
+    and the mirror ``xn[-minb:-mina]`` (empty when ``mina == 0``): folding
+    the mirror onto the positive bins gives
     ``0.5*(1[k in [mina,minb)) + 1[mina>0]*1[k in (mina,minb]])`` with the
-    DC bin restored to full weight (``real(V[0])``), and one ``irfft``
-    replaces the full complex ``ifft`` (half the FFT work).  This
-    reproduces the reference's endpoint-half-amplitude and
+    DC bin restored to full weight (``real(V[0])``), so one ``irfft`` of
+    ``x_rfft * w`` replaces the full complex ``ifft`` (half the FFT work).
+    This reproduces the reference's endpoint-half-amplitude and
     mina==0-half-amplitude quirks exactly
     (``itd_fourier_decomposition.py:186-207``)."""
     bins = lax.broadcasted_iota(jnp.int32, x_rfft.shape, x_rfft.ndim - 1)
@@ -170,19 +172,21 @@ def _band_isolate(x_rfft: jax.Array, n: int, mina: jax.Array,
     w = 0.5 * (in_main.astype(jnp.float32) + in_mirror.astype(jnp.float32))
     # DC never has a mirror partner: real(V[0]) keeps full weight
     w = jnp.where((bins == 0) & in_main, 1.0, w)
-    w = jnp.where(ok[..., None], w, jnp.zeros_like(w))
-    return jnp.fft.irfft(x_rfft * w, n=n)
+    return jnp.where(ok[..., None], w, jnp.zeros_like(w))
 
 
-@jax.jit
-def fourier_mode_any(rotation: jax.Array) -> jax.Array:
-    """C13 ``fourier_mode_decomposition_any``
-    (itd_fourier_decomposition.py:171-209).  All spectral work runs on
-    the rfft half spectrum (the input is real; the reference's full-fft
-    peak search only reads bins below n//2 anyway)."""
-    n = rotation.shape[-1]
-    x = jnp.fft.rfft(rotation)
-    a = jnp.abs(x)
+def _band_isolate(x_rfft: jax.Array, n: int, mina: jax.Array,
+                  minb: jax.Array, ok: jax.Array) -> jax.Array:
+    return irfft_best(x_rfft * _band_weights(x_rfft, mina, minb, ok), n)
+
+
+def _mode_weights_any(x_rfft: jax.Array, n: int) -> jax.Array:
+    """Peak search + band weights of ``fourier_mode_decomposition_any``
+    on a precomputed half spectrum — batch-safe (all reductions on the
+    last axis), shared by :func:`fourier_mode_any` (which applies the
+    weights and irffts per rotation) and :func:`cascade_iteration`
+    (which sums the weighted spectra first and irffts ONCE)."""
+    a = jnp.abs(x_rfft)
     half = n // 2
     bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
 
@@ -204,17 +208,25 @@ def fourier_mode_any(rotation: jax.Array) -> jax.Array:
     sel_b = (bins >= peak_max[..., None]) & (bins <= last_peak[..., None])
     minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
 
-    return _band_isolate(x, n, mina, minb, ok)
+    return _band_weights(x_rfft, mina, minb, ok)
 
 
 @jax.jit
-def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
-    """C13 strict variant (itd_fourier_decomposition.py:131-168): needs >= 3
-    strict local spectrum peaks; uses the closest valid peaks around the
-    maximum.  Runs on the rfft half spectrum (see fourier_mode_any)."""
+def fourier_mode_any(rotation: jax.Array) -> jax.Array:
+    """C13 ``fourier_mode_decomposition_any``
+    (itd_fourier_decomposition.py:171-209).  All spectral work runs on
+    the rfft half spectrum (the input is real; the reference's full-fft
+    peak search only reads bins below n//2 anyway)."""
     n = rotation.shape[-1]
-    x = jnp.fft.rfft(rotation)
-    a = jnp.abs(x)
+    x = rfft_best(rotation)
+    return irfft_best(x * _mode_weights_any(x, n), n)
+
+
+def _mode_weights_valid(x_rfft: jax.Array, n: int) -> jax.Array:
+    """Strict-variant twin of :func:`_mode_weights_any`
+    (itd_fourier_decomposition.py:131-168): needs >= 3 strict local
+    spectrum peaks; uses the closest valid peaks around the maximum."""
+    a = jnp.abs(x_rfft)
     half = n // 2
     bins = lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
 
@@ -239,7 +251,53 @@ def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
     sel_b = (bins >= peak_max[..., None]) & (bins <= lp[..., None])
     minb = jnp.argmin(jnp.where(sel_b, a, jnp.inf), axis=-1).astype(jnp.int32)
 
-    return _band_isolate(x, n, mina, minb, ok)
+    return _band_weights(x_rfft, mina, minb, ok)
+
+
+@jax.jit
+def fourier_mode_valid(rotation: jax.Array) -> jax.Array:
+    """C13 strict variant (itd_fourier_decomposition.py:131-168).  Runs
+    on the rfft half spectrum (see fourier_mode_any)."""
+    n = rotation.shape[-1]
+    x = rfft_best(rotation)
+    return irfft_best(x * _mode_weights_valid(x, n), n)
+
+
+@partial(jax.jit, static_argnums=(1,), static_argnames=("mode",))
+def cascade_iteration(current: jax.Array, sample_rate: int, *, mode="any"):
+    """One fused ITD-Fourier cascade iteration
+    (itd_fourier_decomposition.py:212-255 loop body) with the per-rotation
+    inverse FFTs collapsed to ONE.
+
+    The reference's body subtracts each extracted mode from its rotation
+    and re-sums ``sum(rotations) + residual``.  Both steps are linear and
+    the rotations telescope (``rot_i = problem_i - baseline_i``,
+    ``residual = baseline_last``), so the update is exactly
+    ``current - sum_i(mode_i)`` — and since every mode is
+    ``irfft(V_i * w_i)``, the sum of modes is ``irfft(sum_i V_i * w_i)``:
+    one inverse transform instead of F of them (the F-rotation comb pays
+    10 rfft + 1 irfft per iteration instead of 10 + 10).
+
+    Returns ``(new_current, is_mode[F], mode_spectra[F, n//2+1],
+    rotations[F, n], residual[n])`` — mode_spectra are the weighted half
+    spectra; materialize any subset later with one batched
+    ``jnp.fft.irfft``.  Unused outputs are dead-code-eliminated under jit
+    (the bench chains only ``new_current``).
+
+    Documented delta vs the unfused body: the keep decision is spectral
+    (``any(V*w != 0)``) instead of time-domain ``~all(isclose(mode, 0))``
+    — they differ only for a band whose time signal is uniformly below
+    1e-8 yet not exactly zero, which requires the rotation itself to be
+    at the noise floor; and the fp rounding of the update differs at
+    accumulation-order level (~1 ulp), covered by the parity test."""
+    n = current.shape[-1]
+    weights_fn = _mode_weights_any if mode == "any" else _mode_weights_valid
+    rotations, residual = itd_sine_sift(current, sample_rate)
+    spectra = rfft_best(rotations)
+    mode_spectra = spectra * weights_fn(spectra, n)
+    is_mode = jnp.any(mode_spectra != 0, axis=-1)
+    new_current = current - irfft_best(jnp.sum(mode_spectra, axis=0), n)
+    return new_current, is_mode, mode_spectra, rotations, residual
 
 
 class CascadeResult(NamedTuple):
@@ -254,41 +312,41 @@ def itd_fourier_decomposition(signal, sample_rate: int, *, max_outer: int = 50,
     [modes for rot 0, rotation 0, modes for rot 1, rotation 1, ..., residual].
 
     The outer loop is host-driven (its trip count is data-dependent and
-    small); the per-iteration work — a full sine-template sift plus a
-    vmapped mode extraction across all rotations — is two jitted kernels.
+    small); each iteration is ONE fused jitted kernel
+    (:func:`cascade_iteration` — sift, batched rfft, band weights, a
+    single summed irfft).  Kept modes are stored as weighted half
+    spectra and materialized with one batched irfft at termination.
     ``max_outer`` bounds runaway cascades (the reference loops unboundedly).
     """
     x = jnp.asarray(signal)
-    mode_fn = jax.vmap(fourier_mode_any if mode == "any" else fourier_mode_valid)
+    n = x.shape[-1]
 
-    fourier_modes: list = []
+    mode_specs: list = []
     source_indices: list = []
     current = x
     it = 0
     while it < max_outer:
         it += 1
-        rotations, residual = itd_sine_sift(current, sample_rate)
-        modes = mode_fn(rotations)
-        is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
-        any_modes = bool(jnp.any(is_mode))
-        if not any_modes:
+        current_next, is_mode, spectra, rotations, residual = cascade_iteration(
+            current, sample_rate, mode=mode)
+        keep = np.asarray(is_mode)
+        if not keep.any():
             out = []
             rot_np = np.asarray(rotations)
+            modes_np = (np.asarray(jnp.fft.irfft(jnp.stack(mode_specs), n=n))
+                        if mode_specs else None)
             for i in range(rot_np.shape[0]):
                 for m_idx, s_idx in enumerate(source_indices):
                     if s_idx == i:
-                        out.append(fourier_modes[m_idx])
+                        out.append(modes_np[m_idx])
                 out.append(rot_np[i])
             out.append(np.asarray(residual))
             return out
-        keep = np.asarray(is_mode)
-        modes_np = np.asarray(modes)
-        for i in range(modes_np.shape[0]):
+        for i in range(keep.shape[0]):
             if keep[i]:
-                fourier_modes.append(modes_np[i])
+                mode_specs.append(spectra[i])
                 source_indices.append(i)
-        rotations = jnp.where(is_mode[..., None], rotations - modes, rotations)
-        current = jnp.sum(rotations, axis=0) + residual
+        current = current_next
     raise RuntimeError(f"cascade did not converge in {max_outer} iterations")
 
 
@@ -298,27 +356,32 @@ def itd_fourier_decomposition_lean(signal, sample_rate: int, *, max_outer: int =
     accumulated mode array per rotation; output alternates
     [modes_i, rotation_i, ...] then the residual.  (The reference calls an
     undefined ``itd_fourier_wrapper`` here — the sine wrapper renamed; fixed
-    in this rebuild, as SURVEY.md prescribes.)"""
-    x = jnp.asarray(signal)
-    mode_fn = jax.vmap(fourier_mode_any if mode == "any" else fourier_mode_valid)
+    in this rebuild, as SURVEY.md prescribes.)
 
-    rotations, residual = itd_sine_sift(x, sample_rate)
-    accumulated = jnp.zeros_like(rotations)
+    Rides :func:`cascade_iteration`: the per-rotation mode accumulators
+    live in the spectral domain (accumulation is linear) and are
+    materialized with ONE batched irfft at termination."""
+    x = jnp.asarray(signal)
+    n = x.shape[-1]
+
+    acc_spec = None
     current = x
     it = 0
     while it < max_outer:
         it += 1
-        rotations, residual = itd_sine_sift(current, sample_rate)
-        modes = mode_fn(rotations)
-        is_mode = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
-        if not bool(jnp.any(is_mode)):
+        current_next, is_mode, spectra, rotations, residual = cascade_iteration(
+            current, sample_rate, mode=mode)
+        if not bool(np.asarray(is_mode).any()):
+            acc = (np.asarray(jnp.fft.irfft(acc_spec, n=n))
+                   if acc_spec is not None
+                   else np.zeros(rotations.shape, np.asarray(residual).dtype))
             out = []
-            for i in range(rotations.shape[0]):
-                out.append(np.asarray(accumulated[i]))
-                out.append(np.asarray(rotations[i]))
+            rot_np = np.asarray(rotations)
+            for i in range(rot_np.shape[0]):
+                out.append(acc[i])
+                out.append(rot_np[i])
             out.append(np.asarray(residual))
             return out
-        accumulated = jnp.where(is_mode[..., None], accumulated + modes, accumulated)
-        rotations = jnp.where(is_mode[..., None], rotations - modes, rotations)
-        current = jnp.sum(rotations, axis=0) + residual
+        acc_spec = spectra if acc_spec is None else acc_spec + spectra
+        current = current_next
     raise RuntimeError(f"cascade did not converge in {max_outer} iterations")

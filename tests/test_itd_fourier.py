@@ -130,6 +130,43 @@ def test_cascade_reconstructs():
     np.testing.assert_allclose(total, x, atol=1e-8)
 
 
+def test_cascade_iteration_matches_unfused_body():
+    """The fused single-irfft iteration (cascade_iteration) must agree
+    with the reference-shaped body — per-rotation modes, subtract where
+    kept, re-sum — to reassociation roundoff, and make the identical
+    keep decision, for both extraction variants."""
+    from pyitd_tpu.decomp.itd_fourier import (cascade_iteration,
+                                              fourier_mode_valid)
+
+    rng = np.random.default_rng(9)
+    n, sr = 1000, 1000
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * 25 * t) + 0.4 * np.sin(2 * np.pi * 80 * t)
+         + 0.05 * rng.normal(size=n))
+    cur = jnp.asarray(x)
+    for mode, fn in (("any", fourier_mode_any), ("valid", fourier_mode_valid)):
+        rot, res = itd_sine_sift(cur, sr)
+        modes = jax.vmap(fn)(rot)
+        is_mode_old = ~jnp.all(jnp.isclose(modes, 0.0), axis=-1)
+        rot2 = jnp.where(is_mode_old[..., None], rot - modes, rot)
+        cur_old = jnp.sum(rot2, axis=0) + res
+
+        cur_new, is_mode_new, spectra, rot_new, res_new = cascade_iteration(
+            cur, sr, mode=mode)
+        np.testing.assert_array_equal(np.asarray(is_mode_old),
+                                      np.asarray(is_mode_new))
+        np.testing.assert_allclose(np.asarray(cur_new), np.asarray(cur_old),
+                                   atol=1e-12)
+        # the stored spectra materialize to exactly the per-rotation modes
+        np.testing.assert_allclose(
+            np.asarray(jnp.fft.irfft(spectra, n=n)), np.asarray(modes),
+            atol=1e-12)
+        np.testing.assert_allclose(np.asarray(rot_new), np.asarray(rot),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(res_new), np.asarray(res),
+                                   atol=0)
+
+
 def test_lean_cascade_reconstructs():
     from pyitd_tpu.decomp.itd_fourier import itd_fourier_decomposition_lean
 
